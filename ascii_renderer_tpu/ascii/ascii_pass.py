@@ -1,0 +1,103 @@
+"""The ASCII pass: cell grid -> glyph grid (+ optional pixel expansion).
+
+TPU re-design of js/ascii_pass.js + js/ascii_pass_shader.js. The reference
+uploads the CPU cell grid to a texture and runs a fragment shader per OUTPUT
+pixel (glyph decision recomputed for every pixel of a cell). Here the glyph
+decision runs once per CELL as a dense array program, and pixel expansion is
+a separate gather — strictly less work, identical results.
+
+Outputs:
+  chars u8 [H, W]   — the glyph grid (ASCII codes); this is the text overlay
+                      capability (js/text_overlay.js) as a first-class output.
+  tint  u8 [H, W, 3]— per-cell glyph color (cell color, or black if grayscale).
+  pixels u8 [H*ch, W*cw, 3] — optional glyph-bitmap expansion over white,
+                      the AsciiPass canvas capability.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ascii_renderer_tpu.core.config import Config
+from ascii_renderer_tpu.core.frame import Frame
+from ascii_renderer_tpu.core import quantize
+from ascii_renderer_tpu.ascii import glyphs as glyphs_mod
+from ascii_renderer_tpu.ascii.modal import modal_filter
+
+
+def glyph_decide(frame: Frame, *, ramp: str, mode_on: bool, mode_radius: int,
+                 mode_thresh: int, grayscale: bool):
+    """Per-cell glyph decision (ascii_pass_shader.js:140-188).
+
+    Returns (chars u8 [H,W], tint u8 [H,W,3]).
+    """
+    codes = jnp.asarray(quantize.ramp_codes(ramp))  # u8 [L]
+    ramp_len = int(codes.shape[0])
+
+    override = quantize.is_override(frame.a)
+    base_idx = quantize.quantize_index(frame.rgb, ramp_len)
+
+    idx = base_idx
+    if mode_on:
+        idx = modal_filter(base_idx, override, mode_radius, mode_thresh)
+
+    ramp_chars = codes[idx]  # u8 via gather
+    chars = jnp.where(override, frame.a, ramp_chars).astype(jnp.uint8)
+
+    if grayscale:
+        tint = jnp.zeros_like(frame.rgb)
+    else:
+        tint = frame.rgb
+    # Override cells tint with the cell color too (the UI compositor already
+    # painted them black: js/main.js:351-355).
+    return chars, tint
+
+
+def expand_pixels(chars: jnp.ndarray, tint: jnp.ndarray, atlas: jnp.ndarray,
+                  alpha_gamma: float) -> jnp.ndarray:
+    """Glyph-bitmap expansion: composite tinted coverage over white
+    (ascii_pass_shader.js:223-230). atlas: u8 [256, ch, cw].
+
+    Note the atlas was already gamma-shaped at bake; applying alpha_gamma here
+    again reproduces the reference's double application (see glyphs.py).
+    """
+    h, w = chars.shape
+    ch, cw = atlas.shape[1], atlas.shape[2]
+    cov = atlas[chars.astype(jnp.int32)]  # [H, W, ch, cw] u8
+    cov = (cov.astype(jnp.float32) / 255.0) ** jnp.float32(alpha_gamma)
+    t = tint.astype(jnp.float32) / 255.0  # [H, W, 3]
+    out = (1.0 - cov)[..., None] + cov[..., None] * t[:, :, None, None, :]
+    out = quantize.float_rgb_to_u8(out)  # [H, W, ch, cw, 3]
+    return out.transpose(0, 2, 1, 3, 4).reshape(h * ch, w * cw, 3)
+
+
+class AsciiPass:
+    """Config-specialized ASCII pass (the stateful counterpart of
+    js/ascii_pass.js:130-373, holding the jitted program + glyph atlas)."""
+
+    def __init__(self, cfg: Config | None = None, glyph_atlas: np.ndarray | None = None):
+        self.cfg = cfg or Config()
+        self.atlas = jnp.asarray(
+            glyph_atlas if glyph_atlas is not None else glyphs_mod.load_default_atlas())
+        c = self.cfg
+        self._decide = jax.jit(functools.partial(
+            glyph_decide,
+            ramp=c.ascii_ramp,
+            mode_on=c.ascii_mode_filter,
+            mode_radius=c.mode_radius,
+            mode_thresh=c.ascii_mode_thresh,
+            grayscale=c.use_grayscale,
+        ))
+        self._expand = jax.jit(functools.partial(
+            expand_pixels, alpha_gamma=c.alpha_gamma))
+
+    def __call__(self, frame: Frame):
+        return self._decide(frame)
+
+    def pixels(self, frame: Frame) -> jnp.ndarray:
+        chars, tint = self._decide(frame)
+        return self._expand(chars, tint, self.atlas)
