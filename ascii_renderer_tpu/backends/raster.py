@@ -1,0 +1,355 @@
+"""Forward rasterizer backend (ref: raster.js + raster_shader.js).
+
+TPU-native redesign, not a GL translation:
+
+  1. **Vertex pipeline** — one MXU matmul transforms every vertex by the
+     MVP (lookAt/perspective semantics of raster.js:15-45, pixel aspect in
+     the projection), followed by branchless near-plane clipping in clip
+     space with a static x2 triangle expansion (GL clips primitives in
+     hardware; XLA wants static shapes).
+  2. **Visibility buffer** — a `lax.scan` over triangle chunks rasterizes
+     into a per-pixel (depth, triangle-id) pair: edge functions + barycentric
+     depth (screen-space linear, like gl_FragCoord.z), z-test by min-merge.
+     No per-pixel loops; each chunk step is a dense [C, H, W] VPU program.
+  3. **Deferred shading** — one gather fetches the winning triangle's
+     vertices per pixel, re-derives perspective-correct barycentrics, and
+     evaluates the reference's fragment lighting (ambient + one directional
+     + up to 8 unshadowed point lights, raster_shader.js:42-62).
+
+Reference behaviors preserved:
+  - camera mapping identical to the tracers ("MATCH PT", raster.js:40-45);
+  - near=0.05 / far=100 projection (raster.js:299);
+  - back-face culling of clockwise-in-window-coords faces (raster.js:100-102;
+    our row-major y-down screen space flips the sign, see `_AREA_FRONT`);
+  - default directional light when the scene provides none
+    (raster.js:66-69,307-315); ambient = env color * intensity;
+  - point-light attenuation 1/(1 + d^2*0.05), no shadows.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ascii_renderer_tpu.core.camera import Camera
+from ascii_renderer_tpu.core.frame import Frame
+from ascii_renderer_tpu.geom.tessellate import tessellate_scene
+from ascii_renderer_tpu.scene.builder import SceneData
+
+NEAR, FAR = 0.05, 100.0
+_DEFAULT_AMBIENT = (0.15, 0.18, 0.22)  # raster.js:66-69
+_DEFAULT_DIR = (0.25, -1.0, 0.15)
+_DEFAULT_DIR_COL = (1.2, 1.15, 1.1)
+
+
+# --------------------------------------------------------------------------
+# Matrices (semantics of raster.js:15-45)
+# --------------------------------------------------------------------------
+def perspective(fovy_rad: float, aspect: float, near: float = NEAR,
+                far: float = FAR) -> jnp.ndarray:
+    f = 1.0 / jnp.tan(jnp.maximum(1e-6, fovy_rad * 0.5))
+    nf = 1.0 / (near - far)
+    return jnp.array([
+        [f / aspect, 0, 0, 0],
+        [0, f, 0, 0],
+        [0, 0, (far + near) * nf, 2 * far * near * nf],
+        [0, 0, -1, 0],
+    ], dtype=jnp.float32)
+
+
+def look_at(eye: jnp.ndarray, center: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
+    f = center - eye
+    f = f / jnp.linalg.norm(f)
+    s = jnp.cross(f, up)
+    s = s / jnp.linalg.norm(s)
+    u = jnp.cross(s, f)
+    m = jnp.stack([s, u, -f])  # rows
+    t = -m @ eye
+    return jnp.concatenate([
+        jnp.concatenate([m, t[:, None]], axis=1),
+        jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=jnp.float32),
+    ], axis=0)
+
+
+def camera_mvp(cam: Camera, rows: int, cols: int, pixel_aspect: float) -> jnp.ndarray:
+    cp, sp = jnp.cos(cam.pitch), jnp.sin(cam.pitch)
+    cy, sy = jnp.cos(cam.yaw), jnp.sin(cam.yaw)
+    look = jnp.stack([cp * cy, sp, cp * sy])
+    aspect = jnp.maximum(1e-6, (cols / max(1, rows)) * pixel_aspect)
+    proj = perspective(cam.fov_y, aspect)
+    view = look_at(cam.pos, cam.pos + look, jnp.array([0.0, 1.0, 0.0], jnp.float32))
+    return proj @ view
+
+
+# --------------------------------------------------------------------------
+# Vertex transform + near clip
+# --------------------------------------------------------------------------
+def transform_clip(positions: jnp.ndarray, attrs: jnp.ndarray,
+                   mvp: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """positions f32 [V=3T, 3], attrs f32 [V, A] -> near-clipped triangles.
+
+    Returns (clip [2T, 3, 4], tattr [2T, 3, A], valid [2T]): each input
+    triangle emits up to two output triangles (static expansion — the
+    two-in/one-out clip case genuinely needs both).
+    """
+    v4 = jnp.concatenate([positions, jnp.ones_like(positions[:, :1])], axis=1)
+    clip = v4 @ mvp.T  # [V, 4] — the MXU does the whole vertex stage
+    T = positions.shape[0] // 3
+    A = attrs.shape[1]
+    bundle = jnp.concatenate([clip, attrs], axis=1).reshape(T, 3, 4 + A)
+
+    d = bundle[..., 2] + bundle[..., 3]  # z + w >= 0 is inside (near plane)
+    inside = d >= 0.0
+    n_in = inside.sum(axis=1)  # [T]
+
+    # Rotate each triangle so the pattern is canonical:
+    #   1-in  -> the inside vertex first;  2-in -> the OUTSIDE vertex last.
+    idx_first_in = jnp.argmax(inside, axis=1)
+    idx_out = jnp.argmax(jnp.logical_not(inside), axis=1)
+    rot = jnp.where(n_in == 1, idx_first_in,
+                    jnp.where(n_in == 2, (idx_out + 1) % 3, 0))
+    offs = jnp.arange(3)
+    gather = (rot[:, None] + offs[None, :]) % 3  # [T, 3]
+    vb = jnp.take_along_axis(bundle, gather[..., None], axis=1)  # rotated
+    db = jnp.take_along_axis(d, gather, axis=1)
+
+    a, b, c = vb[:, 0], vb[:, 1], vb[:, 2]
+    da, db_, dc = db[:, 0], db[:, 1], db[:, 2]
+
+    def lerp(p, q, dp, dq):
+        t = dp / (dp - dq)
+        return p + t[:, None] * (q - p)
+
+    ab = lerp(a, b, da, db_)
+    ac = lerp(a, c, da, dc)
+    bc = lerp(b, c, db_, dc)
+
+    # case 3-in: (a, b, c) ; case 1-in: (a, ab, ac) ; case 2-in: (a, b, bc)
+    one_in = (n_in == 1)[:, None, None]
+    two_in = (n_in == 2)[:, None, None]
+    tri1 = jnp.where(one_in, jnp.stack([a, ab, ac], axis=1),
+                     jnp.where(two_in, jnp.stack([a, b, bc], axis=1),
+                               jnp.stack([a, b, c], axis=1)))
+    # second output exists only in the 2-in case: (a, bc, ca')
+    tri2 = jnp.stack([a, bc, ac], axis=1)
+
+    valid1 = n_in >= 1
+    valid2 = n_in == 2
+    tris = jnp.concatenate([tri1, tri2], axis=0)  # [2T, 3, 4+A]
+    valid = jnp.concatenate([valid1, valid2], axis=0)
+    return tris[..., :4], tris[..., 4:], valid
+
+
+# --------------------------------------------------------------------------
+# Triangle setup (screen space)
+# --------------------------------------------------------------------------
+def setup_screen(clip: jnp.ndarray, valid: jnp.ndarray, rows: int, cols: int):
+    """clip [T,3,4] -> screen-space setup.
+
+    Returns dict of xy [T,3,2] (x right, y DOWN from the top row), z01 [T,3],
+    inv_w [T,3], area2 [T] (y-down signed area*2), valid [T] after degenerate
+    + facing cull. Front faces (GL CCW in y-up window coords) have NEGATIVE
+    y-down area; back-face culling keeps area2 < 0 (raster.js:100-102).
+    """
+    w = clip[..., 3]
+    inv_w = 1.0 / jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
+    ndc = clip[..., :3] * inv_w[..., None]
+    x = (ndc[..., 0] + 1.0) * 0.5 * cols
+    y = (1.0 - ndc[..., 1]) * 0.5 * rows
+    z01 = (ndc[..., 2] + 1.0) * 0.5
+    xy = jnp.stack([x, y], axis=-1)
+
+    e0 = xy[:, 1] - xy[:, 0]
+    e1 = xy[:, 2] - xy[:, 0]
+    area2 = e0[..., 0] * e1[..., 1] - e0[..., 1] * e1[..., 0]
+    front = area2 < 0.0  # see docstring
+    valid = valid & front & (jnp.abs(area2) > 1e-12)
+    return {"xy": xy, "z01": z01, "inv_w": inv_w, "area2": area2, "valid": valid}
+
+
+def _edge(ax, ay, bx, by, px, py):
+    """Edge function: cross(b-a, p-a)."""
+    return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+
+def visibility_scan(setup, rows: int, cols: int, chunk: int = 64):
+    """Chunked z-buffer pass producing the visibility buffer.
+
+    Returns (zbuf f32 [H,W], tid i32 [H,W], -1 = background). Each scan step
+    rasterizes `chunk` triangles as a dense [C,H,W] program and min-merges.
+    """
+    xy, z01, valid = setup["xy"], setup["z01"], setup["valid"]
+    T = xy.shape[0]
+    C = min(chunk, max(T, 1))
+    pad = (-T) % C
+    if pad:
+        padf = lambda a: jnp.concatenate(  # noqa: E731
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        xy, z01 = padf(xy), padf(z01)
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    n_chunks = (T + pad) // C
+
+    px = jnp.arange(cols, dtype=jnp.float32) + 0.5
+    py = jnp.arange(rows, dtype=jnp.float32) + 0.5
+    pxg = px[None, :]  # [1, W]
+    pyg = py[:, None]  # [H, 1]
+
+    xs = xy[..., 0].reshape(n_chunks, C, 3)
+    ys = xy[..., 1].reshape(n_chunks, C, 3)
+    zs = z01.reshape(n_chunks, C, 3)
+    vs = valid.reshape(n_chunks, C)
+    tids = jnp.arange(T + pad, dtype=jnp.int32).reshape(n_chunks, C)
+
+    def step(carry, inp):
+        zbuf, tbuf = carry
+        x, y, z, v, tid = inp
+        # edge functions at all pixel centers: [C, H, W]
+        w0 = _edge(x[:, 1, None, None], y[:, 1, None, None],
+                   x[:, 2, None, None], y[:, 2, None, None], pxg, pyg)
+        w1 = _edge(x[:, 2, None, None], y[:, 2, None, None],
+                   x[:, 0, None, None], y[:, 0, None, None], pxg, pyg)
+        w2 = _edge(x[:, 0, None, None], y[:, 0, None, None],
+                   x[:, 1, None, None], y[:, 1, None, None], pxg, pyg)
+        # front faces have negative orientation: inside = all edges <= 0
+        inside = (w0 <= 0) & (w1 <= 0) & (w2 <= 0) & v[:, None, None]
+        area = w0 + w1 + w2  # = area2 (negative)
+        b0 = w0 / area
+        b1 = w1 / area
+        b2 = w2 / area
+        zpix = b0 * z[:, 0, None, None] + b1 * z[:, 1, None, None] + b2 * z[:, 2, None, None]
+        ok = inside & (zpix >= 0.0) & (zpix <= 1.0)
+        zpix = jnp.where(ok, zpix, jnp.inf)
+        kmin = jnp.argmin(zpix, axis=0)  # [H, W]
+        zmin = jnp.min(zpix, axis=0)
+        tmin = jnp.take_along_axis(tid[:, None, None] * jnp.ones_like(zpix, jnp.int32),
+                                   kmin[None], axis=0)[0]
+        better = zmin < zbuf
+        return (jnp.where(better, zmin, zbuf),
+                jnp.where(better, tmin, tbuf)), None
+
+    z0 = jnp.full((rows, cols), jnp.inf, jnp.float32)
+    t0 = jnp.full((rows, cols), -1, jnp.int32)
+    (zbuf, tbuf), _ = jax.lax.scan(step, (z0, t0), (xs, ys, zs, vs, tids))
+    return zbuf, tbuf
+
+
+def shade_visibility(tid, clip, attrs, scene: SceneData, rows: int, cols: int):
+    """Deferred pass: gather winner-triangle data per pixel, reconstruct
+    perspective-correct barycentrics, run the fragment lighting."""
+    hit = tid >= 0
+    safe = jnp.maximum(tid, 0)
+    tri_clip = clip[safe]  # [H, W, 3, 4]
+    tri_attr = attrs[safe]  # [H, W, 3, A]
+
+    w = tri_clip[..., 3]
+    inv_w = 1.0 / jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
+    ndc = tri_clip[..., :2] * inv_w[..., None]
+    x = (ndc[..., 0] + 1.0) * 0.5 * cols
+    y = (1.0 - ndc[..., 1]) * 0.5 * rows
+
+    px = jnp.arange(cols, dtype=jnp.float32)[None, :] + 0.5
+    py = jnp.arange(rows, dtype=jnp.float32)[:, None] + 0.5
+    w0 = _edge(x[..., 1], y[..., 1], x[..., 2], y[..., 2], px, py)
+    w1 = _edge(x[..., 2], y[..., 2], x[..., 0], y[..., 0], px, py)
+    w2 = _edge(x[..., 0], y[..., 0], x[..., 1], y[..., 1], px, py)
+    area = w0 + w1 + w2
+    area = jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
+    b = jnp.stack([w0, w1, w2], axis=-1) / area[..., None]  # [H, W, 3]
+
+    # perspective-correct interpolation (GL default for varyings)
+    bw = b * inv_w
+    denom = jnp.sum(bw, axis=-1, keepdims=True)
+    bpc = bw / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    interp = jnp.einsum("hwk,hwka->hwa", bpc, tri_attr)  # [H, W, A]
+
+    nrm = interp[..., 0:3]
+    col = interp[..., 3:6]
+    pos = interp[..., 6:9]
+    n = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+
+    ambient = scene.env_color * scene.env_intensity
+    # default directional light when the scene has none (raster.js:66-69)
+    have_dl = scene.n_dl > 0
+    ddir = jnp.where(have_dl, scene.dl_dir[0],
+                     jnp.asarray(_DEFAULT_DIR, jnp.float32))
+    dcol = jnp.where(have_dl, scene.dl_col[0],
+                     jnp.asarray(_DEFAULT_DIR_COL, jnp.float32))
+    out = col * ambient
+    ndl = jnp.maximum(jnp.sum(n * (-ddir), axis=-1), 0.0)
+    out = out + col * dcol * ndl[..., None]
+
+    pl_valid = jnp.arange(scene.pt_pos.shape[0]) < scene.n_pt
+    for i in range(scene.pt_pos.shape[0]):
+        lvec = scene.pt_pos[i] - pos
+        d2 = jnp.maximum(jnp.sum(lvec * lvec, axis=-1), 1e-4)
+        L = lvec / jnp.sqrt(d2)[..., None]
+        ndlp = jnp.maximum(jnp.sum(n * L, axis=-1), 0.0)
+        att = 1.0 / (1.0 + d2 * 0.05)
+        w_i = jnp.where(pl_valid[i], ndlp * att, 0.0)
+        out = out + col * scene.pt_col[i] * w_i[..., None]
+
+    out = jnp.clip(out, 0.0, 1.0)
+    return jnp.where(hit[..., None], out, 0.0)  # clear color black
+
+
+# --------------------------------------------------------------------------
+# Full pipeline
+# --------------------------------------------------------------------------
+def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
+                rows: int, cols: int, pixel_aspect: float,
+                chunk: int = 64) -> jnp.ndarray:
+    """Triangle soup -> shaded RGB f32 [rows, cols, 3]."""
+    attrs = jnp.concatenate([normals, colors, positions], axis=1)  # [V, 9]
+    mvp = camera_mvp(cam, rows, cols, pixel_aspect)
+    clip, tattr, valid = transform_clip(positions, attrs, mvp)
+    setup = setup_screen(clip, valid, rows, cols)
+    _zbuf, tid = visibility_scan(setup, rows, cols, chunk)
+    return shade_visibility(tid, clip, tattr, scene, rows, cols)
+
+
+class RasterBackend:
+    """Backend-protocol wrapper (contract 5). Tessellation happens on scene
+    push (the analog of the reference's VBO rebuild, raster.js:130-266)."""
+
+    name = "raster"
+
+    def __init__(self, cfg=None):
+        self.cfg = cfg
+        self._scene: SceneData | None = None
+        self._soup = None
+        self._fns = {}
+
+    def set_scene(self, scene: SceneData):
+        self._scene = scene
+        p, n, c = tessellate_scene(scene)
+        self._soup = (jnp.asarray(p), jnp.asarray(n), jnp.asarray(c))
+        self._fns = {}
+
+    def set_soup(self, positions, normals, colors, scene: SceneData):
+        """Direct mesh path for pre-tessellated geometry (benchmarks)."""
+        self._scene = scene
+        self._soup = (jnp.asarray(positions), jnp.asarray(normals),
+                      jnp.asarray(colors))
+        self._fns = {}
+
+    def render(self, time_sec, camera: Camera, rows: int, cols: int,
+               pixel_aspect: float = 1.0) -> Frame:
+        if self._scene is None or self._soup[0].shape[0] == 0:
+            return Frame.blank(rows, cols)
+        key = (rows, cols, float(pixel_aspect), self._soup[0].shape[0])
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(render_soup, rows=rows, cols=cols,
+                                           pixel_aspect=pixel_aspect))
+            self._fns[key] = fn
+        rgb = fn(*self._soup, self._scene, camera)
+        return Frame.from_float(rgb)
+
+    def dispose(self):
+        self._scene = self._soup = None
+        self._fns = {}
