@@ -91,9 +91,12 @@ def reflect(rd, n):
 
 
 def refract(rd, n, eta):
-    """GLSL refract(): returns zero vector on total internal reflection."""
+    """GLSL refract(): returns zero vector on total internal reflection.
+    ``eta`` may be a scalar or an array batched like the rays."""
+    eta = jnp.asarray(eta)
     cosi = _dot(n, rd)
     k = 1.0 - eta * eta * (1.0 - cosi * cosi)
     tir = k < 0.0
-    out = eta * rd - (eta * cosi + jnp.sqrt(jnp.maximum(k, 0.0)))[..., None] * n
+    out = (eta[..., None] * rd
+           - (eta * cosi + jnp.sqrt(jnp.maximum(k, 0.0)))[..., None] * n)
     return jnp.where(tir[..., None], 0.0, out), tir

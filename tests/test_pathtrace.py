@@ -1,0 +1,111 @@
+"""Path tracer: energy sanity, determinism, light paths, the ASCII-texture
+glyph short-circuit + alpha protocol (SURVEY §4 property tests)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ascii_renderer_tpu.core.camera import Camera
+from ascii_renderer_tpu.backends import pathtrace as PT
+from ascii_renderer_tpu.scene.builder import MaterialIds, SceneBuilder
+from ascii_renderer_tpu.scene.demo import create_demo_scene
+from ascii_renderer_tpu.atlas.io import demo_atlas
+
+
+def _render(scene, cam, rows=12, cols=16, spp=4, bounces=3, seed=0, time=0.0):
+    return PT.render_pt(scene, cam, jnp.float32(time), jax.random.key(seed),
+                        rows=rows, cols=cols, pixel_aspect=1.0, spp=spp,
+                        bounces=bounces, light_color=(16.86, 10.76, 8.2))
+
+
+def test_energy_sanity_no_nan_no_negative():
+    scene = create_demo_scene().build()
+    rgb, a = _render(scene, scene.camera, spp=8, bounces=5)
+    rgb = np.asarray(rgb)
+    assert np.isfinite(rgb).all()
+    assert (rgb >= 0).all() and (rgb <= 1).all()
+    assert np.asarray(a).dtype == np.uint8
+
+
+def test_deterministic_under_fixed_key():
+    scene = create_demo_scene().build()
+    r1, a1 = _render(scene, scene.camera, seed=7)
+    r2, a2 = _render(scene, scene.camera, seed=7)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    r3, _ = _render(scene, scene.camera, seed=8)
+    assert np.abs(np.asarray(r1) - np.asarray(r3)).max() > 0
+
+
+def test_direct_light_hit_is_bright_and_env_on_miss():
+    sb = SceneBuilder()
+    sb.set_area_light([0, 0, 0], 1.0, auto=False)  # light dead ahead
+    scene = sb.build()
+    cam = Camera.create(pos=(0, 0, 5), yaw=-np.pi / 2)
+    rgb, a = _render(scene, cam, rows=9, cols=9, spp=2, bounces=2)
+    rgb = np.asarray(rgb)
+    center = rgb[4, 4]
+    assert center.min() == 1.0  # LIGHTCOLOR*1.3 clamps to white
+    corner = rgb[0, 0]  # sky gradient env (miss)
+    assert 0.3 < corner.mean() < 1.0
+    assert (np.asarray(a) == 255).all()  # non-override alpha byte = 255
+
+
+def test_nee_lights_diffuse_floor():
+    sb = SceneBuilder()
+    sb.add_quad([-5, 0, -5], [5, 0, -5], [5, 0, 5], [-5, 0, 5], MaterialIds.WHITE)
+    sb.set_area_light([0, 3, 0], 0.5, auto=False)
+    scene = sb.build()
+    cam = Camera.create(pos=(0, 2, 4), yaw=-np.pi / 2, pitch=-0.5)
+    rgb, _ = _render(scene, cam, rows=17, cols=17, spp=16, bounces=3)
+    rgb = np.asarray(rgb)
+    # floor under the light is noticeably lit
+    assert rgb[12:, :].mean() > 0.1
+
+
+def _glyph_scene(abyte, rgb_tex=(255, 0, 0), solid_center=False):
+    atlas = np.zeros((8, 8, 4), np.uint8)
+    atlas[2, 2, :3] = rgb_tex
+    atlas[2, 2, 3] = abyte
+    sb = SceneBuilder()
+    # quad facing the camera; UV texel coords put texel (2,2) at the center
+    sb.add_quad([-2, -2, 0], [2, -2, 0], [2, 2, 0], [-2, 2, 0],
+                MaterialIds.WHITE, (0, 4), (4, 4), (4, 0), (0, 0))
+    sb.set_area_light([50, 50, 50], 0.1, auto=False)  # out of the way
+    sb.set_atlas(atlas)
+    return sb.build()
+
+
+def test_primary_glyph_hit_short_circuits_to_alpha_override():
+    scene = _glyph_scene(ord("K"))
+    cam = Camera.create(pos=(0, 0, 5), yaw=-np.pi / 2)
+    rgb, a = _render(scene, cam, rows=9, cols=9, spp=4, bounces=3)
+    a = np.asarray(a)
+    rgb = np.asarray(rgb)
+    assert a[4, 4] == ord("K")  # glyph code rides the alpha byte
+    np.testing.assert_allclose(rgb[4, 4], [1.0, 0.0, 0.0], atol=1e-6)
+    # neighbors off the glyph texel are not overridden
+    assert a[0, 0] == 255
+
+
+def test_solid_texel_becomes_albedo_not_override():
+    scene = _glyph_scene(1, rgb_tex=(0, 255, 0))
+    cam = Camera.create(pos=(0, 0, 5), yaw=-np.pi / 2)
+    _rgb, a = _render(scene, cam, rows=9, cols=9, spp=2, bounces=2)
+    assert np.asarray(a)[4, 4] == 255  # no override for solid texels
+
+
+def test_demo_scene_with_atlas_renders_poster_glyphs():
+    sb = create_demo_scene()
+    sb.set_atlas(demo_atlas())
+    scene = sb.build()
+    # aim at the poster: camera looks -z from (0, 2.5, 6); poster at z=3
+    cam = Camera.create(pos=(0, 2.5, 6), yaw=-np.pi / 2)
+    rgb, a = PT.render_pt(scene, cam, jnp.float32(0), jax.random.key(0),
+                          rows=24, cols=48, pixel_aspect=0.5, spp=2,
+                          bounces=2, light_color=(16.86, 10.76, 8.2))
+    a = np.asarray(a)
+    ov = (a >= 2) & (a <= 254)
+    assert ov.any(), "some poster texels must land as glyph overrides"
+    # the override codes are visible ASCII from the atlas
+    assert np.isin(a[ov], np.arange(32, 127)).all()
