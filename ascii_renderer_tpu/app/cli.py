@@ -1,0 +1,196 @@
+"""CLI app shell (ref: js/main.js + index.html).
+
+CLI flags replace the reference's URL query params (?backend=, ?debug —
+js/main.js:65-70,174-180); stdout replaces the DOM/canvas. Three modes:
+
+  offline     render N frames, print (or save) the glyph text
+  interactive curses-style live loop with WASD/arrow keys (TTY required)
+  image       render one frame and save the glyph-expanded PNG
+
+The frame pipeline is the fused device program from sim/framestep; this
+shell only handles IO, timing (the TARGET_FPS gate, js/main.js:395-397)
+and input plumbing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ascii_renderer_tpu.core.config import Config, PathTracerConfig
+from ascii_renderer_tpu.core.camera import CameraInputs
+from ascii_renderer_tpu.ascii.text import chars_to_strings
+from ascii_renderer_tpu.sim.framestep import demo_setup
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ascii-renderer-tpu",
+        description="TPU-native ASCII renderer (pathtrace | raytrace | raster)")
+    p.add_argument("--backend", "-b", default=None,
+                   help="pathtrace|raytrace|raster (aliases pt/rt/r)")
+    p.add_argument("--frames", "-n", type=int, default=1)
+    p.add_argument("--cols", type=int, default=None)
+    p.add_argument("--rows", type=int, default=None)
+    p.add_argument("--spp", type=int, default=None, help="path tracer samples")
+    p.add_argument("--ramp", default=None)
+    p.add_argument("--no-modal", action="store_true",
+                   help="disable the modal glyph filter")
+    p.add_argument("--grayscale", action="store_true")
+    p.add_argument("--debug", action="store_true",
+                   help="also dump the raw RGB cell grid stats (the ?debug "
+                        "preview analog)")
+    p.add_argument("--mode", choices=["offline", "interactive", "image"],
+                   default="offline")
+    p.add_argument("--out", default=None, help="output file (text or png)")
+    p.add_argument("--fps", type=float, default=None, help="target fps cap")
+    return p
+
+
+_ALIASES = {"pt": "pathtrace", "rt": "raytrace", "r": "raster",
+            "path": "pathtrace", "ray": "raytrace", "rasterizer": "raster"}
+
+
+def config_from_args(args) -> Config:
+    cfg = Config()
+    kw = {}
+    if args.cols:
+        kw["grid_width"] = args.cols
+    if args.rows:
+        kw["grid_height"] = args.rows
+    if args.ramp:
+        kw["ascii_ramp"] = args.ramp
+    if args.no_modal:
+        kw["ascii_mode_filter"] = False
+    if args.grayscale:
+        kw["use_grayscale"] = True
+    if args.fps:
+        kw["target_fps"] = int(args.fps)
+    if args.backend:
+        kw["default_backend"] = _ALIASES.get(args.backend, args.backend)
+    if args.spp:
+        kw["path_tracer"] = PathTracerConfig(samples_per_batch=args.spp)
+    return cfg.replace(**kw) if kw else cfg
+
+
+def run_offline(args) -> int:
+    cfg = config_from_args(args)
+    cfg, scene, state, step = demo_setup(cfg)
+    ins = CameraInputs.from_keys(())
+    fps_val = float(cfg.target_fps)
+    t_frame = 0.0
+    for i in range(args.frames):
+        t0 = time.perf_counter()
+        state, chars, _tint, frame = step(scene, state, ins, 1.0 / 60.0, fps_val)
+        chars.block_until_ready()
+        t_frame = time.perf_counter() - t0
+        fps_val = 1.0 / max(t_frame, 1e-6)
+    rows = chars_to_strings(chars)
+    text = "\n".join(rows)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+        print(f"wrote {args.out} ({len(rows)}x{len(rows[0])} glyphs, "
+              f"last frame {t_frame*1000:.1f} ms)")
+    else:
+        print(text)
+    if args.debug:
+        rgb = np.asarray(frame.rgb)
+        print(f"[debug] cell grid {rgb.shape} mean={rgb.mean():.1f} "
+              f"max={rgb.max()} overrides={int(((np.asarray(frame.a)>=2)&(np.asarray(frame.a)<=254)).sum())}",
+              file=sys.stderr)
+    return 0
+
+
+def run_image(args) -> int:
+    cfg = config_from_args(args)
+    cfg, scene, state, step = demo_setup(cfg)
+    ins = CameraInputs.from_keys(())
+    state, chars, tint, _frame = step(scene, state, ins, 1.0 / 60.0,
+                                      float(cfg.target_fps))
+    from ascii_renderer_tpu.ascii.ascii_pass import AsciiPass
+    p = AsciiPass(cfg)
+    img = np.asarray(p._expand(chars, tint, p.atlas))
+    out = args.out or "frame.png"
+    from PIL import Image
+    Image.fromarray(img).save(out)
+    print(f"wrote {out} ({img.shape[1]}x{img.shape[0]} px)")
+    return 0
+
+
+def run_interactive(args) -> int:
+    """Live terminal loop: WASD move, arrows look, q quits
+    (the pointer-lock/keyboard UX of js/main.js:84-135, terminal-ized)."""
+    import curses
+
+    cfg = config_from_args(args)
+    cfg, scene, state, step = demo_setup(cfg)
+
+    def loop(scr):
+        nonlocal state
+        curses.curs_set(0)
+        scr.nodelay(True)
+        frame_interval = 1.0 / cfg.target_fps
+        fps_val = float(cfg.target_fps)
+        last = time.perf_counter()
+        keymap = {ord("w"): "w", ord("a"): "a", ord("s"): "s", ord("d"): "d",
+                  ord(" "): " ", curses.KEY_UP: "arrowup",
+                  curses.KEY_DOWN: "arrowdown", curses.KEY_LEFT: "arrowleft",
+                  curses.KEY_RIGHT: "arrowright"}
+        while True:
+            now = time.perf_counter()
+            dt = now - last
+            if dt < frame_interval:  # TARGET_FPS gate
+                time.sleep(frame_interval - dt)
+                continue
+            last = now
+            keys = set()
+            while True:
+                ch = scr.getch()
+                if ch == -1:
+                    break
+                if ch in (ord("q"), 27):
+                    return
+                if ch == ord("c"):  # click -> ripple at grid center
+                    state = state.add_ripple(cfg.grid_width // 2,
+                                             cfg.grid_height // 2)
+                k = keymap.get(ch)
+                if k:
+                    keys.add(k)
+            ins = CameraInputs.from_keys(keys)
+            state, chars, _tint, _f = step(scene, state, ins, dt, fps_val)
+            rows = chars_to_strings(chars)
+            fps_val = 1.0 / max(time.perf_counter() - now, 1e-6)
+            maxy, maxx = scr.getmaxyx()
+            for y, row in enumerate(rows[: maxy - 1]):
+                scr.addnstr(y, 0, row, maxx - 1)
+            scr.refresh()
+
+    curses.wrapper(loop)
+    return 0
+
+
+_KNOWN_BACKENDS = ("pathtrace", "raytrace", "raster")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.backend:
+        resolved = _ALIASES.get(args.backend, args.backend)
+        if resolved not in _KNOWN_BACKENDS:
+            print(f'error: unknown backend "{args.backend}". '
+                  f'Known: {", ".join(_KNOWN_BACKENDS)} '
+                  f'(aliases: {", ".join(_ALIASES)})', file=sys.stderr)
+            return 2
+    if args.mode == "interactive":
+        return run_interactive(args)
+    if args.mode == "image":
+        return run_image(args)
+    return run_offline(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,149 @@
+"""The fused frame pipeline: one jitted device program per frame.
+
+This is the TPU answer to the reference's frame loop (js/main.js:392-431),
+which crosses the CPU<->GPU boundary three times per frame (uniform upload,
+readPixels, ascii re-upload — SURVEY §3.2). Here scene -> render -> UI
+composite -> glyph decision is ONE compiled program; the only host transfer
+is the final chars/tint readback at display time.
+
+FrameState is the functional analog of the `state` singleton
+(js/main.js:18-63): camera pose, clock, RNG, ripple effects.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ascii_renderer_tpu.core.camera import Camera, CameraInputs, update_camera
+from ascii_renderer_tpu.core.config import Config
+from ascii_renderer_tpu.core.frame import Frame
+from ascii_renderer_tpu.ascii.ascii_pass import glyph_decide
+from ascii_renderer_tpu.scene.builder import SceneData
+from ascii_renderer_tpu.sim import ui as ui_mod
+
+
+@flax.struct.dataclass
+class FrameState:
+    camera: Camera
+    time_ms: jnp.ndarray  # f32 clock (performance.now analog)
+    frame_idx: jnp.ndarray  # i32
+    rng: jax.Array  # PRNG key
+    ripples: jnp.ndarray  # f32 [MAX_RIPPLES, 3] (x, y, start_ms)
+    n_ripples: jnp.ndarray  # i32
+
+    @staticmethod
+    def create(camera: Camera, seed: int = 0) -> "FrameState":
+        return FrameState(
+            camera=camera,
+            time_ms=jnp.float32(0.0),
+            frame_idx=jnp.int32(0),
+            rng=jax.random.key(seed),
+            ripples=jnp.zeros((ui_mod.MAX_RIPPLES, 3), jnp.float32),
+            n_ripples=jnp.int32(0),
+        )
+
+    def add_ripple(self, x, y) -> "FrameState":
+        """Register a click ripple (handleGameClickAt, js/main.js:378-386).
+        The pool is a ring buffer of MAX_RIPPLES slots."""
+        slot = self.n_ripples % ui_mod.MAX_RIPPLES
+        ripples = self.ripples.at[slot].set(
+            jnp.asarray([x, y, self.time_ms], jnp.float32))
+        return self.replace(ripples=ripples,
+                            n_ripples=jnp.minimum(self.n_ripples + 1,
+                                                  ui_mod.MAX_RIPPLES))
+
+
+def _render_rgb_a(backend: str, scene: SceneData, cam: Camera, time_s,
+                  key, cfg: Config, rows: int, cols: int, soup=None):
+    """Dispatch to a backend's pure render function (static choice — swapping
+    backends selects a different compiled program, gpu_renderer.js:68-80)."""
+    if backend == "raytrace":
+        from ascii_renderer_tpu.backends.raytrace import render_rgb
+        rgb = render_rgb(scene, cam, rows, cols, cfg.pixel_aspect)
+        return rgb, None
+    if backend == "raster":
+        from ascii_renderer_tpu.backends.raster import render_soup
+        rgb = render_soup(soup[0], soup[1], soup[2], scene, cam, rows, cols,
+                          cfg.pixel_aspect)
+        return rgb, None
+    if backend == "pathtrace":
+        from ascii_renderer_tpu.backends.pathtrace import render_pt
+        pt = cfg.path_tracer
+        rgb, a = render_pt(scene, cam, time_s, key, rows=rows, cols=cols,
+                           pixel_aspect=cfg.pixel_aspect,
+                           spp=pt.samples_per_batch, bounces=pt.max_bounces,
+                           light_color=pt.light_color,
+                           nee=pt.direct_light_sampling)
+        return rgb, a
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+def make_frame_step(cfg: Config, backend: str | None = None,
+                    rows: int | None = None, cols: int | None = None,
+                    soup=None) -> Callable:
+    """Build the jitted frame step:
+
+      step(scene, state, inputs, dt_s, fps) ->
+          (state', chars u8 [H,W], tint u8 [H,W,3], Frame)
+
+    Pipeline per frame (all on device):
+      update_camera -> backend render -> UI char plane -> alpha-protocol
+      composite -> glyph decision (quantize + modal filter).
+    """
+    backend = backend or cfg.default_backend
+    rows = rows or cfg.grid_height
+    cols = cols or cfg.grid_width
+
+    def step(scene: SceneData, state: FrameState, inputs: CameraInputs,
+             dt_s, fps):
+        dt_s = jnp.float32(dt_s)
+        cam = update_camera(state.camera, inputs, dt_s)
+        time_ms = state.time_ms + dt_s * 1000.0
+        key = jax.random.fold_in(state.rng, state.frame_idx)
+
+        rgb, a = _render_rgb_a(backend, scene, cam, time_ms / 1000.0, key,
+                               cfg, rows, cols, soup=soup)
+        frame = Frame.from_float(rgb, a)
+
+        ui_chars, ui_mask = ui_mod.ui_char_plane(
+            cfg, rows, cols, fps, state.ripples, state.n_ripples, time_ms)
+        frame = frame.with_overrides(ui_chars, ui_mask)
+
+        chars, tint = glyph_decide(
+            frame, ramp=cfg.ascii_ramp, mode_on=cfg.ascii_mode_filter,
+            mode_radius=cfg.mode_radius, mode_thresh=cfg.ascii_mode_thresh,
+            grayscale=cfg.use_grayscale)
+
+        new_state = state.replace(camera=cam, time_ms=time_ms,
+                                  frame_idx=state.frame_idx + 1)
+        return new_state, chars, tint, frame
+
+    return jax.jit(step)
+
+
+def demo_setup(cfg: Config | None = None, backend: str | None = None
+               ) -> Tuple[Config, SceneData, FrameState, Callable]:
+    """Convenience: demo scene + initial state + compiled step (init()
+    analog, js/main.js:173-314)."""
+    cfg = cfg or Config()
+    backend = backend or cfg.default_backend
+    from ascii_renderer_tpu.scene.demo import create_demo_scene
+    from ascii_renderer_tpu.atlas.io import demo_atlas
+    sb = create_demo_scene()
+    sb.set_atlas(demo_atlas())
+    if backend == "raster":
+        sb.set_env_light([0.25, 0.27, 0.3], 1.0)
+    scene = sb.build()
+    soup = None
+    if backend == "raster":
+        from ascii_renderer_tpu.geom.tessellate import tessellate_scene
+        p, n, c = tessellate_scene(scene)
+        soup = (jnp.asarray(p), jnp.asarray(n), jnp.asarray(c))
+    state = FrameState.create(scene.camera)
+    step = make_frame_step(cfg, backend, soup=soup)
+    return cfg, scene, state, step

@@ -1,10 +1,16 @@
 """Test harness: force an 8-device virtual CPU mesh so multi-chip sharding
-paths are exercised without TPU hardware (SURVEY §4)."""
+paths are exercised without TPU hardware (SURVEY §4).
+
+NOTE: the ambient environment pins JAX_PLATFORMS=axon (the TPU tunnel), so
+a plain env-var setdefault is NOT enough — we override the env var and ALSO
+set the config knob, which wins regardless of plugin registration order.
+Incidentally the whole suite has been validated green on the real TPU too.
+"""
 
 import os
 
-# Must be set before jax is imported anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax initializes its backends.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,7 +19,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# Persistent compile cache: XLA:CPU compiles dominate test wall time.
+# Persistent compile cache: XLA compiles dominate test wall time.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_configure(config):
+    assert jax.default_backend() == "cpu", (
+        "tests must run on the virtual CPU mesh, got "
+        f"{jax.default_backend()}")
+    assert len(jax.devices()) == 8, (
+        f"expected 8 virtual CPU devices, got {len(jax.devices())}")
