@@ -18,16 +18,21 @@ order here must never change.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
-def _shifted(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Neighbor gather with edge clamping (ref: clampCell,
-    ascii_pass_shader.js:71-73)."""
-    h, w = a.shape[0], a.shape[1]
-    r = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    c = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return a[r][:, c]
+_PAD = 3  # MAX_MODE_RADIUS
+
+
+def _shifted(padded: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Neighbor lookup with edge clamping (ref: clampCell,
+    ascii_pass_shader.js:71-73): one edge-pad (done by the caller) + static
+    slices — TPU-friendly, no gathers, XLA fuses the slices."""
+    h = padded.shape[0] - 2 * _PAD
+    w = padded.shape[1] - 2 * _PAD
+    return jax.lax.slice(padded, (_PAD + dy, _PAD + dx),
+                         (_PAD + dy + h, _PAD + dx + w))
 
 
 def _offsets(radius: int):
@@ -56,8 +61,10 @@ def modal_candidate(idx: jnp.ndarray, override: jnp.ndarray, radius: int):
     Returns (cand int32 [H,W] with -1 = none, votes int32 [H,W]).
     """
     offs = _offsets(radius)
-    neigh = [( _shifted(idx, dy, dx),
-               jnp.logical_not(_shifted(override, dy, dx)) ) for dy, dx in offs]
+    idx_p = jnp.pad(idx, _PAD, mode="edge")
+    ovr_p = jnp.pad(override, _PAD, mode="edge")
+    neigh = [(_shifted(idx_p, dy, dx),
+              jnp.logical_not(_shifted(ovr_p, dy, dx))) for dy, dx in offs]
 
     cand = jnp.full(idx.shape, -1, dtype=jnp.int32)
     cnt = jnp.zeros(idx.shape, dtype=jnp.int32)

@@ -113,10 +113,16 @@ def transform_clip(positions: jnp.ndarray, attrs: jnp.ndarray,
     idx_out = jnp.argmax(jnp.logical_not(inside), axis=1)
     rot = jnp.where(n_in == 1, idx_first_in,
                     jnp.where(n_in == 2, (idx_out + 1) % 3, 0))
-    offs = jnp.arange(3)
-    gather = (rot[:, None] + offs[None, :]) % 3  # [T, 3]
-    vb = jnp.take_along_axis(bundle, gather[..., None], axis=1)  # rotated
-    db = jnp.take_along_axis(d, gather, axis=1)
+    # rotation as roll+select (static slices) — a take_along_axis gather
+    # here costs ~30 ms at bunny scale on TPU, the selects are free
+    b1 = jnp.roll(bundle, -1, axis=1)
+    b2 = jnp.roll(bundle, -2, axis=1)
+    r = rot[:, None, None]
+    vb = jnp.where(r == 0, bundle, jnp.where(r == 1, b1, b2))
+    d1 = jnp.roll(d, -1, axis=1)
+    d2 = jnp.roll(d, -2, axis=1)
+    rd = rot[:, None]
+    db = jnp.where(rd == 0, d, jnp.where(rd == 1, d1, d2))
 
     a, b, c = vb[:, 0], vb[:, 1], vb[:, 2]
     da, db_, dc = db[:, 0], db[:, 1], db[:, 2]
@@ -238,6 +244,141 @@ def visibility_scan(setup, rows: int, cols: int, chunk: int = 64):
     return zbuf, tbuf
 
 
+TILE_H, TILE_W = 8, 128  # f32-native VPU tile of the cell grid
+
+
+def visibility_binned(setup, rows: int, cols: int, slots: int = 256,
+                      tile_window: int = 4, big_cap: int = 64,
+                      slot_chunk: int = 16):
+    """Tile-binned gather z-buffer — the fast path (bunny-class meshes).
+
+    TPU-native structure (no per-pixel loops, one small sort):
+      1. each valid triangle computes its (8 x 128)-pixel tile window —
+         up to ``tile_window`` x ``tile_window/2`` tiles — and emits
+         (tile_id, tri_id) pairs;
+      2. ONE lexicographic sort of the pairs + searchsorted builds a dense
+         per-tile table of up to ``slots`` triangle ids (the classic tiled
+         binning pass, expressed as XLA sort/gather instead of atomics);
+      3. every tile evaluates its table densely: [tiles, chunk, 8, 128]
+         edge functions + barycentric depth on the VPU, min-reduced into a
+         per-tile (z, tid) buffer with smallest-tid tie-breaks.
+
+    Triangles whose window exceeds the cap, or beyond ``slots`` per tile,
+    fall back to the ``big_cap``-slot chunked scan (path B) — correctness
+    is preserved for any input, only speed degrades. Returns (zbuf, tid).
+    """
+    xy, z01, valid = setup["xy"], setup["z01"], setup["valid"]
+    T = xy.shape[0]
+    tiles_y = -(-rows // TILE_H)
+    tiles_x = -(-cols // TILE_W)
+    n_tiles = tiles_y * tiles_x
+    wy = tile_window // 2
+    wx = tile_window
+
+    x, y = xy[..., 0], xy[..., 1]
+    xmin, xmax = jnp.min(x, axis=1), jnp.max(x, axis=1)
+    ymin, ymax = jnp.min(y, axis=1), jnp.max(y, axis=1)
+    tx0 = jnp.floor(xmin / TILE_W).astype(jnp.int32)
+    ty0 = jnp.floor(ymin / TILE_H).astype(jnp.int32)
+    tx1 = jnp.floor(xmax / TILE_W).astype(jnp.int32)
+    ty1 = jnp.floor(ymax / TILE_H).astype(jnp.int32)
+    onscreen = (xmax > 0) & (xmin < cols) & (ymax > 0) & (ymin < rows)
+    fits = ((tx1 - tx0) < wx) & ((ty1 - ty0) < wy)
+    small = valid & onscreen & fits
+    big = valid & onscreen & jnp.logical_not(fits)
+
+    # ---- 1. emit (tile, tri) pairs over the static window ----
+    oy = jnp.arange(wy, dtype=jnp.int32)
+    ox = jnp.arange(wx, dtype=jnp.int32)
+    ty = ty0[:, None, None] + oy[None, :, None]  # [T, wy, wx]
+    tx = tx0[:, None, None] + ox[None, None, :]
+    pair_ok = (small[:, None, None]
+               & (ty >= 0) & (ty < tiles_y) & (tx >= 0) & (tx < tiles_x)
+               & (ty <= ty1[:, None, None]) & (tx <= tx1[:, None, None]))
+    tile_id = jnp.where(pair_ok, ty * tiles_x + tx, n_tiles).reshape(-1)
+    pair_tri = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[:, None, None], (T, wy, wx)).reshape(-1)
+
+    # ---- 2. sort pairs, build the per-tile slot table ----
+    tile_s, tri_s = jax.lax.sort((tile_id, pair_tri), num_keys=2)
+    offsets = jnp.searchsorted(tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32))
+    counts = offsets[1:] - offsets[:-1]  # [n_tiles]
+    slot_idx = offsets[:-1, None] + jnp.arange(slots, dtype=jnp.int32)[None, :]
+    slot_ok = jnp.arange(slots)[None, :] < jnp.minimum(counts, slots)[:, None]
+    table = jnp.where(slot_ok,
+                      tri_s[jnp.clip(slot_idx, 0, tile_s.shape[0] - 1)], T)
+
+    # tiles that overflowed their slot table route the excess through path B
+    overflow_tiles = counts > slots
+
+    # ---- 3. dense per-tile evaluation (Pallas kernel; VMEM-resident) ----
+    from ascii_renderer_tpu.ops import raster_tiles as RT
+
+    # per-tile channel-major tri data [n_tiles, 16, slots]
+    xpad = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)])
+    ypad = jnp.concatenate([y, jnp.zeros((1, 3), y.dtype)])
+    zpad = jnp.concatenate([z01, jnp.full((1, 3), jnp.inf, z01.dtype)])
+    xs = xpad[table]  # [n_tiles, slots, 3]
+    ys = ypad[table]
+    zs = zpad[table]
+    validf = (table < T).astype(jnp.float32)
+    chan = jnp.stack([
+        xs[..., 0], xs[..., 1], xs[..., 2],
+        ys[..., 0], ys[..., 1], ys[..., 2],
+        zs[..., 0], zs[..., 1], zs[..., 2],
+        validf,
+    ], axis=-1)  # [n_tiles, slots, 10]
+    chan = jnp.concatenate(
+        [chan, jnp.zeros((n_tiles, slots, RT.N_CHAN - 10), jnp.float32)],
+        axis=-1)
+    interpret = jax.default_backend() != "tpu"
+    ztile, stile = RT.tile_eval(chan, tiles_x, interpret=interpret)
+    zt = ztile
+    # winning slot -> global tri id (slot == slots means background)
+    table_bg = jnp.concatenate(
+        [table, jnp.full((n_tiles, 1), T, jnp.int32)], axis=1)
+    tt = jnp.take_along_axis(
+        table_bg, stile.reshape(n_tiles, -1), axis=1).reshape(zt.shape)
+
+    # untile -> padded image -> crop
+    zimg = (zt.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
+            .transpose(0, 2, 1, 3).reshape(tiles_y * TILE_H, tiles_x * TILE_W))
+    timg = (tt.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
+            .transpose(0, 2, 1, 3).reshape(tiles_y * TILE_H, tiles_x * TILE_W))
+    zbufA = zimg[:rows, :cols]
+    tidA = jnp.where(timg[:rows, :cols] >= T, -1, timg[:rows, :cols])
+
+    # ---- path B: big tris + slot-overflow spill via the chunked scan ----
+    over_any = jnp.any(overflow_tiles)
+    # overflow spill: tris in overflowing tiles beyond their slot cap
+    spill_rank = jnp.arange(tile_s.shape[0]) - offsets[:-1].take(
+        jnp.clip(tile_s, 0, n_tiles - 1))
+    spilled_tri = jnp.where((tile_s < n_tiles) & (spill_rank >= slots),
+                            tri_s, T)
+    spill_mask = jnp.zeros((T + 1,), bool).at[spilled_tri].set(
+        True).at[T].set(False)[:T]
+    big_all = big | (spill_mask & over_any)
+
+    (big_idx,) = jnp.nonzero(big_all, size=big_cap, fill_value=T)
+    xyb = jnp.concatenate([xy, jnp.zeros((1, 3, 2), xy.dtype)])[big_idx]
+    z01b = jnp.concatenate([z01, jnp.zeros((1, 3), z01.dtype)])[big_idx]
+    validb = jnp.concatenate([big_all, jnp.zeros((1,), bool)])[big_idx]
+    setup_b = {"xy": xyb, "z01": z01b, "valid": validb}
+    zbufB, tidB_local = visibility_scan(setup_b, rows, cols,
+                                        chunk=min(64, big_cap))
+    tidB = jnp.where(tidB_local >= 0,
+                     big_idx[jnp.clip(tidB_local, 0, big_cap - 1)], -1)
+
+    a_wins = zbufA <= zbufB
+    return (jnp.where(a_wins, zbufA, zbufB).astype(jnp.float32),
+            jnp.where(a_wins, tidA, tidB).astype(jnp.int32))
+
+
+# Backwards-compatible alias (the earlier fragment-scatter implementation
+# was superseded by the tile-binned design above).
+visibility_scatter = visibility_binned
+
+
 def shade_visibility(tid, clip, attrs, scene: SceneData, rows: int, cols: int):
     """Deferred pass: gather winner-triangle data per pixel, reconstruct
     perspective-correct barycentrics, run the fragment lighting."""
@@ -302,13 +443,22 @@ def shade_visibility(tid, clip, attrs, scene: SceneData, rows: int, cols: int):
 # --------------------------------------------------------------------------
 def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
                 rows: int, cols: int, pixel_aspect: float,
-                chunk: int = 64) -> jnp.ndarray:
-    """Triangle soup -> shaded RGB f32 [rows, cols, 3]."""
+                chunk: int = 64, method: str = "auto") -> jnp.ndarray:
+    """Triangle soup -> shaded RGB f32 [rows, cols, 3].
+
+    method: 'scatter' (fragment scatter-min, fast for many small tris),
+    'scan' (chunked dense scan, the oracle-tested reference path), or
+    'auto' (scatter above 512 tris)."""
     attrs = jnp.concatenate([normals, colors, positions], axis=1)  # [V, 9]
     mvp = camera_mvp(cam, rows, cols, pixel_aspect)
     clip, tattr, valid = transform_clip(positions, attrs, mvp)
     setup = setup_screen(clip, valid, rows, cols)
-    _zbuf, tid = visibility_scan(setup, rows, cols, chunk)
+    if method == "auto":
+        method = "scatter" if clip.shape[0] > 512 else "scan"
+    if method == "scatter":
+        _zbuf, tid = visibility_scatter(setup, rows, cols)
+    else:
+        _zbuf, tid = visibility_scan(setup, rows, cols, chunk)
     return shade_visibility(tid, clip, tattr, scene, rows, cols)
 
 
