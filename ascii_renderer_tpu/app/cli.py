@@ -15,6 +15,7 @@ and input plumbing.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -43,7 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug", action="store_true",
                    help="also dump the raw RGB cell grid stats (the ?debug "
                         "preview analog)")
-    p.add_argument("--mode", choices=["offline", "interactive", "image"],
+    p.add_argument("--mode", choices=["offline", "interactive", "image", "term"],
                    default="offline")
     p.add_argument("--out", default=None, help="output file (text or png)")
     p.add_argument("--fps", type=float, default=None, help="target fps cap")
@@ -176,6 +177,74 @@ def run_interactive(args) -> int:
 _KNOWN_BACKENDS = ("pathtrace", "raytrace", "raster")
 
 
+def run_term(args) -> int:
+    """Raw-ANSI 24-bit color loop via the native termblit encoder: WASD
+    move, arrows look, q quits. Uses the alternate screen buffer."""
+    import select
+    import termios
+    import tty
+
+    from ascii_renderer_tpu.app.termblit import TermBlitter
+    from ascii_renderer_tpu.utils.profiling import FrameStats, force_completion
+
+    if not sys.stdin.isatty() or not sys.stdout.isatty():
+        print("error: --mode term needs an interactive terminal "
+              "(use --mode offline for piped output)", file=sys.stderr)
+        return 2
+
+    cfg = config_from_args(args)
+    cfg, scene, state, step = demo_setup(cfg)
+    tb = TermBlitter(cfg.grid_height, cfg.grid_width,
+                     color=not cfg.use_grayscale)
+    stats = FrameStats()
+    frame_interval = 1.0 / cfg.target_fps
+
+    fd = sys.stdin.fileno()
+    old = termios.tcgetattr(fd)
+    out = sys.stdout.buffer
+    try:
+        tty.setcbreak(fd)
+        out.write(b"\x1b[?1049h\x1b[?25l\x1b[2J")  # alt screen, hide cursor
+        out.flush()
+        keymap = {"w": "w", "a": "a", "s": "s", "d": "d", " ": " ",
+                  "A": "arrowup", "B": "arrowdown", "C": "arrowright",
+                  "D": "arrowleft"}
+        last = time.perf_counter()
+        while True:
+            now = time.perf_counter()
+            dt = now - last
+            if dt < frame_interval:
+                time.sleep(frame_interval - dt)
+                continue
+            last = now
+            keys = set()
+            while select.select([fd], [], [], 0)[0]:
+                ch = os.read(fd, 1).decode(errors="ignore")
+                if ch == "q" or ch == "\x03":
+                    return 0
+                if ch == "\x1b":  # arrow escape sequence
+                    seq = os.read(fd, 2).decode(errors="ignore")
+                    if len(seq) == 2 and seq[0] == "[" and seq[1] in "ABCD":
+                        keys.add(keymap[seq[1]])
+                    continue
+                k = keymap.get(ch)
+                if k:
+                    keys.add(k)
+            ins = CameraInputs.from_keys(keys)
+            state, chars, tint, _f = step(scene, state, ins, dt, stats.fps)
+            force_completion((chars, tint))
+            out.write(tb.encode(np.asarray(chars), np.asarray(tint)))
+            out.flush()
+            stats.tick()
+    finally:
+        out.write(b"\x1b[0m\x1b[?25h\x1b[?1049l")
+        out.flush()
+        termios.tcsetattr(fd, termios.TCSADRAIN, old)
+        print(f"[termblit native={tb.native}] {stats.summary()}",
+              file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.backend:
@@ -187,6 +256,8 @@ def main(argv=None) -> int:
             return 2
     if args.mode == "interactive":
         return run_interactive(args)
+    if args.mode == "term":
+        return run_term(args)
     if args.mode == "image":
         return run_image(args)
     return run_offline(args)

@@ -102,8 +102,28 @@ class Renderer:
                cols: int | None = None) -> Frame:
         rows = rows or self.cfg.grid_height
         cols = cols or self.cfg.grid_width
-        return self._active.render(time_sec, camera, rows, cols,
-                                   pixel_aspect=self.cfg.pixel_aspect)
+        frame = self._active.render(time_sec, camera, rows, cols,
+                                    pixel_aspect=self.cfg.pixel_aspect)
+        self._last_frame = frame
+        return frame
+
+    def render_raw(self, args: dict) -> Optional[Frame]:
+        """Dict-args facade (gpu_renderer.js renderRaw:97-100)."""
+        if not args or "camera" not in args:
+            return None
+        return self.render(args.get("time", 0.0), args["camera"],
+                           args.get("rows"), args.get("cols"))
+
+    def get_pixels(self, flip_y: bool = False):
+        """Last rendered frame as interleaved RGBA bytes (getPixels,
+        gpu_renderer.js:102-105). flip_y returns bottom-up rows (the raw GL
+        readback orientation)."""
+        frame = getattr(self, "_last_frame", None)
+        if frame is None:
+            return None
+        import numpy as np
+        px = np.asarray(frame.interleaved())
+        return px[::-1] if flip_y else px
 
     def dispose(self) -> None:
         if self._active is not None and hasattr(self._active, "dispose"):

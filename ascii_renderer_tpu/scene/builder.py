@@ -524,6 +524,53 @@ def create_scene_builder(max_spheres=64, max_tris=4096, max_quads=4096) -> Scene
     return SceneBuilder(max_spheres, max_tris, max_quads)
 
 
+def from_legacy_object(obj: dict) -> SceneBuilder:
+    """Adapt the legacy flat PT scene shape — {spheres: [{p, r, m}],
+    planes: [{p: [nx,ny,nz,d], m}], tris: [{a,b,c,m}], envLight, dirLight} —
+    the way the reference's raytrace backend does (raytrace.js:140-193),
+    including its legacy material palette and the GLASS->mirror promotion.
+    """
+    pal = {0: (5, 5, 5), 1: (0.9, 0.9, 0.9), 2: (0.7, 0.9, 0.7),
+           3: (0.95, 0.45, 0.45), 6: (0.9, 0.95, 1.0)}
+    sb = SceneBuilder()
+    if not isinstance(obj, dict):
+        return sb
+    next_id = [100]  # private id space, one material per primitive like the ref
+
+    def mat_for(m):
+        m = int(m or 1)
+        albedo = pal.get(m, (0.8, 0.8, 0.8))
+        reflective = m > 4  # GLASS in PT -> mirror here (raytrace.js:164)
+        mid = next_id[0]
+        next_id[0] += 1
+        sb.add_material(mid, Material(albedo=albedo, reflective=reflective))
+        return mid
+
+    if obj.get("camera"):
+        cam = obj["camera"]
+        sb.set_camera_pose(cam.get("pos", [2.78, 2.73, -8.0]),
+                           yaw=float(cam.get("yaw", 0.0)),
+                           pitch=float(cam.get("pitch", 0.0)))
+    for s in obj.get("spheres", []):
+        sb.add_sphere(s.get("p", [0, 0, 0]), float(s.get("r", 1.0)),
+                      mat_for(s.get("m")))
+    for p in obj.get("planes", []):
+        v = p.get("p", [0, 1, 0, 0])
+        sb.add_plane(v[:3], float(v[3]), mat_for(p.get("m")))
+    for t in obj.get("tris", []):
+        sb.add_triangle(t.get("a", [0, 0, 0]), t.get("b", [1, 0, 0]),
+                        t.get("c", [0, 1, 0]), mat_for(t.get("m")))
+    env = obj.get("envLight")
+    if env:
+        sb.set_env_light(env.get("color", [0, 0, 0]),
+                         float(env.get("intensity", 0.0)))
+    dl = obj.get("dirLight")
+    if dl:
+        sb.add_dir_light(dl.get("dir", [0, -1, 0]), dl.get("color", [1, 1, 1]),
+                         float(dl.get("intensity", 0.0)))
+    return sb
+
+
 def from_object(obj: dict) -> SceneBuilder:
     """Rebuild a SceneBuilder from the unified schema (scene_api.js:266-319)."""
     sb = SceneBuilder()

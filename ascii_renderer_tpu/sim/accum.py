@@ -1,0 +1,143 @@
+"""Temporal accumulation + per-pixel adaptive sampling.
+
+Revives the reference's dormant pipeline (js/render/renderer.js:65-210,
+js/render/targets.js, config.ADAPTIVE — present but unreachable in the live
+path, SURVEY §2 row 21) as first-class functional state:
+
+  - Welford per-pixel statistics (count k, mean, M2) over path-traced
+    sample batches;
+  - convergence test: 95% confidence interval 1.96 * sigma / sqrt(k)
+    against a RELATIVE tolerance (ADAPTIVE.MAX_TOLERANCE, default 10%)
+    of the mean, capped at MAX_SAMPLES;
+  - an active-pixel mask (the reference's LUMINANCE mask texture) gating
+    further accumulation — converged pixels freeze, which both stops
+    their variance drift and documents progress;
+  - camera-motion reset (ADAPTIVE.RESET_ON_CAMERA_CHANGE): any pose
+    change clears the statistics (renderer.js:101-124).
+
+On TPU the mask does not skip work inside a batch (static shapes); the
+saving is across batches: `done` short-circuits whole-frame refinement,
+and per-pixel freezing keeps converged estimates exact.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ascii_renderer_tpu.core.camera import Camera
+from ascii_renderer_tpu.core.config import Config
+
+
+@flax.struct.dataclass
+class AccumState:
+    count: jnp.ndarray  # f32 [H, W] — samples accumulated per pixel
+    mean: jnp.ndarray  # f32 [H, W, 3]
+    m2: jnp.ndarray  # f32 [H, W, 3] — sum of squared deviations
+    cam_sig: jnp.ndarray  # f32 [5] — (pos, yaw, pitch) signature
+
+    @staticmethod
+    def create(rows: int, cols: int) -> "AccumState":
+        return AccumState(
+            count=jnp.zeros((rows, cols), jnp.float32),
+            mean=jnp.zeros((rows, cols, 3), jnp.float32),
+            m2=jnp.zeros((rows, cols, 3), jnp.float32),
+            cam_sig=jnp.full((5,), jnp.inf, jnp.float32),
+        )
+
+
+def _signature(cam: Camera) -> jnp.ndarray:
+    return jnp.concatenate([cam.pos, cam.yaw[None], cam.pitch[None]])
+
+
+def luminance(rgb: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(rgb, axis=-1)
+
+
+def active_mask(state: AccumState, *, max_tolerance: float,
+                max_samples: int) -> jnp.ndarray:
+    """Pixels still needing samples: CI(95%) > tol * mean, k < cap
+    (renderer.js:179-199)."""
+    k = jnp.maximum(state.count, 1.0)
+    var = state.m2 / jnp.maximum(k - 1.0, 1.0)[..., None]
+    ci = 1.96 * jnp.sqrt(jnp.maximum(luminance(var), 0.0) / k)
+    ref = jnp.maximum(luminance(jnp.abs(state.mean)), 1e-3)
+    unconverged = ci > max_tolerance * ref
+    warmup = state.count < 2.0  # need >= 2 samples for a variance estimate
+    return (warmup | unconverged) & (state.count < max_samples)
+
+
+def accumulate(state: AccumState, sample_rgb: jnp.ndarray, cam: Camera,
+               *, max_tolerance: float, max_samples: int,
+               reset_on_camera_change: bool = True):
+    """Fold one sample batch (mean of a batch counts as ONE sample here,
+    matching the reference accumulating per-frame results). Returns
+    (state', display_rgb, active_mask)."""
+    sig = _signature(cam)
+    if reset_on_camera_change:
+        moved = jnp.any(jnp.abs(sig - state.cam_sig) > 1e-7)
+        zero = AccumState.create(*state.count.shape)
+        state = jax.tree.map(
+            lambda z, s: jnp.where(moved, z, s),
+            zero.replace(cam_sig=sig), state.replace(cam_sig=sig))
+
+    act = active_mask(state, max_tolerance=max_tolerance,
+                      max_samples=max_samples)
+    k1 = state.count + 1.0
+    delta = sample_rgb - state.mean
+    mean1 = state.mean + delta / k1[..., None]
+    m21 = state.m2 + delta * (sample_rgb - mean1)
+
+    upd = act[..., None]
+    new = state.replace(
+        count=jnp.where(act, k1, state.count),
+        mean=jnp.where(upd, mean1, state.mean),
+        m2=jnp.where(upd, m21, state.m2),
+    )
+    display = jnp.where(new.count[..., None] > 0, new.mean, sample_rgb)
+    return new, display, act
+
+
+class ProgressivePathTracer:
+    """Progressive refinement driver over the PT backend: each call adds one
+    spp batch to the accumulator; `done` when every pixel converged. The
+    functional analog of the dead accum/adaptive pipeline's render loop."""
+
+    def __init__(self, cfg: Config, scene, rows: int | None = None,
+                 cols: int | None = None):
+        import functools
+        from ascii_renderer_tpu.backends.pathtrace import render_pt
+
+        self.cfg = cfg
+        self.rows = rows or cfg.grid_height
+        self.cols = cols or cfg.grid_width
+        self.scene = scene
+        pt = cfg.path_tracer
+        ad = cfg.adaptive
+        self._render = jax.jit(functools.partial(
+            render_pt, rows=self.rows, cols=self.cols,
+            pixel_aspect=cfg.pixel_aspect, spp=pt.samples_per_batch,
+            bounces=pt.max_bounces, light_color=pt.light_color,
+            nee=pt.direct_light_sampling))
+        self._accum = jax.jit(functools.partial(
+            accumulate, max_tolerance=ad.max_tolerance,
+            max_samples=ad.max_samples,
+            reset_on_camera_change=ad.reset_on_camera_change))
+        self.state = AccumState.create(self.rows, self.cols)
+        self._batch = 0
+
+    def step(self, camera: Camera, time_sec: float = 0.0):
+        """One refinement batch. Returns (display_rgb, alpha, active_mask)."""
+        key = jax.random.key(self._batch)
+        self._batch += 1
+        rgb, a = self._render(self.scene, camera, jnp.float32(time_sec), key)
+        self.state, display, act = self._accum(self.state, rgb, camera)
+        return display, a, act
+
+    @property
+    def done(self) -> bool:
+        act = active_mask(self.state,
+                          max_tolerance=self.cfg.adaptive.max_tolerance,
+                          max_samples=self.cfg.adaptive.max_samples)
+        return not bool(jnp.any(act))

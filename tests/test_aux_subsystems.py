@@ -1,0 +1,195 @@
+"""Aux subsystems: accumulation/adaptive sampling, checkpoint/resume,
+profiling, text overlay, legacy adapter, renderer facade (SURVEY §5)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ascii_renderer_tpu.core.config import Config, AdaptiveConfig, PathTracerConfig
+from ascii_renderer_tpu.core.camera import Camera
+from ascii_renderer_tpu.core.frame import Frame
+from ascii_renderer_tpu.sim.accum import (AccumState, ProgressivePathTracer,
+                                          accumulate, active_mask)
+from ascii_renderer_tpu.utils import checkpoint as ckpt
+from ascii_renderer_tpu.utils.profiling import FrameStats, dump_preview, log
+from ascii_renderer_tpu.ascii.overlay import TextOverlay
+from ascii_renderer_tpu.scene.builder import SceneBuilder, from_legacy_object
+from ascii_renderer_tpu.scene.demo import create_demo_scene
+
+
+def test_welford_accumulation_matches_numpy():
+    rng = np.random.default_rng(0)
+    cam = Camera.create()
+    st = AccumState.create(4, 6)
+    samples = rng.random((10, 4, 6, 3)).astype(np.float32)
+    for s in samples:
+        st, disp, act = accumulate(st, jnp.asarray(s), cam,
+                                   max_tolerance=0.0,  # never converge
+                                   max_samples=1000)
+    np.testing.assert_allclose(np.asarray(st.mean), samples.mean(0),
+                               rtol=1e-5, atol=1e-6)
+    var = np.asarray(st.m2) / (np.asarray(st.count)[..., None] - 1)
+    np.testing.assert_allclose(var, samples.var(0, ddof=1), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_convergence_freezes_pixels_and_caps():
+    cam = Camera.create()
+    st = AccumState.create(2, 2)
+    const = jnp.ones((2, 2, 3)) * 0.5  # zero variance -> converges at k=2
+    for _ in range(5):
+        st, _d, act = accumulate(st, const, cam, max_tolerance=0.1,
+                                 max_samples=64)
+    assert float(st.count.max()) == 2.0  # froze after variance estimate
+    assert not bool(act.any())
+    # max_samples cap
+    st = AccumState.create(2, 2)
+    key = jax.random.key(0)
+    for i in range(6):
+        noise = jax.random.uniform(jax.random.fold_in(key, i), (2, 2, 3))
+        st, _d, _a = accumulate(st, noise, cam, max_tolerance=1e-9,
+                                max_samples=4)
+    assert float(st.count.max()) == 4.0
+
+
+def test_camera_move_resets():
+    cam = Camera.create(pos=(0, 0, 0))
+    st = AccumState.create(2, 2)
+    st, _, _ = accumulate(st, jnp.ones((2, 2, 3)), cam, max_tolerance=0.1,
+                          max_samples=64)
+    assert float(st.count.max()) == 1.0
+    cam2 = Camera.create(pos=(1, 0, 0))
+    st, _, _ = accumulate(st, jnp.zeros((2, 2, 3)), cam2, max_tolerance=0.1,
+                          max_samples=64)
+    assert float(st.count.max()) == 1.0  # reset then one sample
+    np.testing.assert_allclose(np.asarray(st.mean), 0.0)
+
+
+def test_progressive_pt_reduces_variance():
+    cfg = Config(path_tracer=PathTracerConfig(samples_per_batch=4,
+                                              max_bounces=2),
+                 adaptive=AdaptiveConfig(max_tolerance=0.05, max_samples=8))
+    scene = create_demo_scene().build()
+    p = ProgressivePathTracer(cfg, scene, rows=8, cols=12)
+    d1, _a, act1 = p.step(scene.camera)
+    for _ in range(3):
+        d, _a, act = p.step(scene.camera)
+    assert float(jnp.asarray(act).mean()) <= float(jnp.asarray(act1).mean()) + 1e-6
+    assert np.isfinite(np.asarray(d)).all()
+
+
+def test_checkpoint_roundtrip_framestate(tmp_path):
+    from ascii_renderer_tpu.sim.framestep import FrameState
+    cam = Camera.create(pos=(1, 2, 3), yaw=0.5)
+    st = FrameState.create(cam, seed=3).add_ripple(4, 5)
+    path = str(tmp_path / "state.npz")
+    ckpt.save_pytree(path, st)
+    st2 = ckpt.load_pytree(path, FrameState.create(Camera.create()))
+    np.testing.assert_allclose(np.asarray(st2.camera.pos), [1, 2, 3])
+    assert int(st2.n_ripples) == 1
+    # PRNG key round-trips to the same stream
+    a = jax.random.uniform(st.rng, (3,))
+    b = jax.random.uniform(st2.rng, (3,))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_scene_json(tmp_path):
+    sb = create_demo_scene()
+    path = str(tmp_path / "scene.json")
+    ckpt.save_scene_json(path, sb)
+    sb2 = ckpt.load_scene_json(path)
+    assert sb2.to_unified()["geometry"] == sb.to_unified()["geometry"]
+
+
+def test_accum_state_checkpoint(tmp_path):
+    st = AccumState.create(3, 4)
+    st, _, _ = accumulate(st, jnp.ones((3, 4, 3)) * 0.3, Camera.create(),
+                          max_tolerance=0.1, max_samples=64)
+    p = str(tmp_path / "accum.npz")
+    ckpt.save_pytree(p, st)
+    st2 = ckpt.load_pytree(p, AccumState.create(3, 4))
+    np.testing.assert_allclose(np.asarray(st2.mean), np.asarray(st.mean))
+    np.testing.assert_allclose(np.asarray(st2.count), np.asarray(st.count))
+
+
+def test_frame_stats_and_preview(tmp_path, capsys):
+    fs = FrameStats(window=10)
+    import time
+    for _ in range(4):
+        fs.tick()
+        time.sleep(0.01)
+    fs.tick()
+    s = fs.summary()
+    assert s["fps"] > 0 and s["p50_ms"] >= 9.0
+    frame = Frame.blank(4, 4)
+    path = dump_preview(frame, str(tmp_path / "p.png"))
+    assert os.path.exists(path)
+    log("test_event", foo=1)
+
+
+def test_text_overlay_cadence_and_hit():
+    cfg = Config(grid_width=8, grid_height=4)
+    ov = TextOverlay(cfg, mode="row")
+    chars = np.full((4, 8), ord("x"), np.uint8)
+    ov.set_chars(chars)
+    ov.update()  # refreshes row 0 only
+    assert ov.text.splitlines()[0] == "x" * 8
+    assert ov.text.splitlines()[1] == " " * 8
+    ov.update()
+    assert ov.text.splitlines()[1] == "x" * 8
+    # interval mode
+    ov2 = TextOverlay(cfg, mode="interval", interval_n=2)
+    ov2.set_chars(chars)
+    ov2.update()
+    assert ov2.text.splitlines()[3] == " " * 8
+    ov2.update()
+    assert ov2.text.splitlines()[3] == "x" * 8
+    # frame decode path matches the canonical quantization
+    f = Frame.blank(4, 8)
+    ov.set_frame(f)
+    ov.refresh_all()
+    assert ov.text.splitlines()[0] == "@" * 8  # black -> ramp[0]
+    assert ov.cell_at(100.0, 100.0) == (7, 3)  # clamped
+    assert ov.cell_at(9.0, 17.0) == (1, 1)
+
+
+def test_legacy_scene_adapter():
+    legacy = {
+        "camera": {"pos": [0, 1, 5], "yaw": 0.2},
+        "spheres": [{"p": [0, 1, 0], "r": 1.0, "m": 6}],
+        "planes": [{"p": [0, 1, 0, 0], "m": 1}],
+        "tris": [{"a": [0, 0, 0], "b": [1, 0, 0], "c": [0, 1, 0], "m": 3}],
+        "envLight": {"color": [0.2, 0.3, 0.4], "intensity": 1.0},
+        "dirLight": {"dir": [0, -1, 0], "color": [1, 1, 1], "intensity": 0.8},
+    }
+    sb = from_legacy_object(legacy)
+    u = sb.to_unified()
+    assert len(u["geometry"]["spheres"]) == 1
+    assert len(u["geometry"]["planes"]) == 1
+    assert len(u["geometry"]["tris"]) == 1
+    # GLASS (m=6) promoted to mirror
+    sphere_mat = u["geometry"]["spheres"][0]["matId"]
+    assert u["materials"]["table"][str(sphere_mat)]["reflective"]
+    assert u["lights"]["env"]["color"] == [0.2, 0.3, 0.4]
+    assert len(u["lights"]["directionals"]) == 1
+    scene = sb.build()  # packs cleanly
+    assert int(scene.n_pln) == 1
+
+
+def test_renderer_facade_get_pixels():
+    from ascii_renderer_tpu.backends.registry import Renderer
+    from ascii_renderer_tpu.scene.demo import create_rt_demo_scene
+    cfg = Config(grid_width=16, grid_height=8)
+    r = Renderer(cfg, backend="rt")
+    scene = create_rt_demo_scene().build()
+    r.set_scene(scene)
+    assert r.get_pixels() is None
+    f = r.render_raw({"time": 0.0, "camera": scene.camera})
+    assert f is not None
+    px = r.get_pixels()
+    assert px.shape == (8, 16, 4)
+    flipped = r.get_pixels(flip_y=True)
+    np.testing.assert_array_equal(px[::-1], flipped)
