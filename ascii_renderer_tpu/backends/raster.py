@@ -87,8 +87,124 @@ def camera_mvp(cam: Camera, rows: int, cols: int, pixel_aspect: float) -> jnp.nd
 
 
 # --------------------------------------------------------------------------
-# Vertex transform + near clip
+# Vertex transform + near clip — channel-major fast path
 # --------------------------------------------------------------------------
+def transform_clip_channels(positions: jnp.ndarray, mvp: jnp.ndarray):
+    """Channel-major vertex stage: positions f32 [V=3T, 3] -> dict of
+    [2T]-shaped per-component arrays for the near-clipped triangles.
+
+    Why: [T, 3]-shaped intermediates put a size-3 dimension on the TPU's
+    128-lane axis (2% VPU efficiency, 42x padded memory). Every op here
+    runs on flat [T] channels instead; only the initial transform is a
+    matmul. Semantically identical to :func:`transform_clip` (same rotation
+    canonicalization and x2 expansion); attribute lerping for clipped
+    vertices is returned as (rot, t_ab, t_ac, t_bc, case) so the caller can
+    apply it to attribute arrays lazily.
+
+    Returns dict with keys:
+      x/y/z/w per vertex slot a,b,c  -> 'xa','ya','za','wa', ... [2T]
+      'valid' [2T] bool
+      'lerp' info dict for attribute reconstruction.
+    """
+    V = positions.shape[0]
+    T = V // 3
+    clip = jnp.concatenate([positions, jnp.ones_like(positions[:, :1])],
+                           axis=1) @ mvp.T  # [V, 4] (MXU)
+    # per-vertex-slot channels [T]
+    cv = clip.reshape(T, 3, 4)
+    ch = {f"{c}{s}": cv[:, i, j]
+          for i, s in enumerate("abc")
+          for j, c in enumerate("xyzw")}
+
+    d = {s: ch[f"z{s}"] + ch[f"w{s}"] for s in "abc"}
+    ins = {s: d[s] >= 0.0 for s in "abc"}
+    n_in = (ins["a"].astype(jnp.int32) + ins["b"].astype(jnp.int32)
+            + ins["c"].astype(jnp.int32))
+
+    # rotation r in {0,1,2}: 1-in -> first inside vertex first;
+    # 2-in -> outside vertex last (matches transform_clip)
+    first_in = jnp.where(ins["a"], 0, jnp.where(ins["b"], 1, 2))
+    first_out = jnp.where(~ins["a"], 0, jnp.where(~ins["b"], 1, 2))
+    rot = jnp.where(n_in == 1, first_in,
+                    jnp.where(n_in == 2, (first_out + 1) % 3, 0))
+
+    def rot_sel(ca, cb, cc, r):
+        return jnp.where(r == 0, ca, jnp.where(r == 1, cb, cc))
+
+    rch = {}
+    names = "abc"
+    for k, s in enumerate("abc"):
+        # rotated slot s takes original slot (rot + k) % 3
+        srcs = [names[(i + k) % 3] for i in range(3)]  # for rot=0,1,2
+        for c in "xyzw":
+            rch[f"{c}{s}"] = rot_sel(ch[f"{c}{srcs[0]}"], ch[f"{c}{srcs[1]}"],
+                                     ch[f"{c}{srcs[2]}"], rot)
+    rd = {}
+    for k, s in enumerate("abc"):
+        srcs = [names[(i + k) % 3] for i in range(3)]
+        rd[s] = rot_sel(d[srcs[0]], d[srcs[1]], d[srcs[2]], rot)
+
+    ta = rd["a"] / jnp.where(rd["a"] == rd["b"], 1.0, rd["a"] - rd["b"])  # a->b
+    tc = rd["a"] / jnp.where(rd["a"] == rd["c"], 1.0, rd["a"] - rd["c"])  # a->c
+    tb = rd["b"] / jnp.where(rd["b"] == rd["c"], 1.0, rd["b"] - rd["c"])  # b->c
+
+    def lerp(c0, c1, t):
+        return c0 + t * (c1 - c0)
+
+    one_in = n_in == 1
+    two_in = n_in == 2
+    out = {}
+    for c in "xyzw":
+        a0, b0, c0 = rch[f"{c}a"], rch[f"{c}b"], rch[f"{c}c"]
+        ab = lerp(a0, b0, ta)
+        ac = lerp(a0, c0, tc)
+        bc = lerp(b0, c0, tb)
+        # tri1: 3-in (a,b,c); 1-in (a, ab, ac); 2-in (a, b, bc)
+        t1a = a0
+        t1b = jnp.where(one_in, ab, b0)
+        t1c = jnp.where(one_in, ac, jnp.where(two_in, bc, c0))
+        # tri2 (only 2-in): (a, bc, ac)
+        t2a, t2b, t2c = a0, bc, ac
+        out[f"{c}a"] = jnp.concatenate([t1a, t2a])
+        out[f"{c}b"] = jnp.concatenate([t1b, t2b])
+        out[f"{c}c"] = jnp.concatenate([t1c, t2c])
+    out["valid"] = jnp.concatenate([n_in >= 1, two_in])
+    out["rot"] = rot
+    out["t_ab"], out["t_ac"], out["t_bc"] = ta, tc, tb
+    out["n_in"] = n_in
+    return out
+
+
+def setup_screen_channels(ch, rows: int, cols: int):
+    """Channel-major screen setup: adds screen-space sx/sy/sz per slot and
+    the facing/degenerate cull to ``ch`` (in place) and returns it."""
+    for s in "abc":
+        w = ch[f"w{s}"]
+        inv_w = 1.0 / jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
+        ch[f"sx{s}"] = (ch[f"x{s}"] * inv_w + 1.0) * 0.5 * cols
+        ch[f"sy{s}"] = (1.0 - ch[f"y{s}"] * inv_w) * 0.5 * rows
+        ch[f"sz{s}"] = (ch[f"z{s}"] * inv_w + 1.0) * 0.5
+        ch[f"iw{s}"] = inv_w
+    e0x = ch["sxb"] - ch["sxa"]
+    e0y = ch["syb"] - ch["sya"]
+    e1x = ch["sxc"] - ch["sxa"]
+    e1y = ch["syc"] - ch["sya"]
+    area2 = e0x * e1y - e0y * e1x
+    ch["valid"] = ch["valid"] & (area2 < 0.0) & (jnp.abs(area2) > 1e-12)
+    ch["area2"] = area2
+    return ch
+
+
+def channels_to_setup(ch):
+    """Adapter: channel dict -> the [T,3,...] setup dict the scan/oracle
+    paths consume (materializes the small-lane layout; test use only)."""
+    xy = jnp.stack([jnp.stack([ch["sxa"], ch["sya"]], axis=-1),
+                    jnp.stack([ch["sxb"], ch["syb"]], axis=-1),
+                    jnp.stack([ch["sxc"], ch["syc"]], axis=-1)], axis=1)
+    z01 = jnp.stack([ch["sza"], ch["szb"], ch["szc"]], axis=1)
+    return {"xy": xy, "z01": z01, "valid": ch["valid"], "area2": ch["area2"]}
+
+
 def transform_clip(positions: jnp.ndarray, attrs: jnp.ndarray,
                    mvp: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """positions f32 [V=3T, 3], attrs f32 [V, A] -> near-clipped triangles.
@@ -245,6 +361,160 @@ def visibility_scan(setup, rows: int, cols: int, chunk: int = 64):
 
 
 TILE_H, TILE_W = 8, 128  # f32-native VPU tile of the cell grid
+
+
+def clip_attrs_channels(attrs: jnp.ndarray, ch) -> jnp.ndarray:
+    """Apply the clip rotation + lerp recorded by transform_clip_channels to
+    per-vertex attributes. attrs f32 [V=3T, A] -> tattr [2T, 3, A]
+    (channel-wise selects/lerps; one final stack materializes the gather
+    layout the deferred shader consumes)."""
+    V, A = attrs.shape
+    T = V // 3
+    av = attrs.reshape(T, 3, A)
+    rot = ch["rot"]
+    n_in = ch["n_in"]
+    one_in = n_in == 1
+    two_in = n_in == 2
+    ta, tc, tb = ch["t_ab"], ch["t_ac"], ch["t_bc"]
+
+    def rot_sel(c0, c1, c2, r):
+        return jnp.where(r == 0, c0, jnp.where(r == 1, c1, c2))
+
+    out_slots = [[], [], []]  # per output slot: list of [2T] channels
+    for j in range(A):
+        base = [av[:, 0, j], av[:, 1, j], av[:, 2, j]]
+        r = [rot_sel(base[(0 + k) % 3], base[(1 + k) % 3], base[(2 + k) % 3],
+                     rot) for k in range(3)]
+        ab = r[0] + ta * (r[1] - r[0])
+        ac = r[0] + tc * (r[2] - r[0])
+        bc = r[1] + tb * (r[2] - r[1])
+        t1a = r[0]
+        t1b = jnp.where(one_in, ab, r[1])
+        t1c = jnp.where(one_in, ac, jnp.where(two_in, bc, r[2]))
+        out_slots[0].append(jnp.concatenate([t1a, r[0]]))
+        out_slots[1].append(jnp.concatenate([t1b, bc]))
+        out_slots[2].append(jnp.concatenate([t1c, ac]))
+    slot_arr = [jnp.stack(s, axis=-1) for s in out_slots]  # 3 x [2T, A]
+    return jnp.stack(slot_arr, axis=1)  # [2T, 3, A]
+
+
+def channels_clip_array(ch) -> jnp.ndarray:
+    """Materialize the [2T, 3, 4] clip array from channels (one stack; used
+    only by the deferred shading gather)."""
+    rowsv = []
+    for s in "abc":
+        rowsv.append(jnp.stack([ch[f"x{s}"], ch[f"y{s}"], ch[f"z{s}"],
+                                ch[f"w{s}"]], axis=-1))
+    return jnp.stack(rowsv, axis=1)
+
+
+def visibility_binned_ch(ch, rows: int, cols: int, slots: int = 256,
+                         tile_window: int = 4, big_cap: int = 64):
+    """Channel-major tile-binned visibility (see visibility_binned for the
+    algorithm). All bbox/pair math runs on flat [2T] channels."""
+    xa, xb, xc = ch["sxa"], ch["sxb"], ch["sxc"]
+    ya, yb, yc = ch["sya"], ch["syb"], ch["syc"]
+    za, zb, zc = ch["sza"], ch["szb"], ch["szc"]
+    valid = ch["valid"]
+    T = xa.shape[0]
+    tiles_y = -(-rows // TILE_H)
+    tiles_x = -(-cols // TILE_W)
+    n_tiles = tiles_y * tiles_x
+    wy = tile_window // 2
+    wx = tile_window
+
+    xmin = jnp.minimum(jnp.minimum(xa, xb), xc)
+    xmax = jnp.maximum(jnp.maximum(xa, xb), xc)
+    ymin = jnp.minimum(jnp.minimum(ya, yb), yc)
+    ymax = jnp.maximum(jnp.maximum(ya, yb), yc)
+    tx0 = jnp.floor(xmin / TILE_W).astype(jnp.int32)
+    ty0 = jnp.floor(ymin / TILE_H).astype(jnp.int32)
+    tx1 = jnp.floor(xmax / TILE_W).astype(jnp.int32)
+    ty1 = jnp.floor(ymax / TILE_H).astype(jnp.int32)
+    onscreen = (xmax > 0) & (xmin < cols) & (ymax > 0) & (ymin < rows)
+    fits = ((tx1 - tx0) < wx) & ((ty1 - ty0) < wy)
+    small = valid & onscreen & fits
+    big = valid & onscreen & jnp.logical_not(fits)
+
+    oy = jnp.arange(wy, dtype=jnp.int32)
+    ox = jnp.arange(wx, dtype=jnp.int32)
+    ty = ty0[:, None, None] + oy[None, :, None]
+    tx = tx0[:, None, None] + ox[None, None, :]
+    pair_ok = (small[:, None, None]
+               & (ty >= 0) & (ty < tiles_y) & (tx >= 0) & (tx < tiles_x)
+               & (ty <= ty1[:, None, None]) & (tx <= tx1[:, None, None]))
+    tile_id = jnp.where(pair_ok, ty * tiles_x + tx, n_tiles).reshape(-1)
+    pair_tri = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[:, None, None], (T, wy, wx)).reshape(-1)
+
+    tile_s, tri_s = jax.lax.sort((tile_id, pair_tri), num_keys=2)
+    offsets = jnp.searchsorted(tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32))
+    counts = offsets[1:] - offsets[:-1]
+    slot_idx = offsets[:-1, None] + jnp.arange(slots, dtype=jnp.int32)[None, :]
+    slot_ok = jnp.arange(slots)[None, :] < jnp.minimum(counts, slots)[:, None]
+    table = jnp.where(slot_ok,
+                      tri_s[jnp.clip(slot_idx, 0, tile_s.shape[0] - 1)], T)
+    overflow_tiles = counts > slots
+
+    # Pallas kernel input: channel gathers from padded [T+1] arrays
+    from ascii_renderer_tpu.ops import raster_tiles as RT
+
+    def padg(c, fill=0.0):
+        return jnp.concatenate([c, jnp.asarray([fill], c.dtype)])[table]
+
+    chan = jnp.stack([
+        padg(xa), padg(xb), padg(xc),
+        padg(ya), padg(yb), padg(yc),
+        padg(za, jnp.inf), padg(zb, jnp.inf), padg(zc, jnp.inf),
+        (table < T).astype(jnp.float32),
+    ], axis=-1)
+    chan = jnp.concatenate(
+        [chan, jnp.zeros((n_tiles, slots, RT.N_CHAN - 10), jnp.float32)],
+        axis=-1)
+    interpret = jax.default_backend() != "tpu"
+    ztile, stile = RT.tile_eval(chan, tiles_x, interpret=interpret)
+    table_bg = jnp.concatenate(
+        [table, jnp.full((n_tiles, 1), T, jnp.int32)], axis=1)
+    tt = jnp.take_along_axis(
+        table_bg, stile.reshape(n_tiles, -1), axis=1).reshape(ztile.shape)
+
+    zimg = (ztile.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
+            .transpose(0, 2, 1, 3).reshape(tiles_y * TILE_H, tiles_x * TILE_W))
+    timg = (tt.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
+            .transpose(0, 2, 1, 3).reshape(tiles_y * TILE_H, tiles_x * TILE_W))
+    zbufA = zimg[:rows, :cols]
+    tidA = jnp.where(timg[:rows, :cols] >= T, -1, timg[:rows, :cols])
+
+    # path B: big + slot-overflow spill through the chunked scan
+    over_any = jnp.any(overflow_tiles)
+    spill_rank = jnp.arange(tile_s.shape[0]) - offsets[:-1].take(
+        jnp.clip(tile_s, 0, n_tiles - 1))
+    spilled_tri = jnp.where((tile_s < n_tiles) & (spill_rank >= slots),
+                            tri_s, T)
+    spill_mask = jnp.zeros((T + 1,), bool).at[spilled_tri].set(
+        True).at[T].set(False)[:T]
+    big_all = big | (spill_mask & over_any)
+
+    (big_idx,) = jnp.nonzero(big_all, size=big_cap, fill_value=T)
+
+    def padv(c, fill=0.0):
+        return jnp.concatenate([c, jnp.asarray([fill], c.dtype)])[big_idx]
+
+    xyb = jnp.stack([
+        jnp.stack([padv(xa), padv(ya)], axis=-1),
+        jnp.stack([padv(xb), padv(yb)], axis=-1),
+        jnp.stack([padv(xc), padv(yc)], axis=-1)], axis=1)
+    z01b = jnp.stack([padv(za), padv(zb), padv(zc)], axis=1)
+    validb = jnp.concatenate([big_all, jnp.zeros((1,), bool)])[big_idx]
+    setup_b = {"xy": xyb, "z01": z01b, "valid": validb}
+    zbufB, tidB_local = visibility_scan(setup_b, rows, cols,
+                                        chunk=min(64, big_cap))
+    tidB = jnp.where(tidB_local >= 0,
+                     big_idx[jnp.clip(tidB_local, 0, big_cap - 1)], -1)
+
+    a_wins = zbufA <= zbufB
+    return (jnp.where(a_wins, zbufA, zbufB).astype(jnp.float32),
+            jnp.where(a_wins, tidA, tidB).astype(jnp.int32))
 
 
 def visibility_binned(setup, rows: int, cols: int, slots: int = 256,
@@ -451,13 +721,18 @@ def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
     'auto' (scatter above 512 tris)."""
     attrs = jnp.concatenate([normals, colors, positions], axis=1)  # [V, 9]
     mvp = camera_mvp(cam, rows, cols, pixel_aspect)
-    clip, tattr, valid = transform_clip(positions, attrs, mvp)
-    setup = setup_screen(clip, valid, rows, cols)
     if method == "auto":
-        method = "scatter" if clip.shape[0] > 512 else "scan"
+        method = "scatter" if positions.shape[0] // 3 * 2 > 512 else "scan"
     if method == "scatter":
-        _zbuf, tid = visibility_scatter(setup, rows, cols)
+        # channel-major fast path end to end
+        ch = transform_clip_channels(positions, mvp)
+        ch = setup_screen_channels(ch, rows, cols)
+        _zbuf, tid = visibility_binned_ch(ch, rows, cols)
+        clip = channels_clip_array(ch)
+        tattr = clip_attrs_channels(attrs, ch)
     else:
+        clip, tattr, valid = transform_clip(positions, attrs, mvp)
+        setup = setup_screen(clip, valid, rows, cols)
         _zbuf, tid = visibility_scan(setup, rows, cols, chunk)
     return shade_visibility(tid, clip, tattr, scene, rows, cols)
 
