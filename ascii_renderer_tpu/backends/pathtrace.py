@@ -2,20 +2,21 @@
 shader_utils.js) — the reference's default backend.
 
 TPU re-design:
-  - one program over the whole [rows, cols] cell grid; `lax.scan` over
-    samples (bounded memory), python-unrolled fixed-trip bounce loop with
-    live masks (TPU wants static shapes — GLSL's `break` becomes a mask);
-  - counter-based RNG (threefry via jax.random, folded per sample/bounce/use)
-    replaces the reference's order-dependent `fract(sin)` hash
-    (shader_utils.js:8-17). MC output is stochastic; bit-parity with the
-    GLSL stream is declared a non-goal, determinism under our own keys is
-    guaranteed (SURVEY §7 "RNG parity decision");
-  - the scene rides in padded SoA arrays; intersection is a brute-force
-    argmin over all primitive candidates, mirroring the shader's
-    loop-over-everything structure (shader_utils.js:164-203).
+  - one program over the whole sample-batch x cell grid; rays ride the
+    128-lane axis as FLAT channels (backends/pt_core.py) — primitive
+    candidate matrices are [P, R], vectors are triples of scalar channels
+    (a naive [..., P, 3] vectorization runs at 2% lane efficiency);
+  - python-unrolled fixed-trip bounce loop with live masks (GLSL `break`
+    becomes a mask);
+  - counter-based RNG (threefry via jax.random) replaces the reference's
+    order-dependent `fract(sin)` hash (shader_utils.js:8-17). MC output is
+    stochastic; bit-parity with the GLSL stream is a declared non-goal,
+    determinism under our own keys is guaranteed (SURVEY §7);
+  - the sample loop batches samples into a leading array axis (see
+    render_pt) with the center-ray/fetched-texel AA rule preserved.
 
 Semantics preserved (per the shader):
-  - 64 spp batches x 5 bounces, NEE toward the (optionally auto-animated)
+  - 64 spp x 5 bounces, NEE toward the (optionally auto-animated)
     spherical area light, Russian roulette after bounce 2;
   - glass/mirror Fresnel branch with the reference's exact n1/n2 choice and
     Schlick term (shader_utils.js:216-229);
@@ -24,15 +25,14 @@ Semantics preserved (per the shader):
     short-circuits — color passes through and the glyph code rides the
     output alpha (pathtrace_shader.js:141-149); secondary hits truncate the
     glyph to a solid texel; A==1 solid texels override material albedo;
-  - the center-ray anti-aliasing rule: sample 0 shoots the pixel center and
-    decides `fetchedTexel`; subsequent samples jitter only for pixels whose
-    primary ray did NOT land on an atlas texel (pathtrace_shader.js:213-243);
+    triangles always fetch, quads with all-zero UVs are untextured
+    (shader_utils.js:108-132);
+  - candidate order spheres < tris < quad-tri1 < quad-tri2 < light
+    preserves the shader's tie-breaks up to the quad t1/t2 interleave;
   - material shading colors follow the shader's LUT semantics
-    (shader_utils.js:61-76): diffuse materials shade with albedo * 0.7,
-    specular with 1.0, and the light contributes LIGHT_COLOR * 1.3 —
-    generalized from the hardcoded ID LUT to the packed material table
-    (emissive -> light, reflective -> specular), identical for the
-    conventional IDs 0..7;
+    (shader_utils.js:61-76): diffuse albedo * 0.7, specular 1.0, light
+    emission LIGHT_COLOR * 1.3 — generalized from the hardcoded ID LUT to
+    the packed material table (emissive -> light, reflective -> specular);
   - non-override pixels write alpha byte 255 (the GL path's A=1.0), which
     the ASCII pass treats as no-override.
 """
@@ -47,23 +47,25 @@ import jax.numpy as jnp
 from ascii_renderer_tpu.core.camera import Camera, camera_basis
 from ascii_renderer_tpu.core.frame import Frame
 from ascii_renderer_tpu.core import quantize
-from ascii_renderer_tpu.geom import intersect as gi
+from ascii_renderer_tpu.backends import pt_core as pc
+from ascii_renderer_tpu.backends.pt_core import V3, cross, dot, normalize
 from ascii_renderer_tpu.scene.builder import SceneData
 
 EPS = 1e-3  # shader_utils.js:5
 
-KIND_NONE, KIND_SPHERE, KIND_TRI, KIND_QUAD, KIND_LIGHT = 0, 1, 3, 4, 5
+KIND_NONE, KIND_SPHERE, KIND_TRI, KIND_LIGHT = 0, 1, 3, 5
 
 
-def environment(rd):
-    """Sky/ground gradient on miss (shader_utils.js:20-25)."""
-    t = jnp.clip(rd[..., 1] * 0.5 + 0.5, 0.0, 1.0)
-    sky = (jnp.asarray([0.90, 0.95, 1.00]) * (1 - t[..., None] ** 1.2)
-           + jnp.asarray([0.45, 0.65, 0.95]) * (t[..., None] ** 1.2))
-    grd = jnp.asarray([0.18, 0.15, 0.12]) * 0.35
-    s = jnp.clip((rd[..., 1] + 0.05) / 0.1, 0.0, 1.0)
+def environment_ch(rd: V3) -> V3:
+    """Sky/ground gradient on miss (shader_utils.js:20-25), channel form."""
+    t = jnp.clip(rd.y * 0.5 + 0.5, 0.0, 1.0) ** 1.2
+    sky = V3(0.90 * (1 - t) + 0.45 * t, 0.95 * (1 - t) + 0.65 * t,
+             1.00 * (1 - t) + 0.95 * t)
+    s = jnp.clip((rd.y + 0.05) / 0.1, 0.0, 1.0)
     s = s * s * (3.0 - 2.0 * s)  # smoothstep
-    return grd * (1 - s[..., None]) + sky * s[..., None]
+    grd = (0.18 * 0.35, 0.15 * 0.35, 0.12 * 0.35)
+    return V3(grd[0] * (1 - s) + sky.x * s, grd[1] * (1 - s) + sky.y * s,
+              grd[2] * (1 - s) + sky.z * s)
 
 
 def get_light_sphere(scene: SceneData, time):
@@ -85,218 +87,231 @@ def _mat_flags(scene: SceneData):
     return is_light, is_spec, shade
 
 
-def pt_intersect(ro, rd, scene: SceneData, light_center, light_radius):
-    """Nearest hit over spheres / tris / quad-tris / light sphere.
+class _ScenePack:
+    """Per-trace precomputation: channelized primitive data."""
 
-    Returns dict(t, kind, index, mat, n, bc, tri_sel, hit). Candidate order
-    (spheres, tris, quad-first-tris, quad-second-tris, light) preserves the
-    shader's tie-breaks up to the quad t1/t2 interleave (measure-zero).
-    """
-    t_s = gi.ray_spheres(ro, rd, scene.sph_pos, scene.sph_rad,
-                         scene.sph_valid(), EPS)
-    t_t, n_t, bc_t = gi.ray_triangles(ro, rd, scene.tri_a, scene.tri_b,
-                                      scene.tri_c, scene.tri_valid(), EPS)
-    qv = scene.quad_valid()
-    t_q1, n_q1, bc_q1 = gi.ray_triangles(ro, rd, scene.quad_a, scene.quad_b,
-                                         scene.quad_c, qv, EPS)
-    t_q2, n_q2, bc_q2 = gi.ray_triangles(ro, rd, scene.quad_a, scene.quad_c,
-                                         scene.quad_d, qv, EPS)
-    t_l = gi.ray_spheres(ro, rd, light_center[None, :], light_radius[None],
-                         jnp.asarray([True]), EPS)
+    def __init__(self, scene: SceneData):
+        self.scene = scene
+        self.sph_c = V3.of(scene.sph_pos)
+        self.sph_r = scene.sph_rad
+        self.sph_valid = scene.sph_valid()
+        self.n_sph = scene.sph_pos.shape[0]
 
-    t_all = jnp.concatenate([t_s, t_t, t_q1, t_q2, t_l], axis=-1)
-    k = jnp.argmin(t_all, axis=-1)
-    t = jnp.take_along_axis(t_all, k[..., None], axis=-1)[..., 0]
-    hit = t < gi.BIG * 0.5
+        # all tris = [scene tris, quad tri1 (a,b,c), quad tri2 (a,c,d)]
+        va = jnp.concatenate([scene.tri_a, scene.quad_a, scene.quad_a])
+        vb = jnp.concatenate([scene.tri_b, scene.quad_b, scene.quad_c])
+        vc = jnp.concatenate([scene.tri_c, scene.quad_c, scene.quad_d])
+        tvalid = jnp.concatenate([scene.tri_valid(), scene.quad_valid(),
+                                  scene.quad_valid()])
+        self.tri = pc.TriPack.build(va, vb, vc, tvalid)
+        self.n_tris = va.shape[0]
+        self.tri_mat = jnp.concatenate([scene.tri_mat, scene.quad_mat,
+                                        scene.quad_mat])
+        # atlas UVs per all-tris row; quad tri1 -> (uv0, uv1, uv2),
+        # tri2 -> (uv0, uv2, uv3)
+        self.uva = jnp.concatenate([scene.tri_uva, scene.quad_uv0,
+                                    scene.quad_uv0])
+        self.uvb = jnp.concatenate([scene.tri_uvb, scene.quad_uv1,
+                                    scene.quad_uv2])
+        self.uvc = jnp.concatenate([scene.tri_uvc, scene.quad_uv2,
+                                    scene.quad_uv3])
+        nq = scene.quad_a.shape[0]
+        nt = scene.tri_a.shape[0]
+        is_quad_row = jnp.concatenate([
+            jnp.zeros((nt,), bool), jnp.ones((2 * nq,), bool)])
+        quad_zero = (jnp.all(self.uva == 0, -1) & jnp.all(self.uvb == 0, -1)
+                     & jnp.all(self.uvc == 0, -1))
+        # texturable: tris always; quads only when some UV is nonzero
+        self.texturable = jnp.logical_not(is_quad_row & quad_zero)
 
-    ns, nt, nq = t_s.shape[-1], t_t.shape[-1], t_q1.shape[-1]
-    is_s = k < ns
-    is_t = (k >= ns) & (k < ns + nt)
-    is_q1 = (k >= ns + nt) & (k < ns + nt + nq)
-    is_q2 = (k >= ns + nt + nq) & (k < ns + nt + 2 * nq)
-    is_l = k >= ns + nt + 2 * nq
+        self.is_light_m, self.is_spec_m, shade_m = _mat_flags(scene)
+        self.shade_m = shade_m  # [M, 3]
 
-    ks = jnp.clip(k, 0, ns - 1)
-    kt = jnp.clip(k - ns, 0, nt - 1)
-    kq1 = jnp.clip(k - ns - nt, 0, nq - 1)
-    kq2 = jnp.clip(k - ns - nt - nq, 0, nq - 1)
 
-    pos = ro + t[..., None] * rd
-    n_sph = gi.sphere_normal(pos, scene.sph_pos[ks], scene.sph_rad[ks])
-    n_lgt = (pos - light_center) / jnp.maximum(light_radius, 1e-6)
-    take3 = lambda arr, idx: jnp.take_along_axis(  # noqa: E731
-        arr, idx[..., None, None], axis=-2)[..., 0, :]
-    n = jnp.where(is_s[..., None], n_sph,
-        jnp.where(is_t[..., None], take3(n_t, kt),
-        jnp.where(is_q1[..., None], take3(n_q1, kq1),
-        jnp.where(is_q2[..., None], take3(n_q2, kq2), n_lgt))))
-    bc = jnp.where(is_t[..., None], take3(bc_t, kt),
-         jnp.where(is_q1[..., None], take3(bc_q1, kq1),
-         jnp.where(is_q2[..., None], take3(bc_q2, kq2), 0.0)))
+def _intersect(ro: V3, rd: V3, pk: _ScenePack, light_center, light_radius):
+    """Nearest hit. Returns dict of per-ray channels."""
+    scene = pk.scene
+    t_s = pc.spheres_t(ro, rd, pk.sph_c, pk.sph_r, pk.sph_valid, EPS)
+    t_t = pc.tris_t(ro, rd, pk.tri, EPS)
+    lc = V3(light_center[0][None], light_center[1][None],
+            light_center[2][None])
+    t_l = pc.spheres_t(ro, rd, lc, light_radius[None],
+                       jnp.ones((1,), bool), EPS)
+    t_all = jnp.concatenate([t_s, t_t, t_l], axis=0)  # [P, R]
+    k = jnp.argmin(t_all, axis=0)  # [R], first-min tie-break = shader order
+    t = jnp.take_along_axis(t_all, k[None], axis=0)[0]
+    hit = t < pc.BIG * 0.5
 
+    S, T = pk.n_sph, pk.n_tris
+    is_s = k < S
+    is_t = (k >= S) & (k < S + T)
+    is_l = k >= S + T
+    ks = jnp.clip(k, 0, S - 1)
+    kt = jnp.clip(k - S, 0, T - 1)
+
+    pos = V3(ro.x + t * rd.x, ro.y + t * rd.y, ro.z + t * rd.z)
+
+    # winner hit info per class, cheap per-ray recompute
+    csel = pc.gather(pk.sph_c, ks)
+    rsel = pk.sph_r[ks]
+    n_sph = V3((pos.x - csel.x) / jnp.maximum(rsel, 1e-6),
+               (pos.y - csel.y) / jnp.maximum(rsel, 1e-6),
+               (pos.z - csel.z) / jnp.maximum(rsel, 1e-6))
+    n_lgt = V3((pos.x - light_center[0]) / jnp.maximum(light_radius, 1e-6),
+               (pos.y - light_center[1]) / jnp.maximum(light_radius, 1e-6),
+               (pos.z - light_center[2]) / jnp.maximum(light_radius, 1e-6))
+    a_t = pc.gather(pk.tri.a, kt)
+    e1_t = pc.gather(pk.tri.e1, kt)
+    e2_t = pc.gather(pk.tri.e2, kt)
+    n_tri, b0, b1, b2 = pc.tri_hit_info(ro, rd, a_t, e1_t, e2_t)
+
+    n = n_tri.where(is_t, n_sph.where(is_s, n_lgt))
     mat = jnp.where(is_s, scene.sph_mat[ks],
-          jnp.where(is_t, scene.tri_mat[kt],
-          jnp.where(is_q1 | is_q2,
-                    jnp.where(is_q1, scene.quad_mat[kq1], scene.quad_mat[kq2]),
-                    0)))  # light uses MAT_LIGHT=0 (shader_utils.js:198)
-
+                    jnp.where(is_t, pk.tri_mat[kt], 0))
     kind = jnp.where(is_s, KIND_SPHERE,
-           jnp.where(is_t, KIND_TRI,
-           jnp.where(is_q1 | is_q2, KIND_QUAD,
-           jnp.where(is_l, KIND_LIGHT, KIND_NONE))))
+                     jnp.where(is_t, KIND_TRI,
+                               jnp.where(is_l, KIND_LIGHT, KIND_NONE)))
     kind = jnp.where(hit, kind, KIND_NONE)
-    index = jnp.where(is_s, ks, jnp.where(is_t, kt,
-            jnp.where(is_q1, kq1, jnp.where(is_q2, kq2, -1))))
-    tri_sel = jnp.where(is_q1, 0, jnp.where(is_q2, 1, -1))
-    return dict(t=t, kind=kind, index=index, mat=mat, n=n, bc=bc,
-                tri_sel=tri_sel, hit=hit)
+    return dict(t=t, hit=hit, kind=kind, mat=mat, n=n, pos=pos,
+                tri_idx=kt, bc=(b0, b1, b2))
 
 
-def pt_shadow(ro, rd, dist, scene: SceneData):
-    """Any-hit < dist over spheres/tris/quads (no light sphere)
-    (shader_utils.js:205-213)."""
-    t_s = gi.ray_spheres(ro, rd, scene.sph_pos, scene.sph_rad,
-                         scene.sph_valid(), EPS)
-    t_t, _, _ = gi.ray_triangles(ro, rd, scene.tri_a, scene.tri_b, scene.tri_c,
-                                 scene.tri_valid(), EPS)
-    qv = scene.quad_valid()
-    t_q1, _, _ = gi.ray_triangles(ro, rd, scene.quad_a, scene.quad_b,
-                                  scene.quad_c, qv, EPS)
-    t_q2, _, _ = gi.ray_triangles(ro, rd, scene.quad_a, scene.quad_c,
-                                  scene.quad_d, qv, EPS)
-    d = dist[..., None]
-    return (jnp.any(t_s < d, -1) | jnp.any(t_t < d, -1)
-            | jnp.any(t_q1 < d, -1) | jnp.any(t_q2 < d, -1))
+def _shadow(ro: V3, rd: V3, dist, pk: _ScenePack):
+    """Any-hit < dist over spheres + all tris (no light sphere)."""
+    t_s = pc.spheres_t(ro, rd, pk.sph_c, pk.sph_r, pk.sph_valid, EPS)
+    t_t = pc.tris_t(ro, rd, pk.tri, EPS)
+    return (jnp.any(t_s < dist[None], axis=0)
+            | jnp.any(t_t < dist[None], axis=0))
 
 
-def sample_atlas(scene: SceneData, hit):
-    """UV-interpolated nearest-texel atlas fetch for tri/quad hits
-    (shader_utils.js:100-132). Returns (rgb [..,3], abyte [..], sampled [..]).
-
-    The reference pre-flips atlas rows at load and flips Y again at fetch
-    (js/main.js:161-163, shader_utils.js:98-105) — net effect is a direct
-    top-left-origin lookup, which is exactly how our atlas planes are stored.
-    """
+def _sample_atlas(pk: _ScenePack, hinfo):
+    """Atlas fetch for the winning triangle row (shader_utils.js:100-132).
+    Returns (rgb V3 [R] in 0..1, abyte i32 [R], sampled bool [R])."""
+    scene = pk.scene
     ah, aw = scene.atlas_a.shape
-    enabled = ah > 1 and aw > 1  # atlasEnabled (static)
-    if not enabled:
-        z = jnp.zeros(hit["t"].shape)
-        return jnp.zeros(hit["t"].shape + (3,)), z.astype(jnp.int32), z.astype(bool)
+    if not (ah > 1 and aw > 1):  # atlasEnabled, static
+        z = jnp.zeros_like(hinfo["t"])
+        return V3(z, z, z), z.astype(jnp.int32), z.astype(bool)
 
-    bc = hit["bc"]
-    idx = jnp.maximum(hit["index"], 0)
-    # triangle UVs
-    uv_tri = (bc[..., 0:1] * scene.tri_uva[idx] + bc[..., 1:2] * scene.tri_uvb[idx]
-              + bc[..., 2:3] * scene.tri_uvc[idx])
-    # quad UVs: tri 0 -> (uv0, uv1, uv2); tri 1 -> (uv0, uv2, uv3)
-    q0 = scene.quad_uv0[idx]
-    sel1 = (hit["tri_sel"] == 1)[..., None]
-    qa = jnp.where(sel1, scene.quad_uv2[idx], scene.quad_uv1[idx])
-    qb = jnp.where(sel1, scene.quad_uv3[idx], scene.quad_uv2[idx])
-    uv_quad = bc[..., 0:1] * q0 + bc[..., 1:2] * qa + bc[..., 2:3] * qb
-    # all-zero quad UVs mean "untextured" (shader_utils.js:125)
-    quad_zero = (jnp.all(q0 == 0, -1) & jnp.all(qa == 0, -1) & jnp.all(qb == 0, -1))
-
-    is_tri = hit["kind"] == KIND_TRI
-    is_quad = hit["kind"] == KIND_QUAD
-    uv = jnp.where(is_tri[..., None], uv_tri, uv_quad)
-    tc = jnp.floor(uv + 0.5).astype(jnp.int32)
-    inb = ((tc[..., 0] >= 0) & (tc[..., 0] < aw)
-           & (tc[..., 1] >= 0) & (tc[..., 1] < ah))
-    tx = jnp.clip(tc[..., 0], 0, aw - 1)
-    ty = jnp.clip(tc[..., 1], 0, ah - 1)
-    rgb = scene.atlas_rgb[ty, tx].astype(jnp.float32) / 255.0
-    ab = scene.atlas_a[ty, tx].astype(jnp.int32)
-    sampled = ((is_tri | (is_quad & jnp.logical_not(quad_zero)))
-               & inb & (ab != 0))
+    kt = hinfo["tri_idx"]
+    b0, b1, b2 = hinfo["bc"]
+    uva = pk.uva[kt]  # [R, 2]
+    uvb = pk.uvb[kt]
+    uvc = pk.uvc[kt]
+    u = b0 * uva[:, 0] + b1 * uvb[:, 0] + b2 * uvc[:, 0]
+    v = b0 * uva[:, 1] + b1 * uvb[:, 1] + b2 * uvc[:, 1]
+    tx = jnp.floor(u + 0.5).astype(jnp.int32)
+    ty = jnp.floor(v + 0.5).astype(jnp.int32)
+    inb = (tx >= 0) & (tx < aw) & (ty >= 0) & (ty < ah)
+    txc = jnp.clip(tx, 0, aw - 1)
+    tyc = jnp.clip(ty, 0, ah - 1)
+    lin = tyc * aw + txc
+    flat_rgb = scene.atlas_rgb.reshape(-1, 3).astype(jnp.float32) / 255.0
+    flat_a = scene.atlas_a.reshape(-1).astype(jnp.int32)
+    rgb = V3(flat_rgb[:, 0][lin], flat_rgb[:, 1][lin], flat_rgb[:, 2][lin])
+    ab = flat_a[lin]
+    sampled = ((hinfo["kind"] == KIND_TRI) & pk.texturable[kt] & inb
+               & (ab != 0))
     return rgb, jnp.where(sampled, ab, 0), sampled
 
 
-def cos_hemisphere(n, key):
+def _cos_hemisphere(n: V3, key):
     """Cosine-weighted hemisphere sample (shader_utils.js:135-143)."""
-    r = jax.random.uniform(key, n.shape[:-1] + (2,))
+    r = jax.random.uniform(key, n.x.shape + (2,))
     phi = 2.0 * jnp.pi * r[..., 0]
     r2 = r[..., 1]
     s2 = jnp.sqrt(1.0 - r2)
-    # basis branch: |n.y| < 0.999 ? cross(n, y) : cross(n, x)
-    ny_ok = jnp.abs(n[..., 1]) < 0.999
-    axis = jnp.where(ny_ok[..., None], jnp.asarray([0.0, 1.0, 0.0]),
-                     jnp.asarray([1.0, 0.0, 0.0]))
-    uu = jnp.cross(n, axis)
-    uu = uu / jnp.maximum(jnp.linalg.norm(uu, axis=-1, keepdims=True), 1e-12)
-    vv = jnp.cross(uu, n)
-    d = (s2[..., None] * jnp.cos(phi)[..., None] * uu
-         + s2[..., None] * jnp.sin(phi)[..., None] * vv
-         + jnp.sqrt(r2)[..., None] * n)
-    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    ny_ok = jnp.abs(n.y) < 0.999
+    axis = V3(jnp.where(ny_ok, 0.0, 1.0), jnp.where(ny_ok, 1.0, 0.0),
+              jnp.zeros_like(n.x))
+    uu = normalize(cross(n, axis))
+    vv = cross(uu, n)
+    cphi = s2 * jnp.cos(phi)
+    sphi = s2 * jnp.sin(phi)
+    sr2 = jnp.sqrt(r2)
+    return normalize(V3(cphi * uu.x + sphi * vv.x + sr2 * n.x,
+                        cphi * uu.y + sphi * vv.y + sr2 * n.y,
+                        cphi * uu.z + sphi * vv.z + sr2 * n.z))
 
 
-def sample_light_point(key, center, radius, shape):
+def _sample_light_point(key, center, radius, shape):
     """Uniform point on the light sphere (shader_utils.js:144-149)."""
     h = jax.random.uniform(key, shape + (2,))
     hx = h[..., 0] * 2.0 - 1.0
     phi = h[..., 1] * 2.0 * jnp.pi
     s = jnp.sqrt(jnp.maximum(1.0 - hx * hx, 0.0))
-    n = jnp.stack([s * jnp.sin(phi), s * jnp.cos(phi), hx], axis=-1)
-    return center + radius * n
+    return V3(center[0] + radius * s * jnp.sin(phi),
+              center[1] + radius * s * jnp.cos(phi),
+              center[2] + radius * hx)
 
 
-def next_direction(n, rd, is_spec, key):
-    """BRDF sampling (shader_utils.js:216-229). Returns (ndir, specular)."""
+def _next_direction(n: V3, rd: V3, is_spec, key):
+    """BRDF sampling (shader_utils.js:216-229)."""
     kd, kf = jax.random.split(key)
-    diff = cos_hemisphere(n, kd)
+    diff = _cos_hemisphere(n, kd)
 
-    ndotr = jnp.sum(rd * n, axis=-1)
+    ndotr = dot(rd, n)
     flip = ndotr > 0.0
-    n2_over_n1 = jnp.where(flip, 1.5 / 1.0, 1.0 / 1.5)
-    nn = jnp.where(flip[..., None], -n, n)
+    eta = jnp.where(flip, 1.5, 1.0 / 1.5)
+    nn = V3(jnp.where(flip, -n.x, n.x), jnp.where(flip, -n.y, n.y),
+            jnp.where(flip, -n.z, n.z))
     r0 = ((1.0 - 1.5) / (1.0 + 1.5)) ** 2
     fres = r0 + (1.0 - r0) * (1.0 - jnp.abs(ndotr)) ** 5
-    ref, _tir = gi.refract(rd, nn, n2_over_n1)
-    use_reflect = (jnp.linalg.norm(ref, axis=-1) < 1e-5) | \
+    ref, _tir = pc.refract(rd, nn, eta)
+    use_reflect = (pc.norm(ref) < 1e-5) | \
         (jax.random.uniform(kf, fres.shape) < fres)
-    spec_dir = jnp.where(use_reflect[..., None], gi.reflect(rd, nn), ref)
-    spec_dir = spec_dir / jnp.maximum(
-        jnp.linalg.norm(spec_dir, axis=-1, keepdims=True), 1e-12)
-
-    ndir = jnp.where(is_spec[..., None], spec_dir, diff)
-    return ndir, is_spec
+    refl = pc.reflect(rd, nn)
+    spec = normalize(refl.where(use_reflect, ref))
+    return spec.where(is_spec, diff), is_spec
 
 
 def trace_eye_paths(scene: SceneData, ro, rd, key, light_center, light_radius,
                     *, bounces: int, light_color, nee: bool):
-    """traceEyePath (pathtrace_shader.js:107-183), vectorized over pixels.
+    """traceEyePath (pathtrace_shader.js:107-183), vectorized over rays.
 
-    Returns (Lo [..,3], override_byte [..] int32, primary_fetched [..] bool).
-    """
+    ro/rd: f32 [..., 3]. Returns (Lo [..., 3], override_byte [...] i32,
+    primary_fetched [...] bool)."""
     shp = rd.shape[:-1]
-    is_light_m, is_spec_m, shade_m = _mat_flags(scene)
+    R = 1
+    for s in shp:
+        R *= s
+    ro = V3.of(ro.reshape(R, 3))
+    rd = V3.of(rd.reshape(R, 3))
+    pk = _ScenePack(scene)
     lcol = jnp.asarray(light_color, jnp.float32)
+    shade_r = pk.shade_m[:, 0]
+    shade_g = pk.shade_m[:, 1]
+    shade_b = pk.shade_m[:, 2]
 
-    Lo = jnp.zeros(shp + (3,))
-    T = jnp.ones(shp + (3,))
-    alive = jnp.ones(shp, bool)
-    specular_bounce = jnp.ones(shp, bool)  # starts true
-    override = jnp.zeros(shp, jnp.int32)
-    primary_fetched = jnp.zeros(shp, bool)
+    Lo = V3(*(jnp.zeros((R,)) for _ in range(3)))
+    T = V3(*(jnp.ones((R,)) for _ in range(3)))
+    alive = jnp.ones((R,), bool)
+    specular_bounce = jnp.ones((R,), bool)
+    override = jnp.zeros((R,), jnp.int32)
+    primary_fetched = jnp.zeros((R,), bool)
 
     for j in range(bounces):
         kj = jax.random.fold_in(key, j)
         k_bounce, k_nee, k_rr = jax.random.split(kj, 3)
 
-        hit = pt_intersect(ro, rd, scene, light_center, light_radius)
-        miss = alive & jnp.logical_not(hit["hit"])
-        Lo = Lo + jnp.where(miss[..., None], T * environment(rd), 0.0)
-        alive = alive & hit["hit"]
+        h = _intersect(ro, rd, pk, light_center, light_radius)
+        miss = alive & jnp.logical_not(h["hit"])
+        env = environment_ch(rd)
+        Lo = V3(jnp.where(miss, Lo.x + T.x * env.x, Lo.x),
+                jnp.where(miss, Lo.y + T.y * env.y, Lo.y),
+                jnp.where(miss, Lo.z + T.z * env.z, Lo.z))
+        alive = alive & h["hit"]
 
-        hitpos = ro + hit["t"][..., None] * rd
-        n = hit["n"]
-        is_light = is_light_m[jnp.maximum(hit["mat"], 0)] | (hit["kind"] == KIND_LIGHT)
-        light_term = alive & is_light
-        Lo = Lo + jnp.where((light_term & specular_bounce)[..., None], T * lcol, 0.0)
+        n = h["n"]
+        is_light = pk.is_light_m[jnp.maximum(h["mat"], 0)] | \
+            (h["kind"] == KIND_LIGHT)
+        lt = alive & is_light & specular_bounce
+        Lo = V3(jnp.where(lt, Lo.x + T.x * lcol[0], Lo.x),
+                jnp.where(lt, Lo.y + T.y * lcol[1], Lo.y),
+                jnp.where(lt, Lo.z + T.z * lcol[2], Lo.z))
         alive = alive & jnp.logical_not(is_light)
 
-        rgb_tex, abyte, sampled = sample_atlas(scene, hit)
+        tex, abyte, sampled = _sample_atlas(pk, h)
         sampled = sampled & alive
         if j == 0:
             primary_fetched = sampled
@@ -305,59 +320,78 @@ def trace_eye_paths(scene: SceneData, ro, rd, key, light_center, light_radius,
             (abyte <= quantize.ATLAS_GLYPH_MAX)
         if j == 0:
             # primary glyph hit: color passthrough + alpha override, stop
-            Lo = jnp.where(glyph[..., None], rgb_tex, Lo)
+            Lo = tex.where(glyph, Lo)
             override = jnp.where(glyph, abyte, override)
             alive = alive & jnp.logical_not(glyph)
             solid = sampled & (abyte == quantize.ATLAS_SOLID)
         else:
-            # secondary: truncate glyph to solid (aByte = 1)
             solid = sampled & ((abyte == quantize.ATLAS_SOLID) | glyph)
 
-        is_spec = is_spec_m[jnp.maximum(hit["mat"], 0)]
-        albedo = jnp.where(solid[..., None], rgb_tex,
-                           shade_m[jnp.maximum(hit["mat"], 0)])
+        m = jnp.maximum(h["mat"], 0)
+        is_spec = pk.is_spec_m[m]
+        albedo = tex.where(solid, V3(shade_r[m], shade_g[m], shade_b[m]))
 
-        ndir, spec_now = next_direction(n, rd, is_spec, k_bounce)
-        absorb = jnp.logical_not(spec_now) | (jnp.sum(ndir * n, -1) < 0.0)
-        T = jnp.where((alive & absorb)[..., None], T * albedo, T)
+        ndir, spec_now = _next_direction(n, rd, is_spec, k_bounce)
+        absorb = alive & (jnp.logical_not(spec_now) | (dot(ndir, n) < 0.0))
+        T = (T * albedo).where(absorb, T)
 
-        # NEE on diffuse bounces (pathtrace_shader.js:159-169)
+        hitpos = h["pos"]
         if nee and j < bounces - 1:
-            lpos = sample_light_point(k_nee, light_center, light_radius, shp)
+            lpos = _sample_light_point(k_nee, light_center, light_radius,
+                                       (R,))
             ldir = lpos - hitpos
-            dist = jnp.linalg.norm(ldir, axis=-1)
-            ldir = ldir / jnp.maximum(dist[..., None], 1e-12)
-            shadowed = pt_shadow(hitpos + n * EPS, ldir, dist, scene)
-            d2 = jnp.sum((light_center - hitpos) ** 2, axis=-1)
+            dist = pc.norm(ldir)
+            ldir = ldir * (1.0 / jnp.maximum(dist, 1e-12))
+            sro = V3(hitpos.x + n.x * EPS, hitpos.y + n.y * EPS,
+                     hitpos.z + n.z * EPS)
+            shadowed = _shadow(sro, ldir, dist, pk)
+            dl = V3(light_center[0] - hitpos.x, light_center[1] - hitpos.y,
+                    light_center[2] - hitpos.z)
+            d2 = jnp.maximum(dot(dl, dl), 1e-12)
             cos_a_max = jnp.sqrt(1.0 - jnp.clip(
-                light_radius * light_radius / jnp.maximum(d2, 1e-12), 0.0, 1.0))
+                light_radius * light_radius / d2, 0.0, 1.0))
             weight = 2.0 * (1.0 - cos_a_max)
-            ndl = jnp.maximum(jnp.sum(ldir * n, -1), 0.0)
-            contrib = alive & jnp.logical_not(spec_now) & jnp.logical_not(shadowed)
-            Lo = Lo + jnp.where(contrib[..., None],
-                                T * lcol * (weight * ndl)[..., None], 0.0)
+            ndl = jnp.maximum(dot(ldir, n), 0.0)
+            contrib = alive & jnp.logical_not(spec_now) & \
+                jnp.logical_not(shadowed)
+            wnd = weight * ndl
+            Lo = V3(jnp.where(contrib, Lo.x + T.x * lcol[0] * wnd, Lo.x),
+                    jnp.where(contrib, Lo.y + T.y * lcol[1] * wnd, Lo.y),
+                    jnp.where(contrib, Lo.z + T.z * lcol[2] * wnd, Lo.z))
 
-        side = jnp.where(jnp.sum(ndir * n, -1) > 0.0, 1.0, -1.0)
-        ro = jnp.where(alive[..., None], hitpos + n * side[..., None] * EPS, ro)
-        rd = jnp.where(alive[..., None], ndir, rd)
+        side = jnp.where(dot(ndir, n) > 0.0, EPS, -EPS)
+        new_ro = V3(hitpos.x + n.x * side, hitpos.y + n.y * side,
+                    hitpos.z + n.z * side)
+        ro = new_ro.where(alive, ro)
+        rd = ndir.where(alive, rd)
         specular_bounce = jnp.where(alive, spec_now, specular_bounce)
 
-        # Russian roulette from bounce 2 (pathtrace_shader.js:176-180)
-        if j >= 2:
-            p = jnp.clip(jnp.max(T, axis=-1), 0.05, 0.95)
-            u = jax.random.uniform(k_rr, shp)
-            killed = alive & (u > p)
-            alive = alive & jnp.logical_not(killed)
-            T = jnp.where(alive[..., None], T / p[..., None], T)
+        if j >= 2:  # Russian roulette (pathtrace_shader.js:176-180)
+            p = jnp.clip(jnp.maximum(T.x, jnp.maximum(T.y, T.z)), 0.05, 0.95)
+            u = jax.random.uniform(k_rr, (R,))
+            alive = alive & jnp.logical_not(u > p)
+            inv_p = 1.0 / p
+            T = (T * inv_p).where(alive, T)
 
-    return Lo, override, primary_fetched
-
+    Lo_arr = Lo.stack().reshape(shp + (3,))
+    return Lo_arr, override.reshape(shp), primary_fetched.reshape(shp)
 
 def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
               cols: int, pixel_aspect: float, spp: int, bounces: int,
-              light_color, nee: bool = True):
-    """Full mainImage (pathtrace_shader.js:187-263): sample loop with the
-    center-ray/fetched-texel AA rule + override short-circuit.
+              light_color, nee: bool = True, sample_batch: int = 32):
+    """Full mainImage (pathtrace_shader.js:187-263): the sample loop with
+    the center-ray/fetched-texel AA rule + glyph override short-circuit.
+
+    TPU structure: a sequential scan over spp samples starves the VPU at
+    cell-grid sizes, so samples ride a leading BATCH axis ([B, H, W] rays),
+    with a scan only over ceil(spp/B) batches:
+
+      phase 1 — one center-ray probe decides `fetchedTexel` per pixel and
+        captures primary glyph overrides (sample 0's decision role);
+      phase 2 — sample batches: sample 0 re-traces the center ray (its
+        contribution to the estimate), samples >0 jitter iff the pixel is
+        not texel-fetched; the first overriding sample REPLACES the total,
+        matching the shader's break-and-take.
 
     Returns (rgb f32 [H,W,3] in [0,1], alpha byte u8 [H,W])."""
     uu, vv, ww, focal = camera_basis(cam.yaw, cam.pitch, cam.fov_y)
@@ -366,43 +400,67 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
     y_gl = (jnp.arange(rows, dtype=jnp.float32)[::-1] + 0.5) / jnp.float32(rows)
     px = jnp.broadcast_to(((-1.0 + 2.0 * x) * aspect)[None, :], (rows, cols))
     py = jnp.broadcast_to((-1.0 + 2.0 * y_gl)[:, None], (rows, cols))
-    ro0 = jnp.broadcast_to(cam.pos, (rows, cols, 3))
 
     light_center, light_radius = get_light_sphere(scene, time)
     lcol = jnp.asarray(light_color, jnp.float32) * 1.3  # the *1.3 in the define
 
-    def sample_step(carry, s):
-        tot, override, fetched, stopped = carry
-        ks = jax.random.fold_in(key, s)
-        k_jit, k_path = jax.random.split(ks)
-        # jitter: center ray for sample 0 and for fetched-texel pixels
-        r2 = jax.random.uniform(k_jit, (rows, cols, 2))
+    # ---- phase 1: center-ray probe (fetched flag + primary glyph hits) ----
+    rd0 = (px[..., None] * uu + py[..., None] * vv + focal * ww)
+    rd0 = rd0 / jnp.linalg.norm(rd0, axis=-1, keepdims=True)
+    ro0 = jnp.broadcast_to(cam.pos, (rows, cols, 3))
+    col0, ov0, fetched = trace_eye_paths(
+        scene, ro0, rd0, jax.random.fold_in(key, 0xC0FFEE), light_center,
+        light_radius, bounces=bounces, light_color=lcol, nee=nee)
+
+    # ---- phase 2: batched samples ----
+    B = max(1, min(sample_batch, spp))
+    n_batches = -(-spp // B)
+    ro_b = jnp.broadcast_to(cam.pos, (B, rows, cols, 3))
+
+    def batch_step(carry, b):
+        tot, override, ovcol = carry
+        kb = jax.random.fold_in(key, b)
+        k_jit, k_path = jax.random.split(kb)
+        s_idx = b * B + jnp.arange(B)
+        r2 = jax.random.uniform(k_jit, (B, rows, cols, 2))
         rpof = 2.0 * (r2 - 0.5) / jnp.float32(rows)
         rpof = rpof.at[..., 0].multiply(aspect)
-        use_jit = (s > 0) & jnp.logical_not(fetched)
+        use_jit = ((s_idx > 0)[:, None, None]
+                   & jnp.logical_not(fetched)[None, :, :])
         jx = jnp.where(use_jit, rpof[..., 0], 0.0)
         jy = jnp.where(use_jit, rpof[..., 1], 0.0)
-        rd = ((px + jx)[..., None] * uu + (py + jy)[..., None] * vv + focal * ww)
+        rd = ((px[None] + jx)[..., None] * uu
+              + (py[None] + jy)[..., None] * vv + focal * ww)
         rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
 
-        col, ov, pf = trace_eye_paths(scene, ro0, rd, k_path, light_center,
-                                      light_radius, bounces=bounces,
-                                      light_color=lcol, nee=nee)
-        fetched = jnp.where(s == 0, pf, fetched)
-        new_stop = (ov > 0) & jnp.logical_not(stopped)
-        tot = jnp.where(new_stop[..., None], col,
-                        jnp.where(stopped[..., None], tot, tot + col))
-        override = jnp.where(new_stop, ov, override)
-        stopped = stopped | new_stop
-        return (tot, override, fetched, stopped), None
+        col, ov, _pf = trace_eye_paths(scene, ro_b, rd, k_path, light_center,
+                                       light_radius, bounces=bounces,
+                                       light_color=lcol, nee=nee)
+        valid_s = (s_idx < spp)[:, None, None]
+        tot = tot + jnp.sum(jnp.where(valid_s[..., None], col, 0.0), axis=0)
+        # first overriding sample in this batch (smallest s)
+        has_s = (ov > 0) & valid_s
+        first = jnp.argmax(has_s, axis=0)  # [H, W]
+        has = jnp.any(has_s, axis=0)
+        sel = lambda arr: jnp.take_along_axis(  # noqa: E731
+            arr, first[None, ..., None] if arr.ndim == 4 else first[None],
+            axis=0)[0]
+        new = has & (override == 0)
+        override = jnp.where(new, sel(ov), override)
+        ovcol = jnp.where(new[..., None], sel(col), ovcol)
+        return (tot, override, ovcol), None
 
     init = (jnp.zeros((rows, cols, 3)), jnp.zeros((rows, cols), jnp.int32),
-            jnp.zeros((rows, cols), bool), jnp.zeros((rows, cols), bool))
-    (tot, override, _f, stopped), _ = jax.lax.scan(
-        sample_step, init, jnp.arange(spp))
+            jnp.zeros((rows, cols, 3)))
+    (tot, override_b, ovcol_b), _ = jax.lax.scan(
+        batch_step, init, jnp.arange(n_batches))
 
+    # phase-1 overrides (center ray) take precedence — they are sample 0
+    has0 = ov0 > 0
+    override = jnp.where(has0, ov0, override_b)
+    ovcol = jnp.where(has0[..., None], col0, ovcol_b)
     has_ov = override > 0
-    rgb = jnp.where(has_ov[..., None], jnp.clip(tot, 0.0, 1.0),
+    rgb = jnp.where(has_ov[..., None], jnp.clip(ovcol, 0.0, 1.0),
                     jnp.clip(tot / jnp.float32(spp), 0.0, 1.0))
     a = jnp.where(has_ov, override, 255).astype(jnp.uint8)
     return rgb, a
