@@ -29,8 +29,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from ascii_renderer_tpu.core.camera import Camera, primary_ray_dirs
 from ascii_renderer_tpu.core.frame import Frame
+from ascii_renderer_tpu.backends import pt_core as pc
 from ascii_renderer_tpu.geom import intersect as gi
 from ascii_renderer_tpu.scene.builder import SceneData
 
@@ -47,50 +50,87 @@ def _all_tris(scene: SceneData):
     return va, vb, vc, mat, valid
 
 
+def _planes_t(ro, rd, normals, ds, valid, eps):
+    """Channel-form plane intersection: -> t [P, R]
+    (raytrace_shader.js:104-109)."""
+    nx, ny, nz = normals[:, 0], normals[:, 1], normals[:, 2]
+    denom = (nx[:, None] * rd.x[None, :] + ny[:, None] * rd.y[None, :]
+             + nz[:, None] * rd.z[None, :])
+    num = -(ds[:, None]) - (nx[:, None] * ro.x[None, :]
+                            + ny[:, None] * ro.y[None, :]
+                            + nz[:, None] * ro.z[None, :])
+    t = num / jnp.where(jnp.abs(denom) < 1e-6, 1.0, denom)
+    miss = (jnp.abs(denom) < 1e-6) | (t <= eps) | \
+        jnp.logical_not(valid[:, None])
+    return jnp.where(miss, pc.BIG, t)
+
+
 def closest_hit(ro, rd, scene: SceneData):
-    """Nearest hit over spheres / planes / tris(+quads).
+    """Nearest hit over spheres / planes / tris(+quads), channel-form
+    internals (rays on the lane axis — see backends/pt_core.py).
 
-    Returns (t [..], mat [..], n [..,3], hit_mask [..]).
+    ro/rd: f32 [..., 3]. Returns (t [..], mat [..], n [..,3], hit [..]).
     """
-    sval = scene.sph_valid()
-    t_s = gi.ray_spheres(ro, rd, scene.sph_pos, scene.sph_rad, sval, EPS)
-    t_p = gi.ray_planes(ro, rd, scene.pln_n, scene.pln_d, scene.pln_valid(), EPS)
+    shp = rd.shape[:-1]
+    R = int(np.prod(shp)) if shp else 1
+    rof = gi_V3(ro, R)
+    rdf = gi_V3(rd, R)
+
+    sph_c = pc.V3.of(scene.sph_pos)
+    t_s = pc.spheres_t(rof, rdf, sph_c, scene.sph_rad, scene.sph_valid(), EPS)
+    t_p = _planes_t(rof, rdf, scene.pln_n, scene.pln_d, scene.pln_valid(), EPS)
     va, vb, vc, tmat, tvalid = _all_tris(scene)
-    t_t, n_t, _bc = gi.ray_triangles(ro, rd, va, vb, vc, tvalid, EPS)
+    pack = pc.TriPack.build(va, vb, vc, tvalid)
+    t_t = pc.tris_t(rof, rdf, pack, EPS)
 
-    t_all = jnp.concatenate([t_s, t_p, t_t], axis=-1)
-    k = jnp.argmin(t_all, axis=-1)  # first minimum wins: sphere < plane < tri
-    t = jnp.take_along_axis(t_all, k[..., None], axis=-1)[..., 0]
-    hit = t < gi.BIG * 0.5
+    t_all = jnp.concatenate([t_s, t_p, t_t], axis=0)  # [P, R]
+    k = jnp.argmin(t_all, axis=0)  # first min: sphere < plane < tri
+    t = jnp.take_along_axis(t_all, k[None], axis=0)[0]
+    hit = t < pc.BIG * 0.5
 
-    ns, np_, nt = t_s.shape[-1], t_p.shape[-1], t_t.shape[-1]
-    del nt
+    ns, np_ = t_s.shape[0], t_p.shape[0]
     is_s = k < ns
     is_p = (k >= ns) & (k < ns + np_)
     ks = jnp.clip(k, 0, ns - 1)
     kp = jnp.clip(k - ns, 0, np_ - 1)
-    kt = jnp.clip(k - ns - np_, 0, t_t.shape[-1] - 1)
+    kt = jnp.clip(k - ns - np_, 0, t_t.shape[0] - 1)
 
-    pos = ro + t[..., None] * rd
-    n_sph = gi.sphere_normal(pos, scene.sph_pos[ks], scene.sph_rad[ks])
-    n_pln = scene.pln_n[kp]
-    n_tri = jnp.take_along_axis(n_t, kt[..., None, None], axis=-2)[..., 0, :]
-    n = jnp.where(is_s[..., None], n_sph, jnp.where(is_p[..., None], n_pln, n_tri))
-
+    pos = pc.V3(rof.x + t * rdf.x, rof.y + t * rdf.y, rof.z + t * rdf.z)
+    csel = pc.gather(sph_c, ks)
+    rsel = jnp.maximum(scene.sph_rad[ks], 1e-6)
+    n_sph = pc.V3((pos.x - csel.x) / rsel, (pos.y - csel.y) / rsel,
+                  (pos.z - csel.z) / rsel)
+    n_pln = pc.gather(pc.V3.of(scene.pln_n), kp)
+    n_tri, _b0, _b1, _b2 = pc.tri_hit_info(
+        rof, rdf, pc.gather(pack.a, kt), pc.gather(pack.e1, kt),
+        pc.gather(pack.e2, kt))
+    n = n_tri.where(jnp.logical_not(is_s | is_p),
+                    n_sph.where(is_s, n_pln))
     mat = jnp.where(is_s, scene.sph_mat[ks],
                     jnp.where(is_p, scene.pln_mat[kp], tmat[kt]))
-    return t, mat, n, hit
+    return (t.reshape(shp), mat.reshape(shp),
+            n.stack().reshape(shp + (3,)), hit.reshape(shp))
 
 
 def occluded(ro, rd, tmax, scene: SceneData):
     """Any-hit within tmax over spheres + tris (planes skipped, matching
     raytrace_shader.js:152-166)."""
-    t_s = gi.ray_spheres(ro, rd, scene.sph_pos, scene.sph_rad, scene.sph_valid(), EPS)
+    shp = rd.shape[:-1]
+    R = int(np.prod(shp)) if shp else 1
+    rof = gi_V3(ro, R)
+    rdf = gi_V3(rd, R)
+    t_s = pc.spheres_t(rof, rdf, pc.V3.of(scene.sph_pos), scene.sph_rad,
+                       scene.sph_valid(), EPS)
     va, vb, vc, _m, tvalid = _all_tris(scene)
-    t_t, _n, _bc = gi.ray_triangles(ro, rd, va, vb, vc, tvalid, EPS)
-    any_s = jnp.any(t_s < tmax[..., None], axis=-1)
-    any_t = jnp.any(t_t < tmax[..., None], axis=-1)
-    return any_s | any_t
+    t_t = pc.tris_t(rof, rdf, pc.TriPack.build(va, vb, vc, tvalid), EPS)
+    tm = tmax.reshape(R)[None, :]
+    return (jnp.any(t_s < tm, axis=0)
+            | jnp.any(t_t < tm, axis=0)).reshape(shp)
+
+
+def gi_V3(arr, R):
+    """[..., 3] -> flat V3 channels [R]."""
+    return pc.V3.of(arr.reshape(R, 3))
 
 
 def shade_diffuse(pos, n, albedo, scene: SceneData):
