@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="offline")
     p.add_argument("--out", default=None, help="output file (text or png)")
     p.add_argument("--fps", type=float, default=None, help="target fps cap")
+    p.add_argument("--scene", default=None,
+                   help="unified-schema scene JSON to render instead of the "
+                        "demo scene (see utils/checkpoint.save_scene_json)")
+    p.add_argument("--atlas", default=None, metavar="FILE:WxH",
+                   help="attach a raw ASCII-texture atlas, e.g. art.bin:32x32")
     return p
 
 
@@ -77,9 +82,31 @@ def config_from_args(args) -> Config:
     return cfg.replace(**kw) if kw else cfg
 
 
+
+def _builder_from_args(args):
+    """--scene / --atlas -> SceneBuilder override (None = demo scene)."""
+    if not args.scene and not args.atlas:
+        return None
+    if args.scene:
+        from ascii_renderer_tpu.utils.checkpoint import load_scene_json
+        sb = load_scene_json(args.scene)
+    else:
+        from ascii_renderer_tpu.scene.demo import create_demo_scene
+        sb = create_demo_scene()
+    if args.atlas:
+        try:
+            path, dims = args.atlas.rsplit(":", 1)
+            w, h = (int(v) for v in dims.lower().split("x"))
+        except ValueError:
+            raise SystemExit(f'error: --atlas expects FILE:WxH, got "{args.atlas}"')
+        from ascii_renderer_tpu.atlas.io import load_atlas
+        sb.set_atlas(load_atlas(path, w, h))
+    return sb
+
+
 def run_offline(args) -> int:
     cfg = config_from_args(args)
-    cfg, scene, state, step = demo_setup(cfg)
+    cfg, scene, state, step = demo_setup(cfg, builder=_builder_from_args(args))
     ins = CameraInputs.from_keys(())
     fps_val = float(cfg.target_fps)
     t_frame = 0.0
@@ -108,7 +135,7 @@ def run_offline(args) -> int:
 
 def run_image(args) -> int:
     cfg = config_from_args(args)
-    cfg, scene, state, step = demo_setup(cfg)
+    cfg, scene, state, step = demo_setup(cfg, builder=_builder_from_args(args))
     ins = CameraInputs.from_keys(())
     state, chars, tint, _frame = step(scene, state, ins, 1.0 / 60.0,
                                       float(cfg.target_fps))
@@ -128,7 +155,7 @@ def run_interactive(args) -> int:
     import curses
 
     cfg = config_from_args(args)
-    cfg, scene, state, step = demo_setup(cfg)
+    cfg, scene, state, step = demo_setup(cfg, builder=_builder_from_args(args))
 
     def loop(scr):
         nonlocal state
@@ -193,7 +220,7 @@ def run_term(args) -> int:
         return 2
 
     cfg = config_from_args(args)
-    cfg, scene, state, step = demo_setup(cfg)
+    cfg, scene, state, step = demo_setup(cfg, builder=_builder_from_args(args))
     tb = TermBlitter(cfg.grid_height, cfg.grid_width,
                      color=not cfg.use_grayscale)
     stats = FrameStats()

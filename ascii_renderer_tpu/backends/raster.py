@@ -409,18 +409,24 @@ def channels_clip_array(ch) -> jnp.ndarray:
 
 
 def visibility_binned_ch(ch, rows: int, cols: int, slots: int = 256,
-                         tile_window: int = 4, big_cap: int = 64):
+                         tile_window: int = 2, big_cap: int = 64):
     """Channel-major tile-binned visibility (see visibility_binned for the
-    algorithm). All bbox/pair math runs on flat [2T] channels."""
+    algorithm). All bbox/pair math runs on flat [2T] channels.
+
+    tile_window=2 covers triangles spanning up to 2x2 screen tiles
+    (anything <= one tile, 128x8 px, regardless of alignment); larger
+    triangles spill to path B. Pairs are packed (tile << 19 | tri) into a
+    single i32 sort key — tri ids must stay < 2^19 (524k post-clip)."""
     xa, xb, xc = ch["sxa"], ch["sxb"], ch["sxc"]
     ya, yb, yc = ch["sya"], ch["syb"], ch["syc"]
     za, zb, zc = ch["sza"], ch["szb"], ch["szc"]
     valid = ch["valid"]
     T = xa.shape[0]
+    assert T < (1 << 19), "packed sort key supports < 524288 clipped tris"
     tiles_y = -(-rows // TILE_H)
     tiles_x = -(-cols // TILE_W)
     n_tiles = tiles_y * tiles_x
-    wy = tile_window // 2
+    wy = tile_window
     wx = tile_window
 
     xmin = jnp.minimum(jnp.minimum(xa, xb), xc)
@@ -447,7 +453,11 @@ def visibility_binned_ch(ch, rows: int, cols: int, slots: int = 256,
     pair_tri = jnp.broadcast_to(
         jnp.arange(T, dtype=jnp.int32)[:, None, None], (T, wy, wx)).reshape(-1)
 
-    tile_s, tri_s = jax.lax.sort((tile_id, pair_tri), num_keys=2)
+    # single-key sort of packed (tile, tri) — ~2x faster than a 2-operand
+    # lexicographic sort and yields the same (tile asc, tri asc) order
+    packed = jax.lax.sort((tile_id << 19) | pair_tri)
+    tile_s = packed >> 19
+    tri_s = packed & ((1 << 19) - 1)
     offsets = jnp.searchsorted(tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32))
     counts = offsets[1:] - offsets[:-1]
     slot_idx = offsets[:-1, None] + jnp.arange(slots, dtype=jnp.int32)[None, :]

@@ -126,18 +126,22 @@ def make_frame_step(cfg: Config, backend: str | None = None,
     return jax.jit(step)
 
 
-def demo_setup(cfg: Config | None = None, backend: str | None = None
+def demo_setup(cfg: Config | None = None, backend: str | None = None,
+               builder=None
                ) -> Tuple[Config, SceneData, FrameState, Callable]:
-    """Convenience: demo scene + initial state + compiled step (init()
-    analog, js/main.js:173-314)."""
+    """Scene + initial state + compiled step (init() analog,
+    js/main.js:173-314). ``builder`` overrides the demo scene."""
     cfg = cfg or Config()
     backend = backend or cfg.default_backend
-    from ascii_renderer_tpu.scene.demo import create_demo_scene
-    from ascii_renderer_tpu.atlas.io import demo_atlas
-    sb = create_demo_scene()
-    sb.set_atlas(demo_atlas())
-    if backend == "raster":
-        sb.set_env_light([0.25, 0.27, 0.3], 1.0)
+    if builder is None:
+        from ascii_renderer_tpu.scene.demo import create_demo_scene
+        from ascii_renderer_tpu.atlas.io import demo_atlas
+        sb = create_demo_scene()
+        sb.set_atlas(demo_atlas())
+        if backend == "raster":
+            sb.set_env_light([0.25, 0.27, 0.3], 1.0)
+    else:
+        sb = builder
     scene = sb.build()
     soup = None
     if backend == "raster":
