@@ -363,11 +363,10 @@ def visibility_scan(setup, rows: int, cols: int, chunk: int = 64):
 TILE_H, TILE_W = 8, 128  # f32-native VPU tile of the cell grid
 
 
-def clip_attrs_channels(attrs: jnp.ndarray, ch) -> jnp.ndarray:
+def clip_attrs_channel_lists(attrs: jnp.ndarray, ch):
     """Apply the clip rotation + lerp recorded by transform_clip_channels to
-    per-vertex attributes. attrs f32 [V=3T, A] -> tattr [2T, 3, A]
-    (channel-wise selects/lerps; one final stack materializes the gather
-    layout the deferred shader consumes)."""
+    per-vertex attributes, channel-wise. attrs f32 [V=3T, A] ->
+    3 lists (one per output vertex slot) of A channels, each [2T]."""
     V, A = attrs.shape
     T = V // 3
     av = attrs.reshape(T, 3, A)
@@ -394,8 +393,94 @@ def clip_attrs_channels(attrs: jnp.ndarray, ch) -> jnp.ndarray:
         out_slots[0].append(jnp.concatenate([t1a, r[0]]))
         out_slots[1].append(jnp.concatenate([t1b, bc]))
         out_slots[2].append(jnp.concatenate([t1c, ac]))
+    return out_slots
+
+
+def clip_attrs_channels(attrs: jnp.ndarray, ch) -> jnp.ndarray:
+    """Array-layout view of clip_attrs_channel_lists: tattr [2T, 3, A]
+    (used by the scan/oracle paths and tests)."""
+    out_slots = clip_attrs_channel_lists(attrs, ch)
     slot_arr = [jnp.stack(s, axis=-1) for s in out_slots]  # 3 x [2T, A]
     return jnp.stack(slot_arr, axis=1)  # [2T, 3, A]
+
+
+def shade_visibility_ch(tid, ch, attr_slots, scene: SceneData, rows: int,
+                        cols: int):
+    """Channel-form deferred shading: every gather is a flat [R] pull from a
+    [2T] channel (the [R,3,9]-shaped gather formulation spends ~22 ms/frame
+    in layout-padded memory traffic at bunny scale; this form is ~an order
+    cheaper). Same math as shade_visibility."""
+    R = rows * cols
+    tidf = tid.reshape(R)
+    hit = tidf >= 0
+    safe = jnp.maximum(tidf, 0)
+
+    def g(chan):
+        return chan[safe]
+
+    sx = [g(ch[f"sx{s}"]) for s in "abc"]
+    sy = [g(ch[f"sy{s}"]) for s in "abc"]
+    iw = [g(ch[f"iw{s}"]) for s in "abc"]
+
+    px = jnp.broadcast_to((jnp.arange(cols, dtype=jnp.float32) + 0.5)[None, :],
+                          (rows, cols)).reshape(R)
+    py = jnp.broadcast_to((jnp.arange(rows, dtype=jnp.float32) + 0.5)[:, None],
+                          (rows, cols)).reshape(R)
+
+    def edge(i, j):
+        return ((sx[j] - sx[i]) * (py - sy[i])
+                - (sy[j] - sy[i]) * (px - sx[i]))
+
+    w0 = edge(1, 2)
+    w1 = edge(2, 0)
+    w2 = edge(0, 1)
+    area = w0 + w1 + w2
+    area = jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
+    b = [w0 / area, w1 / area, w2 / area]
+
+    bw = [b[k] * iw[k] for k in range(3)]
+    denom = bw[0] + bw[1] + bw[2]
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    bpc = [x / denom for x in bw]
+
+    def interp(j):
+        return (bpc[0] * g(attr_slots[0][j]) + bpc[1] * g(attr_slots[1][j])
+                + bpc[2] * g(attr_slots[2][j]))
+
+    nx, ny, nz = interp(0), interp(1), interp(2)
+    cr, cg, cb = interp(3), interp(4), interp(5)
+    wx, wy_, wz = interp(6), interp(7), interp(8)
+    inv_nl = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
+    nx, ny, nz = nx * inv_nl, ny * inv_nl, nz * inv_nl
+
+    ambient = scene.env_color * scene.env_intensity
+    have_dl = scene.n_dl > 0
+    ddir = jnp.where(have_dl, scene.dl_dir[0],
+                     jnp.asarray(_DEFAULT_DIR, jnp.float32))
+    dcol = jnp.where(have_dl, scene.dl_col[0],
+                     jnp.asarray(_DEFAULT_DIR_COL, jnp.float32))
+    ndl = jnp.maximum(-(nx * ddir[0] + ny * ddir[1] + nz * ddir[2]), 0.0)
+    out = [cr * (ambient[0] + dcol[0] * ndl),
+           cg * (ambient[1] + dcol[1] * ndl),
+           cb * (ambient[2] + dcol[2] * ndl)]
+
+    pl_valid = jnp.arange(scene.pt_pos.shape[0]) < scene.n_pt
+    for i in range(scene.pt_pos.shape[0]):
+        lx = scene.pt_pos[i, 0] - wx
+        ly = scene.pt_pos[i, 1] - wy_
+        lz = scene.pt_pos[i, 2] - wz
+        d2 = jnp.maximum(lx * lx + ly * ly + lz * lz, 1e-4)
+        inv_d = jax.lax.rsqrt(d2)
+        ndlp = jnp.maximum((nx * lx + ny * ly + nz * lz) * inv_d, 0.0)
+        att = 1.0 / (1.0 + d2 * 0.05)
+        w_i = jnp.where(pl_valid[i], ndlp * att, 0.0)
+        out[0] = out[0] + cr * scene.pt_col[i, 0] * w_i
+        out[1] = out[1] + cg * scene.pt_col[i, 1] * w_i
+        out[2] = out[2] + cb * scene.pt_col[i, 2] * w_i
+
+    rgb = jnp.stack([jnp.clip(c, 0.0, 1.0) for c in out], axis=-1)
+    rgb = jnp.where(hit[:, None], rgb, 0.0)
+    return rgb.reshape(rows, cols, 3)
 
 
 def channels_clip_array(ch) -> jnp.ndarray:
@@ -408,15 +493,26 @@ def channels_clip_array(ch) -> jnp.ndarray:
     return jnp.stack(rowsv, axis=1)
 
 
-def visibility_binned_ch(ch, rows: int, cols: int, slots: int = 256,
-                         tile_window: int = 2, big_cap: int = 64):
-    """Channel-major tile-binned visibility (see visibility_binned for the
-    algorithm). All bbox/pair math runs on flat [2T] channels.
+def visibility_binned_ch(ch, rows: int, cols: int, big_cap: int = 64,
+                         tile_window: int = 2):
+    """Channel-major tile-binned visibility with EXACT per-tile bins.
 
-    tile_window=2 covers triangles spanning up to 2x2 screen tiles
-    (anything <= one tile, 128x8 px, regardless of alignment); larger
-    triangles spill to path B. Pairs are packed (tile << 19 | tri) into a
-    single i32 sort key — tri ids must stay < 2^19 (524k post-clip)."""
+    1. small triangles (bbox within a 2x2 tile window) emit up to 4
+       (tile, tri) pairs; big triangles (up to ``big_cap``, compacted) emit
+       one pair per bbox-overlapped tile — so walls/floors cost pairs, not
+       a full-screen scan pass;
+    2. one packed (tile << 19 | tri) i32 sort + searchsorted builds exact
+       per-tile bin ranges;
+    3. triangle channel data is pre-gathered into sorted-pair order and the
+       Pallas kernel (ops/raster_bins.py) walks each tile's bin with a
+       DYNAMIC chunk loop — nothing is capped or dropped, work scales with
+       actual bin sizes.
+
+    Only triangles beyond ``big_cap`` *screen-huge* ones are dropped (a
+    scene with more than 64 wall-scale triangles on screen should raise
+    the cap)."""
+    from ascii_renderer_tpu.ops import raster_bins as RB
+
     xa, xb, xc = ch["sxa"], ch["sxb"], ch["sxc"]
     ya, yb, yc = ch["sya"], ch["syb"], ch["syc"]
     za, zb, zc = ch["sza"], ch["szb"], ch["szc"]
@@ -426,8 +522,7 @@ def visibility_binned_ch(ch, rows: int, cols: int, slots: int = 256,
     tiles_y = -(-rows // TILE_H)
     tiles_x = -(-cols // TILE_W)
     n_tiles = tiles_y * tiles_x
-    wy = tile_window
-    wx = tile_window
+    wy = wx = tile_window
 
     xmin = jnp.minimum(jnp.minimum(xa, xb), xc)
     xmax = jnp.maximum(jnp.maximum(xa, xb), xc)
@@ -442,6 +537,7 @@ def visibility_binned_ch(ch, rows: int, cols: int, slots: int = 256,
     small = valid & onscreen & fits
     big = valid & onscreen & jnp.logical_not(fits)
 
+    # ---- small pairs: static 2x2 window ----
     oy = jnp.arange(wy, dtype=jnp.int32)
     ox = jnp.arange(wx, dtype=jnp.int32)
     ty = ty0[:, None, None] + oy[None, :, None]
@@ -449,209 +545,92 @@ def visibility_binned_ch(ch, rows: int, cols: int, slots: int = 256,
     pair_ok = (small[:, None, None]
                & (ty >= 0) & (ty < tiles_y) & (tx >= 0) & (tx < tiles_x)
                & (ty <= ty1[:, None, None]) & (tx <= tx1[:, None, None]))
-    tile_id = jnp.where(pair_ok, ty * tiles_x + tx, n_tiles).reshape(-1)
-    pair_tri = jnp.broadcast_to(
+    tile_small = jnp.where(pair_ok, ty * tiles_x + tx, n_tiles).reshape(-1)
+    tri_small = jnp.broadcast_to(
         jnp.arange(T, dtype=jnp.int32)[:, None, None], (T, wy, wx)).reshape(-1)
 
-    # single-key sort of packed (tile, tri) — ~2x faster than a 2-operand
-    # lexicographic sort and yields the same (tile asc, tri asc) order
+    # ---- big pairs: per-overlapped-tile emission for <= big_cap tris ----
+    (big_idx,) = jnp.nonzero(big, size=big_cap, fill_value=T)
+
+    def padi(c, fill):
+        return jnp.concatenate([c, jnp.asarray([fill], c.dtype)])[big_idx]
+
+    btx0 = padi(tx0, 1)
+    btx1 = padi(tx1, 0)  # fill slots get an empty range
+    bty0 = padi(ty0, 1)
+    bty1 = padi(ty1, 0)
+    tids_grid = jnp.arange(n_tiles, dtype=jnp.int32)
+    g_ty = tids_grid // tiles_x
+    g_tx = tids_grid % tiles_x
+    overlap = ((g_tx[None, :] >= btx0[:, None]) & (g_tx[None, :] <= btx1[:, None])
+               & (g_ty[None, :] >= bty0[:, None]) & (g_ty[None, :] <= bty1[:, None])
+               & (big_idx < T)[:, None])
+    tile_big = jnp.where(overlap, tids_grid[None, :], n_tiles).reshape(-1)
+    tri_big = jnp.broadcast_to(big_idx[:, None],
+                               (big_cap, n_tiles)).reshape(-1).astype(jnp.int32)
+    tri_big = jnp.minimum(tri_big, T - 1)  # fill slots point anywhere (dumped)
+
+    tile_id = jnp.concatenate([tile_small, tile_big])
+    pair_tri = jnp.concatenate([tri_small, tri_big])
+
     packed = jax.lax.sort((tile_id << 19) | pair_tri)
     tile_s = packed >> 19
     tri_s = packed & ((1 << 19) - 1)
-    offsets = jnp.searchsorted(tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32))
-    counts = offsets[1:] - offsets[:-1]
-    slot_idx = offsets[:-1, None] + jnp.arange(slots, dtype=jnp.int32)[None, :]
-    slot_ok = jnp.arange(slots)[None, :] < jnp.minimum(counts, slots)[:, None]
-    table = jnp.where(slot_ok,
-                      tri_s[jnp.clip(slot_idx, 0, tile_s.shape[0] - 1)], T)
-    overflow_tiles = counts > slots
+    offsets = jnp.searchsorted(tile_s, jnp.arange(n_tiles + 1,
+                                                  dtype=jnp.int32)
+                               ).astype(jnp.int32)
 
-    # Pallas kernel input: channel gathers from padded [T+1] arrays
-    from ascii_renderer_tpu.ops import raster_tiles as RT
-
+    # ---- pre-gather channel data into sorted-pair order ----
     def padg(c, fill=0.0):
-        return jnp.concatenate([c, jnp.asarray([fill], c.dtype)])[table]
+        return jnp.concatenate([c, jnp.asarray([fill], c.dtype)])[tri_s]
 
-    chan = jnp.stack([
+    P = tri_s.shape[0]
+    data = jnp.stack([
         padg(xa), padg(xb), padg(xc),
         padg(ya), padg(yb), padg(yc),
         padg(za, jnp.inf), padg(zb, jnp.inf), padg(zc, jnp.inf),
-        (table < T).astype(jnp.float32),
+        jnp.ones((P,), jnp.float32),
+        tri_s.astype(jnp.float32),
     ], axis=-1)
-    chan = jnp.concatenate(
-        [chan, jnp.zeros((n_tiles, slots, RT.N_CHAN - 10), jnp.float32)],
-        axis=-1)
-    interpret = jax.default_backend() != "tpu"
-    ztile, stile = RT.tile_eval(chan, tiles_x, interpret=interpret)
-    table_bg = jnp.concatenate(
-        [table, jnp.full((n_tiles, 1), T, jnp.int32)], axis=1)
-    tt = jnp.take_along_axis(
-        table_bg, stile.reshape(n_tiles, -1), axis=1).reshape(ztile.shape)
+    data = jnp.concatenate(
+        [data, jnp.zeros((P, RB.N_CHAN - 11), jnp.float32)], axis=-1)
+    # inert tail so any aligned slab read past the last bin stays in bounds,
+    # rounded so the packed layout divides evenly
+    tail = RB.CHUNK + 8 * RB.PACK
+    total = P + tail
+    pad_rows = (-total) % RB.PACK + tail
+    data = jnp.concatenate(
+        [data, jnp.zeros((pad_rows, RB.N_CHAN), jnp.float32)], axis=0)
+    packed = RB.pack_entries(data)
+
+    ztile, tidf = RB.tile_eval_bins(packed, offsets, tiles_x, n_tiles)
+    tt = tidf.astype(jnp.int32)
 
     zimg = (ztile.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
             .transpose(0, 2, 1, 3).reshape(tiles_y * TILE_H, tiles_x * TILE_W))
     timg = (tt.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
             .transpose(0, 2, 1, 3).reshape(tiles_y * TILE_H, tiles_x * TILE_W))
-    zbufA = zimg[:rows, :cols]
-    tidA = jnp.where(timg[:rows, :cols] >= T, -1, timg[:rows, :cols])
-
-    # path B: big + slot-overflow spill through the chunked scan
-    over_any = jnp.any(overflow_tiles)
-    spill_rank = jnp.arange(tile_s.shape[0]) - offsets[:-1].take(
-        jnp.clip(tile_s, 0, n_tiles - 1))
-    spilled_tri = jnp.where((tile_s < n_tiles) & (spill_rank >= slots),
-                            tri_s, T)
-    spill_mask = jnp.zeros((T + 1,), bool).at[spilled_tri].set(
-        True).at[T].set(False)[:T]
-    big_all = big | (spill_mask & over_any)
-
-    (big_idx,) = jnp.nonzero(big_all, size=big_cap, fill_value=T)
-
-    def padv(c, fill=0.0):
-        return jnp.concatenate([c, jnp.asarray([fill], c.dtype)])[big_idx]
-
-    xyb = jnp.stack([
-        jnp.stack([padv(xa), padv(ya)], axis=-1),
-        jnp.stack([padv(xb), padv(yb)], axis=-1),
-        jnp.stack([padv(xc), padv(yc)], axis=-1)], axis=1)
-    z01b = jnp.stack([padv(za), padv(zb), padv(zc)], axis=1)
-    validb = jnp.concatenate([big_all, jnp.zeros((1,), bool)])[big_idx]
-    setup_b = {"xy": xyb, "z01": z01b, "valid": validb}
-    zbufB, tidB_local = visibility_scan(setup_b, rows, cols,
-                                        chunk=min(64, big_cap))
-    tidB = jnp.where(tidB_local >= 0,
-                     big_idx[jnp.clip(tidB_local, 0, big_cap - 1)], -1)
-
-    a_wins = zbufA <= zbufB
-    return (jnp.where(a_wins, zbufA, zbufB).astype(jnp.float32),
-            jnp.where(a_wins, tidA, tidB).astype(jnp.int32))
+    zbuf = zimg[:rows, :cols]
+    tid = jnp.where(timg[:rows, :cols] < 0, -1, timg[:rows, :cols])
+    return zbuf, tid
 
 
 def visibility_binned(setup, rows: int, cols: int, slots: int = 256,
-                      tile_window: int = 4, big_cap: int = 64,
+                      tile_window: int = 2, big_cap: int = 64,
                       slot_chunk: int = 16):
-    """Tile-binned gather z-buffer — the fast path (bunny-class meshes).
-
-    TPU-native structure (no per-pixel loops, one small sort):
-      1. each valid triangle computes its (8 x 128)-pixel tile window —
-         up to ``tile_window`` x ``tile_window/2`` tiles — and emits
-         (tile_id, tri_id) pairs;
-      2. ONE lexicographic sort of the pairs + searchsorted builds a dense
-         per-tile table of up to ``slots`` triangle ids (the classic tiled
-         binning pass, expressed as XLA sort/gather instead of atomics);
-      3. every tile evaluates its table densely: [tiles, chunk, 8, 128]
-         edge functions + barycentric depth on the VPU, min-reduced into a
-         per-tile (z, tid) buffer with smallest-tid tie-breaks.
-
-    Triangles whose window exceeds the cap, or beyond ``slots`` per tile,
-    fall back to the ``big_cap``-slot chunked scan (path B) — correctness
-    is preserved for any input, only speed degrades. Returns (zbuf, tid).
-    """
-    xy, z01, valid = setup["xy"], setup["z01"], setup["valid"]
-    T = xy.shape[0]
-    tiles_y = -(-rows // TILE_H)
-    tiles_x = -(-cols // TILE_W)
-    n_tiles = tiles_y * tiles_x
-    wy = tile_window // 2
-    wx = tile_window
-
-    x, y = xy[..., 0], xy[..., 1]
-    xmin, xmax = jnp.min(x, axis=1), jnp.max(x, axis=1)
-    ymin, ymax = jnp.min(y, axis=1), jnp.max(y, axis=1)
-    tx0 = jnp.floor(xmin / TILE_W).astype(jnp.int32)
-    ty0 = jnp.floor(ymin / TILE_H).astype(jnp.int32)
-    tx1 = jnp.floor(xmax / TILE_W).astype(jnp.int32)
-    ty1 = jnp.floor(ymax / TILE_H).astype(jnp.int32)
-    onscreen = (xmax > 0) & (xmin < cols) & (ymax > 0) & (ymin < rows)
-    fits = ((tx1 - tx0) < wx) & ((ty1 - ty0) < wy)
-    small = valid & onscreen & fits
-    big = valid & onscreen & jnp.logical_not(fits)
-
-    # ---- 1. emit (tile, tri) pairs over the static window ----
-    oy = jnp.arange(wy, dtype=jnp.int32)
-    ox = jnp.arange(wx, dtype=jnp.int32)
-    ty = ty0[:, None, None] + oy[None, :, None]  # [T, wy, wx]
-    tx = tx0[:, None, None] + ox[None, None, :]
-    pair_ok = (small[:, None, None]
-               & (ty >= 0) & (ty < tiles_y) & (tx >= 0) & (tx < tiles_x)
-               & (ty <= ty1[:, None, None]) & (tx <= tx1[:, None, None]))
-    tile_id = jnp.where(pair_ok, ty * tiles_x + tx, n_tiles).reshape(-1)
-    pair_tri = jnp.broadcast_to(
-        jnp.arange(T, dtype=jnp.int32)[:, None, None], (T, wy, wx)).reshape(-1)
-
-    # ---- 2. sort pairs, build the per-tile slot table ----
-    tile_s, tri_s = jax.lax.sort((tile_id, pair_tri), num_keys=2)
-    offsets = jnp.searchsorted(tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32))
-    counts = offsets[1:] - offsets[:-1]  # [n_tiles]
-    slot_idx = offsets[:-1, None] + jnp.arange(slots, dtype=jnp.int32)[None, :]
-    slot_ok = jnp.arange(slots)[None, :] < jnp.minimum(counts, slots)[:, None]
-    table = jnp.where(slot_ok,
-                      tri_s[jnp.clip(slot_idx, 0, tile_s.shape[0] - 1)], T)
-
-    # tiles that overflowed their slot table route the excess through path B
-    overflow_tiles = counts > slots
-
-    # ---- 3. dense per-tile evaluation (Pallas kernel; VMEM-resident) ----
-    from ascii_renderer_tpu.ops import raster_tiles as RT
-
-    # per-tile channel-major tri data [n_tiles, 16, slots]
-    xpad = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)])
-    ypad = jnp.concatenate([y, jnp.zeros((1, 3), y.dtype)])
-    zpad = jnp.concatenate([z01, jnp.full((1, 3), jnp.inf, z01.dtype)])
-    xs = xpad[table]  # [n_tiles, slots, 3]
-    ys = ypad[table]
-    zs = zpad[table]
-    validf = (table < T).astype(jnp.float32)
-    chan = jnp.stack([
-        xs[..., 0], xs[..., 1], xs[..., 2],
-        ys[..., 0], ys[..., 1], ys[..., 2],
-        zs[..., 0], zs[..., 1], zs[..., 2],
-        validf,
-    ], axis=-1)  # [n_tiles, slots, 10]
-    chan = jnp.concatenate(
-        [chan, jnp.zeros((n_tiles, slots, RT.N_CHAN - 10), jnp.float32)],
-        axis=-1)
-    interpret = jax.default_backend() != "tpu"
-    ztile, stile = RT.tile_eval(chan, tiles_x, interpret=interpret)
-    zt = ztile
-    # winning slot -> global tri id (slot == slots means background)
-    table_bg = jnp.concatenate(
-        [table, jnp.full((n_tiles, 1), T, jnp.int32)], axis=1)
-    tt = jnp.take_along_axis(
-        table_bg, stile.reshape(n_tiles, -1), axis=1).reshape(zt.shape)
-
-    # untile -> padded image -> crop
-    zimg = (zt.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
-            .transpose(0, 2, 1, 3).reshape(tiles_y * TILE_H, tiles_x * TILE_W))
-    timg = (tt.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
-            .transpose(0, 2, 1, 3).reshape(tiles_y * TILE_H, tiles_x * TILE_W))
-    zbufA = zimg[:rows, :cols]
-    tidA = jnp.where(timg[:rows, :cols] >= T, -1, timg[:rows, :cols])
-
-    # ---- path B: big tris + slot-overflow spill via the chunked scan ----
-    over_any = jnp.any(overflow_tiles)
-    # overflow spill: tris in overflowing tiles beyond their slot cap
-    spill_rank = jnp.arange(tile_s.shape[0]) - offsets[:-1].take(
-        jnp.clip(tile_s, 0, n_tiles - 1))
-    spilled_tri = jnp.where((tile_s < n_tiles) & (spill_rank >= slots),
-                            tri_s, T)
-    spill_mask = jnp.zeros((T + 1,), bool).at[spilled_tri].set(
-        True).at[T].set(False)[:T]
-    big_all = big | (spill_mask & over_any)
-
-    (big_idx,) = jnp.nonzero(big_all, size=big_cap, fill_value=T)
-    xyb = jnp.concatenate([xy, jnp.zeros((1, 3, 2), xy.dtype)])[big_idx]
-    z01b = jnp.concatenate([z01, jnp.zeros((1, 3), z01.dtype)])[big_idx]
-    validb = jnp.concatenate([big_all, jnp.zeros((1,), bool)])[big_idx]
-    setup_b = {"xy": xyb, "z01": z01b, "valid": validb}
-    zbufB, tidB_local = visibility_scan(setup_b, rows, cols,
-                                        chunk=min(64, big_cap))
-    tidB = jnp.where(tidB_local >= 0,
-                     big_idx[jnp.clip(tidB_local, 0, big_cap - 1)], -1)
-
-    a_wins = zbufA <= zbufB
-    return (jnp.where(a_wins, zbufA, zbufB).astype(jnp.float32),
-            jnp.where(a_wins, tidA, tidB).astype(jnp.int32))
+    """Setup-dict adapter over visibility_binned_ch (kept for tests and
+    API compatibility; `slots`/`slot_chunk` are obsolete no-ops from the
+    fixed-slot-table design)."""
+    xy, z01 = setup["xy"], setup["z01"]
+    ch = {
+        "sxa": xy[:, 0, 0], "sya": xy[:, 0, 1],
+        "sxb": xy[:, 1, 0], "syb": xy[:, 1, 1],
+        "sxc": xy[:, 2, 0], "syc": xy[:, 2, 1],
+        "sza": z01[:, 0], "szb": z01[:, 1], "szc": z01[:, 2],
+        "valid": setup["valid"],
+    }
+    return visibility_binned_ch(ch, rows, cols, big_cap=big_cap,
+                                tile_window=tile_window)
 
 
 # Backwards-compatible alias (the earlier fragment-scatter implementation
@@ -734,7 +713,10 @@ def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
     if method == "auto":
         method = "scatter" if positions.shape[0] // 3 * 2 > 512 else "scan"
     if method == "scatter":
-        # channel-major fast path end to end
+        # channel-major fast path end to end; shading gathers use the
+        # materialized [2T,3,*] arrays — measured FASTER than per-channel
+        # 1-D gathers (2 wide gathers at 27 ms beat 36 narrow ones at
+        # ~125 ms: TPU gather cost is dominated by per-op overhead)
         ch = transform_clip_channels(positions, mvp)
         ch = setup_screen_channels(ch, rows, cols)
         _zbuf, tid = visibility_binned_ch(ch, rows, cols)

@@ -1,0 +1,139 @@
+"""Pallas TPU kernel: binned rasterization with dynamic per-tile bins.
+
+Replaces the fixed-slot-table kernel (ops/raster_tiles.py): that design
+capped each tile at `slots` triangles and silently dropped the rest beyond a
+small spill buffer — at bunny scale hot tiles hold thousands of triangles
+(max measured 4572 vs a 256 cap). Here every tile walks its EXACT bin:
+
+  XLA prep: (tile, tri) pairs -> one packed sort -> per-tile offsets via
+  searchsorted -> triangle channel data pre-gathered into sorted-pair order.
+
+  kernel: grid (n_tiles,), offsets ride scalar prefetch (SMEM). Each tile
+  runs a DYNAMIC fori over its chunks; each chunk DMAs a slab of the sorted
+  data into VMEM and evaluates its triangles against the (8, 128)-pixel
+  tile. Work is proportional to actual bin sizes — empty tiles cost
+  ~nothing, dense tiles take as many chunks as they need, nothing dropped.
+
+Memory layout: HBM DMA slices must span full 128-lane rows, so pair entries
+pack 8-to-a-row: data [P/8, 128] where lanes [k*16, k*16+16) hold entry k's
+channels (x0 x1 x2 y0 y1 y2 z0 z1 z2 valid tri_id pad...). The kernel's
+inner loop over k is a static 8-way unroll, so every lane index is static
+(Mosaic requirement); the sublane index may be dynamic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H, TILE_W = 8, 128
+N_CHAN = 16
+PACK = 8  # entries per 128-lane row
+CHUNK_ROWS = 32  # packed rows per DMA slab -> 256 entries
+CHUNK = PACK * CHUNK_ROWS
+
+CH_X0, CH_X1, CH_X2 = 0, 1, 2
+CH_Y0, CH_Y1, CH_Y2 = 3, 4, 5
+CH_Z0, CH_Z1, CH_Z2 = 6, 7, 8
+CH_VALID = 9
+CH_TID = 10
+
+
+def _kernel(off_ref, data_hbm, z_ref, t_ref, buf, sem, *, tiles_x: int):
+    i = pl.program_id(0)
+    ty = i // tiles_x
+    tx = i % tiles_x
+    py = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+          .astype(jnp.float32) + ty.astype(jnp.float32) * TILE_H + 0.5)
+    px = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+          .astype(jnp.float32) + tx.astype(jnp.float32) * TILE_W + 0.5)
+
+    off0 = off_ref[i]  # entry (pair) indices
+    off1 = off_ref[i + 1]
+    # DMA row offsets must be 8-row aligned -> entry alignment 64
+    start = (off0 // (8 * PACK)) * (8 * PACK)
+    n_chunks = (off1 - start + CHUNK - 1) // CHUNK
+
+    def chunk_body(c, carry):
+        zbest, tbest = carry
+        base = start + c * CHUNK  # entry index of this slab
+        cp = pltpu.make_async_copy(
+            data_hbm.at[pl.ds(base // PACK, CHUNK_ROWS)], buf, sem)
+        cp.start()
+        cp.wait()
+
+        def row_body(r, carry2):
+            zb, tb = carry2
+            for k in range(PACK):  # static unroll -> static lane offsets
+                lane = k * N_CHAN
+                p = base + r * PACK + k
+                live = (p >= off0) & (p < off1) & (buf[r, lane + CH_VALID] > 0.0)
+                x0 = buf[r, lane + CH_X0]
+                x1 = buf[r, lane + CH_X1]
+                x2 = buf[r, lane + CH_X2]
+                y0 = buf[r, lane + CH_Y0]
+                y1 = buf[r, lane + CH_Y1]
+                y2 = buf[r, lane + CH_Y2]
+                w0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+                w1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
+                w2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+                area = w0 + w1 + w2
+                inside = (w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0) & live
+                z = (w0 * buf[r, lane + CH_Z0] + w1 * buf[r, lane + CH_Z1]
+                     + w2 * buf[r, lane + CH_Z2]) / area
+                ok = inside & (z >= 0.0) & (z <= 1.0)
+                z = jnp.where(ok, z, jnp.inf)
+                better = z < zb  # strict: earlier (smaller tri id) wins ties
+                zb = jnp.where(better, z, zb)
+                tb = jnp.where(better, buf[r, lane + CH_TID], tb)
+            return zb, tb
+
+        return jax.lax.fori_loop(0, CHUNK_ROWS, row_body, (zbest, tbest))
+
+    z0 = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
+    t0 = jnp.full((TILE_H, TILE_W), -1.0, jnp.float32)
+    zb, tb = jax.lax.fori_loop(0, n_chunks, chunk_body, (z0, t0))
+    z_ref[0, ...] = zb
+    t_ref[0, ...] = tb
+
+
+def pack_entries(data: jnp.ndarray) -> jnp.ndarray:
+    """[P, N_CHAN] entries (P a multiple of PACK) -> packed [P/PACK, 128]."""
+    p = data.shape[0]
+    assert p % PACK == 0
+    return data.reshape(p // PACK, PACK * N_CHAN)
+
+
+def tile_eval_bins(data_packed: jnp.ndarray, offsets: jnp.ndarray,
+                   tiles_x: int, n_tiles: int,
+                   interpret: bool | None = None):
+    """data_packed f32 [P/8, 128] (see pack_entries; include >= CHUNK+64
+    inert trailing entries); offsets i32 [n_tiles + 1] in ENTRY units ->
+    (z [n_tiles, 8, 128] f32, tid f32 [n_tiles, 8, 128], -1 = none)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(_kernel, tiles_x=tiles_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK_ROWS, PACK * N_CHAN), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32),
+                   jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32)),
+        interpret=interpret,
+    )(offsets, data_packed)
