@@ -378,7 +378,8 @@ def trace_eye_paths(scene: SceneData, ro, rd, key, light_center, light_radius,
 
 def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
               cols: int, pixel_aspect: float, spp: int, bounces: int,
-              light_color, nee: bool = True, sample_batch: int = 32):
+              light_color, nee: bool = True, sample_batch: int = 32,
+              use_kernel: bool = False):
     """Full mainImage (pathtrace_shader.js:187-263): the sample loop with
     the center-ray/fetched-texel AA rule + glyph override short-circuit.
 
@@ -408,9 +409,14 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
     rd0 = (px[..., None] * uu + py[..., None] * vv + focal * ww)
     rd0 = rd0 / jnp.linalg.norm(rd0, axis=-1, keepdims=True)
     ro0 = jnp.broadcast_to(cam.pos, (rows, cols, 3))
-    col0, ov0, fetched = trace_eye_paths(
-        scene, ro0, rd0, jax.random.fold_in(key, 0xC0FFEE), light_center,
-        light_radius, bounces=bounces, light_color=lcol, nee=nee)
+    if use_kernel:
+        col0, ov0, fetched = trace_eye_paths_kernel(
+            scene, ro0, rd0, jnp.int32(0x5EED), light_center, light_radius,
+            bounces=bounces, light_color=lcol, nee=nee)
+    else:
+        col0, ov0, fetched = trace_eye_paths(
+            scene, ro0, rd0, jax.random.fold_in(key, 0xC0FFEE), light_center,
+            light_radius, bounces=bounces, light_color=lcol, nee=nee)
 
     # ---- phase 2: batched samples ----
     B = max(1, min(sample_batch, spp))
@@ -433,9 +439,15 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
               + (py[None] + jy)[..., None] * vv + focal * ww)
         rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
 
-        col, ov, _pf = trace_eye_paths(scene, ro_b, rd, k_path, light_center,
-                                       light_radius, bounces=bounces,
-                                       light_color=lcol, nee=nee)
+        if use_kernel:
+            col, ov, _pf = trace_eye_paths_kernel(
+                scene, ro_b, rd, b + 1, light_center, light_radius,
+                bounces=bounces, light_color=lcol, nee=nee)
+        else:
+            col, ov, _pf = trace_eye_paths(scene, ro_b, rd, k_path,
+                                           light_center, light_radius,
+                                           bounces=bounces, light_color=lcol,
+                                           nee=nee)
         valid_s = (s_idx < spp)[:, None, None]
         tot = tot + jnp.sum(jnp.where(valid_s[..., None], col, 0.0), axis=0)
         # first overriding sample in this batch (smallest s)
@@ -486,13 +498,20 @@ class PathtraceBackend:
         if self._scene is None:
             return Frame.blank(rows, cols)
         pt = self.cfg.path_tracer
-        k = (rows, cols, float(pixel_aspect))
+        # Pallas megakernel on TPU; XLA path on CPU and for atlases larger
+        # than the in-kernel one-hot gather budget.
+        from ascii_renderer_tpu.ops.pt_kernel import MAX_ATLAS_TEXELS
+        ah, aw = self._scene.atlas_a.shape
+        atlas_ok = not (ah > 1 and aw > 1) or ah * aw <= MAX_ATLAS_TEXELS
+        use_kernel = jax.default_backend() == "tpu" and atlas_ok
+        k = (rows, cols, float(pixel_aspect), use_kernel)
         fn = self._fns.get(k)
         if fn is None:
             fn = jax.jit(functools.partial(
                 render_pt, rows=rows, cols=cols, pixel_aspect=pixel_aspect,
                 spp=pt.samples_per_batch, bounces=pt.max_bounces,
-                light_color=pt.light_color, nee=pt.direct_light_sampling))
+                light_color=pt.light_color, nee=pt.direct_light_sampling,
+                use_kernel=use_kernel))
             self._fns[k] = fn
         key = jax.random.key(self._frame_idx)
         self._frame_idx += 1
@@ -502,3 +521,121 @@ class PathtraceBackend:
     def dispose(self):
         self._scene = None
         self._fns = {}
+
+
+# --------------------------------------------------------------------------
+# Pallas megakernel path (ops/pt_kernel.py)
+# --------------------------------------------------------------------------
+def pack_scene_entries(scene: SceneData):
+    """SceneData -> (prim_packed f32 [rows, 128], atlas_flat, atlas_w/h).
+
+    Entry layout: ops/pt_kernel.py channels; spheres first, then all tris
+    (scene tris + quad tri1 + quad tri2) — the XLA path's candidate order,
+    preserving tie-break semantics."""
+    from ascii_renderer_tpu.ops import pt_kernel as PK
+
+    pk = _ScenePack(scene)
+    S = pk.n_sph
+    Tn = pk.n_tris
+    S_pad = -(-S // PK.PACK) * PK.PACK  # spheres end on a row boundary
+    n_pad = S_pad + (-(-Tn // PK.PACK) * PK.PACK)
+    ent = jnp.zeros((n_pad, PK.N_CHAN), jnp.float32)
+
+    m = jnp.maximum(scene.sph_mat, 0)
+    sph_block = jnp.zeros((S, PK.N_CHAN), jnp.float32)
+    sph_block = sph_block.at[:, PK.C_KIND].set(
+        jnp.where(pk.sph_valid, 1.0, 0.0))
+    sph_block = sph_block.at[:, PK.C_AX].set(pk.sph_c.x)
+    sph_block = sph_block.at[:, PK.C_AY].set(pk.sph_c.y)
+    sph_block = sph_block.at[:, PK.C_AZ].set(pk.sph_c.z)
+    sph_block = sph_block.at[:, PK.C_E1X].set(pk.sph_r)
+    sph_block = sph_block.at[:, PK.C_SHR].set(pk.shade_m[m, 0])
+    sph_block = sph_block.at[:, PK.C_SHG].set(pk.shade_m[m, 1])
+    sph_block = sph_block.at[:, PK.C_SHB].set(pk.shade_m[m, 2])
+    sph_block = sph_block.at[:, PK.C_ISLIGHT].set(
+        pk.is_light_m[m].astype(jnp.float32))
+    sph_block = sph_block.at[:, PK.C_ISSPEC].set(
+        pk.is_spec_m[m].astype(jnp.float32))
+
+    tm = jnp.maximum(pk.tri_mat, 0)
+    tri_block = jnp.zeros((Tn, PK.N_CHAN), jnp.float32)
+    tri_block = tri_block.at[:, PK.C_KIND].set(
+        jnp.where(pk.tri.valid, 2.0, 0.0))
+    tri_block = tri_block.at[:, PK.C_AX].set(pk.tri.a.x)
+    tri_block = tri_block.at[:, PK.C_AY].set(pk.tri.a.y)
+    tri_block = tri_block.at[:, PK.C_AZ].set(pk.tri.a.z)
+    tri_block = tri_block.at[:, PK.C_E1X].set(pk.tri.e1.x)
+    tri_block = tri_block.at[:, PK.C_E1Y].set(pk.tri.e1.y)
+    tri_block = tri_block.at[:, PK.C_E1Z].set(pk.tri.e1.z)
+    tri_block = tri_block.at[:, PK.C_E2X].set(pk.tri.e2.x)
+    tri_block = tri_block.at[:, PK.C_E2Y].set(pk.tri.e2.y)
+    tri_block = tri_block.at[:, PK.C_E2Z].set(pk.tri.e2.z)
+    tri_block = tri_block.at[:, PK.C_SHR].set(pk.shade_m[tm, 0])
+    tri_block = tri_block.at[:, PK.C_SHG].set(pk.shade_m[tm, 1])
+    tri_block = tri_block.at[:, PK.C_SHB].set(pk.shade_m[tm, 2])
+    tri_block = tri_block.at[:, PK.C_ISLIGHT].set(
+        pk.is_light_m[tm].astype(jnp.float32))
+    tri_block = tri_block.at[:, PK.C_ISSPEC].set(
+        pk.is_spec_m[tm].astype(jnp.float32))
+    tri_block = tri_block.at[:, PK.C_TEXTURABLE].set(
+        pk.texturable.astype(jnp.float32))
+    tri_block = tri_block.at[:, PK.C_UVAX].set(pk.uva[:, 0])
+    tri_block = tri_block.at[:, PK.C_UVAY].set(pk.uva[:, 1])
+    tri_block = tri_block.at[:, PK.C_UVBX].set(pk.uvb[:, 0])
+    tri_block = tri_block.at[:, PK.C_UVBY].set(pk.uvb[:, 1])
+    tri_block = tri_block.at[:, PK.C_UVCX].set(pk.uvc[:, 0])
+    tri_block = tri_block.at[:, PK.C_UVCY].set(pk.uvc[:, 1])
+
+    ent = ent.at[:S].set(sph_block).at[S_pad:S_pad + Tn].set(tri_block)
+    prim_packed = ent.reshape(n_pad // PK.PACK, PK.PACK * PK.N_CHAN)
+    sph_rows = S_pad // PK.PACK
+
+    ah, aw = scene.atlas_a.shape
+    if ah > 1 and aw > 1 and ah * aw <= PK.MAX_ATLAS_TEXELS:
+        rgb = scene.atlas_rgb.reshape(-1, 3).astype(jnp.float32)
+        packed = rgb[:, 0] * 65536.0 + rgb[:, 1] * 256.0 + rgb[:, 2]
+        flat = jnp.stack(
+            [packed, scene.atlas_a.reshape(-1).astype(jnp.float32)], axis=1)
+        atlas_flat = jnp.concatenate(
+            [flat, jnp.zeros((flat.shape[0], 128 - 2), jnp.float32)], axis=1)
+        return prim_packed, atlas_flat, aw, ah, sph_rows
+    return prim_packed, jnp.zeros((8, 128), jnp.float32), 0, 0, sph_rows
+
+
+def trace_eye_paths_kernel(scene: SceneData, ro, rd, seed_base, light_center,
+                           light_radius, *, bounces: int, light_color,
+                           nee: bool, interpret=None):
+    """Megakernel twin of trace_eye_paths. ro/rd f32 [..., 3]; seeds derive
+    from seed_base (int) per ray block. Returns (Lo, override i32, fetched).
+    """
+    from ascii_renderer_tpu.ops import pt_kernel as PK
+
+    shp = rd.shape[:-1]
+    R = 1
+    for s in shp:
+        R *= s
+    nblk = -(-R // (PK.BH * PK.BW))
+    pad = nblk * PK.BH * PK.BW - R
+
+    def blockify(a):
+        flat = a.reshape(R, 3)
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad, 3), flat.dtype)], axis=0)
+        return flat.reshape(nblk, PK.BH, PK.BW, 3)
+
+    prim_packed, atlas_flat, aw, ah, sph_rows = pack_scene_entries(scene)
+    lcol = jnp.asarray(light_color, jnp.float32)
+    params = jnp.concatenate([
+        light_center, light_radius[None], lcol,
+        jnp.asarray([EPS], jnp.float32)])
+    seeds = (jnp.arange(nblk, dtype=jnp.int32)
+             + jnp.int32(seed_base) * jnp.int32(1 + nblk))
+    lo, ov, fet = PK.trace_blocks(
+        params, prim_packed, blockify(ro), blockify(rd), seeds, atlas_flat,
+        bounces=bounces, nee=nee, atlas_w=aw, atlas_h=ah, sph_rows=sph_rows,
+        interpret=interpret)
+    lo = lo.reshape(nblk * PK.BH * PK.BW, 3)[:R].reshape(shp + (3,))
+    ov = ov.reshape(-1)[:R].reshape(shp)
+    fet = fet.reshape(-1)[:R].reshape(shp)
+    return lo, jnp.round(ov).astype(jnp.int32), fet > 0.5

@@ -1,0 +1,502 @@
+"""Pallas TPU megakernel: the full path-trace bounce loop in VMEM.
+
+The XLA formulation of the tracer spends ~46 ms/frame at the default
+workload in ~30 fusion boundaries — every bounce stage round-trips its
+[P, R] candidate matrices through HBM. This kernel keeps a (8, 128) ray
+block entirely in registers/VMEM for the whole path:
+
+  grid = (n_ray_blocks,)
+  scene: primitive entries packed 4-per-128-lane-row (32 channels each),
+         streamed from VMEM with scalar reads (static lane offsets via a
+         4-way unrolled inner loop, the raster_bins.py pattern);
+  per bounce: one eager-select primitive stream (t + hit attributes
+         computed per prim, winner kept by running min), an any-hit shadow
+         stream for NEE, BRDF sampling, Russian roulette;
+  RNG:   the on-core PRNG (pltpu.prng_random_bits), seeded per block —
+         a different (still deterministic) stream than the XLA path's
+         threefry, consistent with the declared RNG non-parity;
+  atlas: ASCII-texture fetches become a one-hot MXU matmul gather
+         ([rays, texels] @ [texels, 4]); atlases up to MAX_ATLAS_TEXELS
+         are supported in-kernel, larger ones fall back to the XLA path.
+
+Semantics match backends/pathtrace.trace_eye_paths (NEE, RR, Fresnel,
+glyph short-circuit, LUT shading, candidate order) except the RNG stream.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BH, BW = 8, 128  # ray block
+N_CHAN = 32
+PACK = 4  # entries per 128-lane row
+MAX_ATLAS_TEXELS = 1024  # one-hot gather VMEM budget
+
+# entry channels (shared by spheres and tris; unused fields zero)
+# kind: 0 = inert, 1 = sphere, 2 = triangle
+C_KIND = 0
+C_AX, C_AY, C_AZ = 1, 2, 3          # sphere center | tri vertex a
+C_E1X, C_E1Y, C_E1Z = 4, 5, 6       # tri edge1     | sphere: radius in E1X
+C_E2X, C_E2Y, C_E2Z = 7, 8, 9
+C_SHR, C_SHG, C_SHB = 10, 11, 12    # shading albedo (LUT semantics)
+C_ISLIGHT, C_ISSPEC, C_TEXTURABLE = 13, 14, 15
+C_UVAX, C_UVAY, C_UVBX, C_UVBY, C_UVCX, C_UVCY = 16, 17, 18, 19, 20, 21
+
+
+def _bits_to_unit(bits):
+    # LOGICAL shift: must be uint32 (an int32 arithmetic shift sign-extends
+    # and produces negative "uniforms" -> sqrt(negative) = NaN)
+    b = pltpu.bitcast(bits, jnp.uint32) if bits.dtype != jnp.uint32 else bits
+    mant = (b >> 9) | jnp.uint32(0x3F800000)
+    return pltpu.bitcast(mant, jnp.float32) - 1.0
+
+
+def _make_uniform(seed_scalar, use_prng: bool):
+    """U[0,1) sampler. On TPU: the on-core PRNG. In interpret mode (no
+    prng_seed lowering on CPU) a counter-based xorshift hash — both streams
+    are deterministic per (seed, draw index)."""
+    if use_prng:
+        def uniform(shape):
+            return _bits_to_unit(pltpu.prng_random_bits(shape))
+        return uniform
+    counter = [jnp.uint32(0x9E3779B9)]
+
+    def uniform(shape):
+        counter[0] = counter[0] + jnp.uint32(0x85EBCA6B)
+        i = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * 131071
+             + jax.lax.broadcasted_iota(jnp.uint32, shape, 1) * 8191)
+        x = i ^ (seed_scalar.astype(jnp.uint32) * jnp.uint32(2654435761)
+                 + counter[0])
+        x = x ^ (x << 13)
+        x = x ^ (x >> 17)
+        x = x ^ (x << 5)
+        x = x * jnp.uint32(2654435761)
+        x = x ^ (x >> 16)
+        return _bits_to_unit(x)
+    return uniform
+
+
+def _kernel(params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
+            seed_r, atlas_r,
+            lor_r, log_r, lob_r, ov_r, fet_r,
+            *, bounces: int, sph_rows: int, n_rows: int, nee: bool,
+            atlas_texels: int, atlas_w: int, atlas_h: int, use_prng: bool):
+    blk = pl.program_id(0)
+    if use_prng:
+        pltpu.prng_seed(seed_r[blk])
+    _uniform = _make_uniform(seed_r[blk], use_prng)
+
+    # scalar params: light cx, cy, cz, radius, lcol r g b, eps
+    lcx = params_ref[0]
+    lcy = params_ref[1]
+    lcz = params_ref[2]
+    lrad = params_ref[3]
+    lcr = params_ref[4]
+    lcg = params_ref[5]
+    lcb = params_ref[6]
+    eps = params_ref[7]
+
+    rox = rox_r[0]
+    roy = roy_r[0]
+    roz = roz_r[0]
+    rdx = rdx_r[0]
+    rdy = rdy_r[0]
+    rdz = rdz_r[0]
+
+    Lr = jnp.zeros((BH, BW), jnp.float32)
+    Lg = jnp.zeros((BH, BW), jnp.float32)
+    Lb = jnp.zeros((BH, BW), jnp.float32)
+    Tr = jnp.ones((BH, BW), jnp.float32)
+    Tg = jnp.ones((BH, BW), jnp.float32)
+    Tb = jnp.ones((BH, BW), jnp.float32)
+    alive = jnp.ones((BH, BW), jnp.bool_)
+    spec_f = jnp.ones((BH, BW), jnp.float32)  # 0/1 (Mosaic can't select i1)
+    override = jnp.zeros((BH, BW), jnp.float32)
+    fetched = jnp.zeros((BH, BW), jnp.bool_)
+
+    def prim_stream(ox, oy, oz, dx, dy, dz, want_attrs: bool):
+        """Stream primitives in two specialized passes (sphere rows then
+        triangle rows — each entry only pays its own math). Winner carry:
+        [t, nx, ny, nz, uvx0, uvy0, shr, shg, shb, is_light_f, is_spec_f,
+        texturable_f, uvx, uvy] (flags as f32 0/1; Mosaic cannot select i1
+        vectors through a fori carry). Without want_attrs: (t,)."""
+        big = jnp.full((BH, BW), jnp.float32(3e38))
+        init = [big]
+        if want_attrs:
+            init += [jnp.zeros((BH, BW), jnp.float32) for _ in range(13)]
+
+        def sphere_row(r, carry):
+            out = list(carry)
+            for k in range(PACK):
+                ln = k * N_CHAN
+                buf = lambda c: prim_hbm[r, ln + c]
+                live = buf(C_KIND) > 0.0
+                ax = buf(C_AX)
+                ay = buf(C_AY)
+                az = buf(C_AZ)
+                rad = buf(C_E1X)
+                ocx = ox - ax
+                ocy = oy - ay
+                ocz = oz - az
+                b = ocx * dx + ocy * dy + ocz * dz
+                c = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                h = b * b - c
+                sq = jnp.sqrt(jnp.maximum(h, 0.0))
+                t1 = -b - sq
+                t2 = -b + sq
+                t = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, 3e38))
+                t = jnp.where((h >= 0.0) & live, t, 3e38)
+                better = t < out[0]
+                out[0] = jnp.where(better, t, out[0])
+                if want_attrs:
+                    inv_r = 1.0 / jnp.maximum(rad, 1e-6)
+                    nx = (ox + t * dx - ax) * inv_r
+                    ny = (oy + t * dy - ay) * inv_r
+                    nz = (oz + t * dz - az) * inv_r
+                    vals = [nx, ny, nz, 0.0, 0.0,
+                            buf(C_SHR), buf(C_SHG), buf(C_SHB),
+                            buf(C_ISLIGHT), buf(C_ISSPEC), 0.0, 0.0, 0.0]
+                    for q, val in enumerate(vals):
+                        out[1 + q] = jnp.where(better, val, out[1 + q])
+            return tuple(out)
+
+        def tri_row(r, carry):
+            out = list(carry)
+            for k in range(PACK):
+                ln = k * N_CHAN
+                buf = lambda c: prim_hbm[r, ln + c]
+                live = buf(C_KIND) > 0.0
+                ax = buf(C_AX)
+                ay = buf(C_AY)
+                az = buf(C_AZ)
+                e1x = buf(C_E1X)
+                e1y = buf(C_E1Y)
+                e1z = buf(C_E1Z)
+                e2x = buf(C_E2X)
+                e2y = buf(C_E2Y)
+                e2z = buf(C_E2Z)
+                px_ = dy * e2z - dz * e2y
+                py_ = dz * e2x - dx * e2z
+                pz_ = dx * e2y - dy * e2x
+                det = e1x * px_ + e1y * py_ + e1z * pz_
+                bad = jnp.abs(det) < 1e-6
+                inv = 1.0 / jnp.where(bad, 1.0, det)
+                tvx = ox - ax
+                tvy = oy - ay
+                tvz = oz - az
+                u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                miss = (bad | (u < 0.0) | (u > 1.0) | (v < 0.0)
+                        | (u + v > 1.0) | (t <= eps) | jnp.logical_not(live))
+                t = jnp.where(miss, 3e38, t)
+                better = t < out[0]
+                out[0] = jnp.where(better, t, out[0])
+                if want_attrs:
+                    cnx = e1y * e2z - e1z * e2y
+                    cny = e1z * e2x - e1x * e2z
+                    cnz = e1x * e2y - e1y * e2x
+                    innl = jax.lax.rsqrt(jnp.maximum(
+                        cnx * cnx + cny * cny + cnz * cnz, 1e-24))
+                    cnx = cnx * innl
+                    cny = cny * innl
+                    cnz = cnz * innl
+                    flip = (cnx * dx + cny * dy + cnz * dz) > 0.0
+                    cnx = jnp.where(flip, -cnx, cnx)
+                    cny = jnp.where(flip, -cny, cny)
+                    cnz = jnp.where(flip, -cnz, cnz)
+                    w0 = 1.0 - u - v
+                    uvx = (w0 * buf(C_UVAX) + u * buf(C_UVBX)
+                           + v * buf(C_UVCX))
+                    uvy = (w0 * buf(C_UVAY) + u * buf(C_UVBY)
+                           + v * buf(C_UVCY))
+                    vals = [cnx, cny, cnz, uvx, uvy,
+                            buf(C_SHR), buf(C_SHG), buf(C_SHB),
+                            buf(C_ISLIGHT), buf(C_ISSPEC),
+                            buf(C_TEXTURABLE), uvx, uvy]
+                    for q, val in enumerate(vals):
+                        out[1 + q] = jnp.where(better, val, out[1 + q])
+            return tuple(out)
+
+        carry = jax.lax.fori_loop(0, sph_rows, sphere_row, tuple(init))
+        carry = jax.lax.fori_loop(sph_rows, n_rows, tri_row, carry)
+        return carry
+
+    def atlas_fetch(uvx, uvy):
+        """Nearest-texel atlas gather: per-texel one-hot mask reduced over
+        the texel axis. RGB rides one packed float (r*65536 + g*256 + b,
+        exact integers < 2^24) so only TWO reduction passes are needed.
+        Returns (tr, tg, tb in 0..1, abyte f32, inbounds bool)."""
+        tx = jnp.floor(uvx + 0.5)
+        ty = jnp.floor(uvy + 0.5)
+        inb = (tx >= 0) & (tx < atlas_w) & (ty >= 0) & (ty < atlas_h)
+        lin = jnp.clip(ty * atlas_w + tx, 0, atlas_texels - 1).astype(jnp.int32)
+        texid = jax.lax.broadcasted_iota(
+            jnp.int32, (atlas_texels, BH, BW), 0)
+        oh = (lin[None] == texid).astype(jnp.float32)  # [texels, 8, 128]
+
+        def chan(c):
+            col = atlas_r[:, c]  # [texels]
+            return jnp.sum(oh * col[:, None, None], axis=0)
+
+        packed = chan(0)  # r*65536 + g*256 + b (bytes)
+        ab = chan(1)
+        r_ = jnp.floor(packed / 65536.0)
+        rem = packed - r_ * 65536.0
+        g_ = jnp.floor(rem / 256.0)
+        b_ = rem - g_ * 256.0
+        inv255 = 1.0 / 255.0
+        return r_ * inv255, g_ * inv255, b_ * inv255, ab, inb
+
+    for j in range(bounces):
+        (t, nx, ny, nz, _uvx0, _uvy0, shr, shg, shb, is_light_f, is_spec_f,
+         texturable_f, uvx, uvy) = prim_stream(rox, roy, roz, rdx, rdy, rdz,
+                                               True)
+        is_light = is_light_f > 0.5
+        is_spec = is_spec_f > 0.5
+        texturable = texturable_f > 0.5
+        # light sphere (analytic, not in the entry list)
+        ocx = rox - lcx
+        ocy = roy - lcy
+        ocz = roz - lcz
+        b = ocx * rdx + ocy * rdy + ocz * rdz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - lrad * lrad
+        h = b * b - c
+        sq = jnp.sqrt(jnp.maximum(h, 0.0))
+        t1 = -b - sq
+        t2 = -b + sq
+        t_l = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, 3e38))
+        t_l = jnp.where(h >= 0.0, t_l, 3e38)
+        lwin = t_l < t
+        t = jnp.where(lwin, t_l, t)
+        is_light = is_light | lwin
+
+        hit = t < 1e30
+        # env on miss (shader_utils.js:20-25)
+        tt = jnp.clip(rdy * 0.5 + 0.5, 0.0, 1.0) ** 1.2
+        s = jnp.clip((rdy + 0.05) / 0.1, 0.0, 1.0)
+        s = s * s * (3.0 - 2.0 * s)
+        er = 0.063 * (1 - s) + (0.90 * (1 - tt) + 0.45 * tt) * s
+        eg = 0.0525 * (1 - s) + (0.95 * (1 - tt) + 0.65 * tt) * s
+        eb = 0.042 * (1 - s) + (1.00 * (1 - tt) + 0.95 * tt) * s
+        miss = alive & jnp.logical_not(hit)
+        Lr = jnp.where(miss, Lr + Tr * er, Lr)
+        Lg = jnp.where(miss, Lg + Tg * eg, Lg)
+        Lb = jnp.where(miss, Lb + Tb * eb, Lb)
+        alive = alive & hit
+
+        lt = alive & is_light & (spec_f > 0.5)
+        Lr = jnp.where(lt, Lr + Tr * lcr, Lr)
+        Lg = jnp.where(lt, Lg + Tg * lcg, Lg)
+        Lb = jnp.where(lt, Lb + Tb * lcb, Lb)
+        alive = alive & jnp.logical_not(is_light)
+
+        hx = rox + t * rdx
+        hy = roy + t * rdy
+        hz = roz + t * rdz
+
+        if atlas_texels > 0:
+            txr, txg, txb, ab, inb = atlas_fetch(uvx, uvy)
+            sampled = alive & texturable & inb & (ab >= 0.5)
+            glyph = sampled & (ab >= 31.5) & (ab <= 126.5)
+            if j == 0:
+                fetched = sampled
+                Lr = jnp.where(glyph, txr, Lr)
+                Lg = jnp.where(glyph, txg, Lg)
+                Lb = jnp.where(glyph, txb, Lb)
+                override = jnp.where(glyph, ab, override)
+                alive = alive & jnp.logical_not(glyph)
+                solid = sampled & (ab < 1.5)
+            else:
+                solid = sampled  # solid OR glyph-truncated-to-solid
+            shr = jnp.where(solid, txr, shr)
+            shg = jnp.where(solid, txg, shg)
+            shb = jnp.where(solid, txb, shb)
+
+        # ---- next direction (BRDF) ----
+        u1 = _uniform((BH, BW))
+        u2 = _uniform((BH, BW))
+        phi = 6.2831853 * u1
+        s2 = jnp.sqrt(1.0 - u2)
+        ny_ok = jnp.abs(ny) < 0.999
+        axx = jnp.where(ny_ok, 0.0, 1.0)
+        axy = jnp.where(ny_ok, 1.0, 0.0)
+        # uu = normalize(cross(n, axis)); vv = cross(uu, n)
+        ux_ = ny * 0.0 - nz * axy
+        uy_ = nz * axx - nx * 0.0
+        uz_ = nx * axy - ny * axx
+        uinv = jax.lax.rsqrt(jnp.maximum(ux_ * ux_ + uy_ * uy_ + uz_ * uz_,
+                                         1e-24))
+        ux_ = ux_ * uinv
+        uy_ = uy_ * uinv
+        uz_ = uz_ * uinv
+        vx_ = uy_ * nz - uz_ * ny
+        vy_ = uz_ * nx - ux_ * nz
+        vz_ = ux_ * ny - uy_ * nx
+        cp_ = s2 * jnp.cos(phi)
+        sp_ = s2 * jnp.sin(phi)
+        sr2 = jnp.sqrt(u2)
+        ddx = cp_ * ux_ + sp_ * vx_ + sr2 * nx
+        ddy = cp_ * uy_ + sp_ * vy_ + sr2 * ny
+        ddz = cp_ * uz_ + sp_ * vz_ + sr2 * nz
+        dinv = jax.lax.rsqrt(jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz,
+                                         1e-24))
+        ddx = ddx * dinv
+        ddy = ddy * dinv
+        ddz = ddz * dinv
+
+        # specular branch (shader_utils.js:216-229)
+        ndotr = rdx * nx + rdy * ny + rdz * nz
+        flip = ndotr > 0.0
+        eta = jnp.where(flip, 1.5, 1.0 / 1.5)
+        nnx = jnp.where(flip, -nx, nx)
+        nny = jnp.where(flip, -ny, ny)
+        nnz = jnp.where(flip, -nz, nz)
+        r0 = 0.04
+        fres = r0 + (1.0 - r0) * (1.0 - jnp.abs(ndotr)) ** 5
+        cosi = nnx * rdx + nny * rdy + nnz * rdz
+        kk = 1.0 - eta * eta * (1.0 - cosi * cosi)
+        tir = kk < 0.0
+        f = eta * cosi + jnp.sqrt(jnp.maximum(kk, 0.0))
+        rfx = eta * rdx - f * nnx
+        rfy = eta * rdy - f * nny
+        rfz = eta * rdz - f * nnz
+        u3 = _uniform((BH, BW))
+        use_reflect = tir | (u3 < fres)
+        d2 = rdx * nnx + rdy * nny + rdz * nnz
+        rlx = rdx - 2.0 * d2 * nnx
+        rly = rdy - 2.0 * d2 * nny
+        rlz = rdz - 2.0 * d2 * nnz
+        sx_ = jnp.where(use_reflect, rlx, rfx)
+        sy_ = jnp.where(use_reflect, rly, rfy)
+        sz_ = jnp.where(use_reflect, rlz, rfz)
+        sinv = jax.lax.rsqrt(jnp.maximum(sx_ * sx_ + sy_ * sy_ + sz_ * sz_,
+                                         1e-24))
+        sx_ = sx_ * sinv
+        sy_ = sy_ * sinv
+        sz_ = sz_ * sinv
+
+        ndx = jnp.where(is_spec, sx_, ddx)
+        ndy = jnp.where(is_spec, sy_, ddy)
+        ndz = jnp.where(is_spec, sz_, ddz)
+        spec_now = is_spec
+
+        ndn = ndx * nx + ndy * ny + ndz * nz
+        absorb = alive & (jnp.logical_not(spec_now) | (ndn < 0.0))
+        Tr = jnp.where(absorb, Tr * shr, Tr)
+        Tg = jnp.where(absorb, Tg * shg, Tg)
+        Tb = jnp.where(absorb, Tb * shb, Tb)
+
+        # ---- NEE (pathtrace_shader.js:159-169) ----
+        if nee and j < bounces - 1:
+            h1 = _uniform((BH, BW)) * 2.0 - 1.0
+            h2 = _uniform((BH, BW)) * 6.2831853
+            sl = jnp.sqrt(jnp.maximum(1.0 - h1 * h1, 0.0))
+            lpx = lcx + lrad * sl * jnp.sin(h2)
+            lpy = lcy + lrad * sl * jnp.cos(h2)
+            lpz = lcz + lrad * h1
+            ldx = lpx - hx
+            ldy = lpy - hy
+            ldz = lpz - hz
+            dist = jnp.sqrt(jnp.maximum(ldx * ldx + ldy * ldy + ldz * ldz,
+                                        1e-24))
+            ldx = ldx / dist
+            ldy = ldy / dist
+            ldz = ldz / dist
+            sox = hx + nx * eps
+            soy = hy + ny * eps
+            soz = hz + nz * eps
+            (t_sh,) = prim_stream(sox, soy, soz, ldx, ldy, ldz, False)
+            shadowed = t_sh < dist
+            dlx = lcx - hx
+            dly = lcy - hy
+            dlz = lcz - hz
+            dd2 = jnp.maximum(dlx * dlx + dly * dly + dlz * dlz, 1e-12)
+            cam = jnp.sqrt(1.0 - jnp.clip(lrad * lrad / dd2, 0.0, 1.0))
+            wgt = 2.0 * (1.0 - cam)
+            ndl = jnp.maximum(ldx * nx + ldy * ny + ldz * nz, 0.0)
+            contrib = alive & jnp.logical_not(spec_now) & \
+                jnp.logical_not(shadowed)
+            wnd = wgt * ndl
+            Lr = jnp.where(contrib, Lr + Tr * lcr * wnd, Lr)
+            Lg = jnp.where(contrib, Lg + Tg * lcg * wnd, Lg)
+            Lb = jnp.where(contrib, Lb + Tb * lcb * wnd, Lb)
+
+        side = jnp.where(ndn > 0.0, eps, -eps)
+        rox = jnp.where(alive, hx + nx * side, rox)
+        roy = jnp.where(alive, hy + ny * side, roy)
+        roz = jnp.where(alive, hz + nz * side, roz)
+        rdx = jnp.where(alive, ndx, rdx)
+        rdy = jnp.where(alive, ndy, rdy)
+        rdz = jnp.where(alive, ndz, rdz)
+        spec_f = jnp.where(alive, is_spec_f, spec_f)
+
+        if j >= 2:  # Russian roulette
+            pmax = jnp.clip(jnp.maximum(Tr, jnp.maximum(Tg, Tb)), 0.05, 0.95)
+            u4 = _uniform((BH, BW))
+            alive = alive & jnp.logical_not(u4 > pmax)
+            ipm = 1.0 / pmax
+            Tr = jnp.where(alive, Tr * ipm, Tr)
+            Tg = jnp.where(alive, Tg * ipm, Tg)
+            Tb = jnp.where(alive, Tb * ipm, Tb)
+
+    lor_r[0] = Lr
+    log_r[0] = Lg
+    lob_r[0] = Lb
+    ov_r[0] = override
+    fet_r[0] = fetched.astype(jnp.float32)
+
+
+def trace_blocks(params, prim_packed, ro, rd, seeds, atlas_flat, *,
+                 bounces: int, nee: bool, atlas_w: int, atlas_h: int,
+                 sph_rows: int, interpret: bool | None = None):
+    """params f32 [8]; prim_packed f32 [rows, 128]; ro/rd f32 [B, 8, 128, 3]
+    (B ray blocks); seeds i32 [B]; atlas_flat f32 [texels_padded, 128]
+    (rgb*255?, no — rgb in 0..1 and alpha byte as float; zero texels if
+    atlas disabled, pass atlas_w = atlas_h = 0).
+
+    Returns (lo [B,8,128,3], override [B,8,128], fetched [B,8,128])."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = ro.shape[0]
+    n_rows = prim_packed.shape[0]
+    atlas_texels = atlas_flat.shape[0] if atlas_w > 0 else 0
+    kernel = functools.partial(
+        _kernel, bounces=bounces, sph_rows=sph_rows, n_rows=n_rows, nee=nee,
+        atlas_texels=atlas_texels, atlas_w=atlas_w, atlas_h=atlas_h,
+        use_prng=not interpret)
+
+    def comp_spec():
+        return pl.BlockSpec((1, BH, BW), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params [8]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # prim rows (full)
+            comp_spec(), comp_spec(), comp_spec(),  # ro xyz
+            comp_spec(), comp_spec(), comp_spec(),  # rd xyz
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seeds (full, [B])
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # atlas
+        ],
+        out_specs=tuple(comp_spec() for _ in range(5)),
+    )
+    outs = (jax.ShapeDtypeStruct((B, BH, BW), jnp.float32),) * 5
+    lor, log, lob, ov, fet = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=outs, interpret=interpret,
+    )(params, prim_packed,
+      ro[..., 0], ro[..., 1], ro[..., 2],
+      rd[..., 0], rd[..., 1], rd[..., 2],
+      seeds, atlas_flat)
+    lo = jnp.stack([lor, log, lob], axis=-1)
+    return lo, ov, fet

@@ -33,3 +33,61 @@ def test_modal_pallas_edge_clamping():
     assert out[0, 0] == 0
     ref = np.asarray(modal_filter(jnp.asarray(idx), jnp.asarray(ovr), 1, 5))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_pt_megakernel_twin_deterministic_parts():
+    """Kernel vs XLA tracer: miss/env, light hits, glyph overrides and the
+    fetched flag are RNG-free at bounces=1/nee=False — must match exactly."""
+    import jax
+    from ascii_renderer_tpu.backends import pathtrace as PT
+    from ascii_renderer_tpu.scene.demo import create_demo_scene
+    from ascii_renderer_tpu.atlas.io import demo_atlas
+    from ascii_renderer_tpu.core.camera import Camera, primary_ray_dirs
+
+    sb = create_demo_scene()
+    sb.set_atlas(demo_atlas())
+    scene = sb.build()
+    cam = Camera.create(pos=(0, 2.5, 5.2), yaw=-np.pi / 2)  # faces the poster
+    rd = primary_ray_dirs(cam, 24, 48, 0.5)
+    rox = jnp.broadcast_to(scene.camera.pos * 0 + jnp.asarray(cam.pos), rd.shape)
+    lc, lr = PT.get_light_sphere(scene, 0.0)
+    lcol = jnp.asarray((16.86, 10.76, 8.2)) * 1.3
+    a_lo, a_ov, a_f = PT.trace_eye_paths(
+        scene, rox, rd, jax.random.key(0), lc, lr, bounces=1,
+        light_color=lcol, nee=False)
+    k_lo, k_ov, k_f = PT.trace_eye_paths_kernel(
+        scene, rox, rd, 0, lc, lr, bounces=1, light_color=lcol, nee=False,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(a_ov), np.asarray(k_ov))
+    np.testing.assert_array_equal(np.asarray(a_f), np.asarray(k_f))
+    np.testing.assert_allclose(np.asarray(a_lo), np.asarray(k_lo), atol=1e-5)
+    assert (np.asarray(a_ov) > 0).sum() > 10  # the poster is actually hit
+
+
+def test_pt_megakernel_twin_statistical():
+    """Multi-bounce MC estimates agree in the mean (different RNG streams)."""
+    import jax
+    from ascii_renderer_tpu.backends import pathtrace as PT
+    from ascii_renderer_tpu.scene.demo import create_demo_scene
+    from ascii_renderer_tpu.core.camera import primary_ray_dirs
+
+    scene = create_demo_scene().build()
+    cam = scene.camera
+    rd = primary_ray_dirs(cam, 6, 12, 0.5)
+    ro = jnp.broadcast_to(cam.pos, rd.shape)
+    lc, lr = PT.get_light_sphere(scene, 0.0)
+    lcol = jnp.asarray((16.86, 10.76, 8.2)) * 1.3
+    N = 24
+    acc_a = np.zeros((6, 12, 3))
+    acc_k = np.zeros((6, 12, 3))
+    for i in range(N):
+        a_lo, _, _ = PT.trace_eye_paths(scene, ro, rd, jax.random.key(i),
+                                        lc, lr, bounces=3, light_color=lcol,
+                                        nee=True)
+        k_lo, _, _ = PT.trace_eye_paths_kernel(scene, ro, rd, i, lc, lr,
+                                               bounces=3, light_color=lcol,
+                                               nee=True, interpret=True)
+        acc_a += np.asarray(a_lo)
+        acc_k += np.asarray(k_lo)
+    # whole-image mean radiance within 3%
+    assert abs(acc_a.mean() - acc_k.mean()) / acc_a.mean() < 0.03
