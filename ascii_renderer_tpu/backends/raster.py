@@ -493,6 +493,135 @@ def channels_clip_array(ch) -> jnp.ndarray:
     return jnp.stack(rowsv, axis=1)
 
 
+def _build_bins(ch, rows: int, cols: int, big_cap: int = 64,
+                tile_window: int = 2):
+    """Shared binning prep: (tile, tri) pairs -> packed sort -> offsets.
+    Returns (tri_s [P] i32 sorted pair tri-ids, offsets [n_tiles+1] i32,
+    tiles_y, tiles_x)."""
+    xa, xb, xc = ch["sxa"], ch["sxb"], ch["sxc"]
+    ya, yb, yc = ch["sya"], ch["syb"], ch["syc"]
+    valid = ch["valid"]
+    T = xa.shape[0]
+    assert T < (1 << 19), "packed sort key supports < 524288 clipped tris"
+    tiles_y = -(-rows // TILE_H)
+    tiles_x = -(-cols // TILE_W)
+    n_tiles = tiles_y * tiles_x
+    wy = wx = tile_window
+
+    xmin = jnp.minimum(jnp.minimum(xa, xb), xc)
+    xmax = jnp.maximum(jnp.maximum(xa, xb), xc)
+    ymin = jnp.minimum(jnp.minimum(ya, yb), yc)
+    ymax = jnp.maximum(jnp.maximum(ya, yb), yc)
+    tx0 = jnp.floor(xmin / TILE_W).astype(jnp.int32)
+    ty0 = jnp.floor(ymin / TILE_H).astype(jnp.int32)
+    tx1 = jnp.floor(xmax / TILE_W).astype(jnp.int32)
+    ty1 = jnp.floor(ymax / TILE_H).astype(jnp.int32)
+    onscreen = (xmax > 0) & (xmin < cols) & (ymax > 0) & (ymin < rows)
+    fits = ((tx1 - tx0) < wx) & ((ty1 - ty0) < wy)
+    small = valid & onscreen & fits
+    big = valid & onscreen & jnp.logical_not(fits)
+
+    oy = jnp.arange(wy, dtype=jnp.int32)
+    ox = jnp.arange(wx, dtype=jnp.int32)
+    ty = ty0[:, None, None] + oy[None, :, None]
+    tx = tx0[:, None, None] + ox[None, None, :]
+    pair_ok = (small[:, None, None]
+               & (ty >= 0) & (ty < tiles_y) & (tx >= 0) & (tx < tiles_x)
+               & (ty <= ty1[:, None, None]) & (tx <= tx1[:, None, None]))
+    tile_small = jnp.where(pair_ok, ty * tiles_x + tx, n_tiles).reshape(-1)
+    tri_small = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[:, None, None], (T, wy, wx)).reshape(-1)
+
+    (big_idx,) = jnp.nonzero(big, size=big_cap, fill_value=T)
+
+    def padi(c, fill):
+        return jnp.concatenate([c, jnp.asarray([fill], c.dtype)])[big_idx]
+
+    btx0 = padi(tx0, 1)
+    btx1 = padi(tx1, 0)
+    bty0 = padi(ty0, 1)
+    bty1 = padi(ty1, 0)
+    tids_grid = jnp.arange(n_tiles, dtype=jnp.int32)
+    g_ty = tids_grid // tiles_x
+    g_tx = tids_grid % tiles_x
+    overlap = ((g_tx[None, :] >= btx0[:, None]) & (g_tx[None, :] <= btx1[:, None])
+               & (g_ty[None, :] >= bty0[:, None]) & (g_ty[None, :] <= bty1[:, None])
+               & (big_idx < T)[:, None])
+    tile_big = jnp.where(overlap, tids_grid[None, :], n_tiles).reshape(-1)
+    tri_big = jnp.broadcast_to(big_idx[:, None],
+                               (big_cap, n_tiles)).reshape(-1).astype(jnp.int32)
+    tri_big = jnp.minimum(tri_big, T - 1)
+
+    tile_id = jnp.concatenate([tile_small, tile_big])
+    pair_tri = jnp.concatenate([tri_small, tri_big])
+    packed = jax.lax.sort((tile_id << 19) | pair_tri)
+    tile_s = packed >> 19
+    tri_s = packed & ((1 << 19) - 1)
+    offsets = jnp.searchsorted(tile_s, jnp.arange(n_tiles + 1,
+                                                  dtype=jnp.int32)
+                               ).astype(jnp.int32)
+    return tri_s, offsets, tiles_y, tiles_x
+
+
+def render_fused_ch(ch, attr_slots, scene: SceneData, rows: int, cols: int,
+                    big_cap: int = 64):
+    """Fully fused rasterization: binning + the shaded Pallas kernel
+    (ops/raster_bins.tile_eval_bins_shaded) — no visibility buffer, no
+    deferred gathers. attr_slots: 3 lists of 9 channels [2T] each
+    (nx ny nz cr cg cb wx wy wz per output vertex slot)."""
+    from ascii_renderer_tpu.ops import raster_bins as RB
+
+    tri_s, offsets, tiles_y, tiles_x = _build_bins(ch, rows, cols, big_cap)
+    n_tiles = tiles_y * tiles_x
+    P = tri_s.shape[0]
+
+    def padg(c, fill=0.0):
+        return jnp.concatenate([c, jnp.asarray([fill], c.dtype)])[tri_s]
+
+    chans = [jnp.ones((P,), jnp.float32)]  # S_VALID
+    for key in ("sxa", "sxb", "sxc", "sya", "syb", "syc"):
+        chans.append(padg(ch[key]))
+    for key in ("sza", "szb", "szc"):
+        chans.append(padg(ch[key], jnp.inf))
+    for key in ("iwa", "iwb", "iwc"):
+        chans.append(padg(ch[key]))
+    for slot in range(3):
+        for a in range(9):
+            chans.append(padg(attr_slots[slot][a]))
+    data = jnp.stack(chans, axis=-1)  # [P, 40]
+    data = jnp.concatenate(
+        [data, jnp.zeros((P, RB.NS_CHAN - data.shape[1]), jnp.float32)],
+        axis=-1)
+    tail = RB.S_CHUNK + 8 * RB.NS_PACK
+    total = P + tail
+    pad_rows = (-total) % RB.NS_PACK + tail
+    data = jnp.concatenate(
+        [data, jnp.zeros((pad_rows, RB.NS_CHAN), jnp.float32)], axis=0)
+    packed = data.reshape(data.shape[0] // RB.NS_PACK,
+                          RB.NS_PACK * RB.NS_CHAN)
+
+    # light params (matches shade_visibility's semantics)
+    ambient = scene.env_color * scene.env_intensity
+    have_dl = scene.n_dl > 0
+    ddir = jnp.where(have_dl, scene.dl_dir[0],
+                     jnp.asarray(_DEFAULT_DIR, jnp.float32))
+    dcol = jnp.where(have_dl, scene.dl_col[0],
+                     jnp.asarray(_DEFAULT_DIR_COL, jnp.float32))
+    n_pl = jnp.minimum(scene.n_pt, RB.L_MAX_PL).astype(jnp.float32)
+    lp = jnp.zeros((64,), jnp.float32)
+    lp = lp.at[0:3].set(ambient).at[3:6].set(ddir).at[6:9].set(dcol)
+    lp = lp.at[9].set(n_pl)
+    for i in range(min(RB.L_MAX_PL, scene.pt_pos.shape[0])):
+        lp = lp.at[10 + 6 * i: 13 + 6 * i].set(scene.pt_pos[i])
+        lp = lp.at[13 + 6 * i: 16 + 6 * i].set(scene.pt_col[i])
+
+    rgbt = RB.tile_eval_bins_shaded(packed, offsets, lp, tiles_x, n_tiles)
+    img = (rgbt.reshape(tiles_y, tiles_x, 3, TILE_H, TILE_W)
+           .transpose(0, 3, 1, 4, 2)
+           .reshape(tiles_y * TILE_H, tiles_x * TILE_W, 3))
+    return img[:rows, :cols]
+
+
 def visibility_binned_ch(ch, rows: int, cols: int, big_cap: int = 64,
                          tile_window: int = 2):
     """Channel-major tile-binned visibility with EXACT per-tile bins.
@@ -711,7 +840,16 @@ def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
     attrs = jnp.concatenate([normals, colors, positions], axis=1)  # [V, 9]
     mvp = camera_mvp(cam, rows, cols, pixel_aspect)
     if method == "auto":
+        # measured on TPU at bunny scale: visibility+deferred 104 ms vs
+        # fused-shading 232 ms (eager per-entry attribute interpolation
+        # outweighs the deferred gathers) — keep the visibility buffer
         method = "scatter" if positions.shape[0] // 3 * 2 > 512 else "scan"
+    if method == "fused":
+        ch = transform_clip_channels(positions, mvp)
+        ch = setup_screen_channels(ch, rows, cols)
+        attr_slots = clip_attrs_channel_lists(attrs, ch)
+        # re-group: each slot list of A=9 channels
+        return render_fused_ch(ch, attr_slots, scene, rows, cols)
     if method == "scatter":
         # channel-major fast path end to end; shading gathers use the
         # materialized [2T,3,*] arrays — measured FASTER than per-channel

@@ -137,3 +137,164 @@ def tile_eval_bins(data_packed: jnp.ndarray, offsets: jnp.ndarray,
                    jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32)),
         interpret=interpret,
     )(offsets, data_packed)
+
+
+# --------------------------------------------------------------------------
+# Fused-shading variant: interpolate + light inside the walk
+# --------------------------------------------------------------------------
+NS_CHAN = 64
+NS_PACK = 2  # entries per 128-lane row
+
+S_VALID = 0
+S_X0, S_X1, S_X2 = 1, 2, 3
+S_Y0, S_Y1, S_Y2 = 4, 5, 6
+S_Z0, S_Z1, S_Z2 = 7, 8, 9
+S_IW0, S_IW1, S_IW2 = 10, 11, 12
+S_ATTR = 13  # 9 attrs (nx ny nz cr cg cb wx wy wz) x 3 vertices = 27 ch
+S_CHUNK_ROWS = 32
+S_CHUNK = NS_PACK * S_CHUNK_ROWS
+
+# light params layout (SMEM f32 [64]):
+#   0..2 ambient rgb, 3..5 dir-light dir, 6..8 dir-light col, 9 n_point,
+#   10 + 6*i .. : point light i (pos xyz, col rgb), up to 8
+L_MAX_PL = 8
+
+
+def _shaded_kernel(off_ref, data_hbm, light_ref, rgb_r, buf, sem,
+                   *, tiles_x: int):
+    i = pl.program_id(0)
+    ty = i // tiles_x
+    tx = i % tiles_x
+    py = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+          .astype(jnp.float32) + ty.astype(jnp.float32) * TILE_H + 0.5)
+    px = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+          .astype(jnp.float32) + tx.astype(jnp.float32) * TILE_W + 0.5)
+
+    off0 = off_ref[i]
+    off1 = off_ref[i + 1]
+    start = (off0 // (8 * NS_PACK)) * (8 * NS_PACK)
+    n_chunks = (off1 - start + S_CHUNK - 1) // S_CHUNK
+
+    zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    carry0 = (jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32),) + (zero,) * 9
+
+    def chunk_body(c, carry):
+        base = start + c * S_CHUNK
+        cp = pltpu.make_async_copy(
+            data_hbm.at[pl.ds(base // NS_PACK, S_CHUNK_ROWS)], buf, sem)
+        cp.start()
+        cp.wait()
+
+        def row_body(r, carry2):
+            out = list(carry2)
+            for k in range(NS_PACK):
+                ln = k * NS_CHAN
+                b_ = lambda ch: buf[r, ln + ch]
+                p = base + r * NS_PACK + k
+                live = (p >= off0) & (p < off1) & (b_(S_VALID) > 0.0)
+                x0 = b_(S_X0)
+                x1 = b_(S_X1)
+                x2 = b_(S_X2)
+                y0 = b_(S_Y0)
+                y1 = b_(S_Y1)
+                y2 = b_(S_Y2)
+                w0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+                w1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
+                w2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+                area = w0 + w1 + w2
+                inside = (w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0) & live
+                inv_area = 1.0 / area
+                z = (w0 * b_(S_Z0) + w1 * b_(S_Z1) + w2 * b_(S_Z2)) * inv_area
+                ok = inside & (z >= 0.0) & (z <= 1.0)
+                z = jnp.where(ok, z, jnp.inf)
+                better = z < out[0]
+                out[0] = jnp.where(better, z, out[0])
+                # perspective-correct barycentrics
+                bw0 = w0 * b_(S_IW0)
+                bw1 = w1 * b_(S_IW1)
+                bw2 = w2 * b_(S_IW2)
+                dnm = bw0 + bw1 + bw2
+                inv_dnm = 1.0 / jnp.where(jnp.abs(dnm) < 1e-30, 1e-30, dnm)
+                p0 = bw0 * inv_dnm
+                p1 = bw1 * inv_dnm
+                p2 = bw2 * inv_dnm
+                for a in range(9):
+                    val = (p0 * b_(S_ATTR + a) + p1 * b_(S_ATTR + 9 + a)
+                           + p2 * b_(S_ATTR + 18 + a))
+                    out[1 + a] = jnp.where(better, val, out[1 + a])
+            return tuple(out)
+
+        return jax.lax.fori_loop(0, S_CHUNK_ROWS, row_body, carry)
+
+    st = jax.lax.fori_loop(0, n_chunks, chunk_body, carry0)
+    zb = st[0]
+    nx, ny, nz, cr, cg, cb, wx, wy_, wz = st[1:]
+    hit = zb < jnp.inf
+
+    inv_nl = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
+    nx = nx * inv_nl
+    ny = ny * inv_nl
+    nz = nz * inv_nl
+
+    amb_r = light_ref[0]
+    amb_g = light_ref[1]
+    amb_b = light_ref[2]
+    ddx = light_ref[3]
+    ddy = light_ref[4]
+    ddz = light_ref[5]
+    dcr = light_ref[6]
+    dcg = light_ref[7]
+    dcb = light_ref[8]
+    n_pl = light_ref[9]
+    ndl = jnp.maximum(-(nx * ddx + ny * ddy + nz * ddz), 0.0)
+    orr = cr * (amb_r + dcr * ndl)
+    og = cg * (amb_g + dcg * ndl)
+    ob = cb * (amb_b + dcb * ndl)
+    for pi in range(L_MAX_PL):
+        base = 10 + 6 * pi
+        lx = light_ref[base + 0] - wx
+        ly = light_ref[base + 1] - wy_
+        lz = light_ref[base + 2] - wz
+        d2 = jnp.maximum(lx * lx + ly * ly + lz * lz, 1e-4)
+        inv_d = jax.lax.rsqrt(d2)
+        ndlp = jnp.maximum((nx * lx + ny * ly + nz * lz) * inv_d, 0.0)
+        att = 1.0 / (1.0 + d2 * 0.05)
+        on = jnp.where(n_pl > pi + 0.5, ndlp * att, 0.0)
+        orr = orr + cr * light_ref[base + 3] * on
+        og = og + cg * light_ref[base + 4] * on
+        ob = ob + cb * light_ref[base + 5] * on
+
+    rgb_r[0, 0] = jnp.where(hit, jnp.clip(orr, 0.0, 1.0), 0.0)
+    rgb_r[0, 1] = jnp.where(hit, jnp.clip(og, 0.0, 1.0), 0.0)
+    rgb_r[0, 2] = jnp.where(hit, jnp.clip(ob, 0.0, 1.0), 0.0)
+
+
+def tile_eval_bins_shaded(data_packed: jnp.ndarray, offsets: jnp.ndarray,
+                          light_params: jnp.ndarray, tiles_x: int,
+                          n_tiles: int, interpret: bool | None = None):
+    """Fused walk + perspective-correct interpolation + fragment lighting.
+
+    data_packed f32 [P/2, 128] (NS_CHAN=64-channel entries, 2 per row);
+    light_params f32 [64] (see layout above) -> rgb [n_tiles, 3, 8, 128]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(_shaded_kernel, tiles_x=tiles_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, 3, TILE_H, TILE_W),
+                               lambda i, *_: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((S_CHUNK_ROWS, NS_PACK * NS_CHAN), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 3, TILE_H, TILE_W),
+                                       jnp.float32),
+        interpret=interpret,
+    )(offsets, data_packed, light_params)

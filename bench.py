@@ -85,6 +85,32 @@ def _mesh_scene(mesh_fn, color, cam_pos, cam_pitch=-0.35):
     return (jnp.asarray(p), jnp.asarray(n), jnp.asarray(c)), scene, cam
 
 
+def bench_config0(smoke):
+    """The reference's own headline workload: the default path tracer at
+    96x36 cells, 64 spp, 5 bounces, demo scene with ASCII-texture atlas
+    (the browser app caps this at 60 FPS)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from ascii_renderer_tpu.backends.pathtrace import render_pt
+    from ascii_renderer_tpu.scene.demo import create_demo_scene
+    from ascii_renderer_tpu.atlas.io import demo_atlas
+
+    sb = create_demo_scene()
+    sb.set_atlas(demo_atlas())
+    scene = sb.build()
+    spp = 8 if smoke else 64
+    use_kernel = jax.default_backend() == "tpu"
+    fn = jax.jit(functools.partial(
+        render_pt, rows=36, cols=96, pixel_aspect=0.5, spp=spp, bounces=5,
+        light_color=(16.86, 10.76, 8.2), sample_batch=min(64, spp),
+        use_kernel=use_kernel))
+    key = jax.random.key(0)
+    dt = _time_fn(lambda: fn(scene, scene.camera, jnp.float32(0.0), key), ())
+    return {"fps": 1.0 / dt, "spp": spp, "grid": "96x36",
+            "vs_ref_60fps": round(1.0 / dt / 60.0, 3)}
+
+
 def bench_config1(smoke):
     """Spinning cube, 80x24 grid, full frame pipeline."""
     from ascii_renderer_tpu.core.config import Config
@@ -188,7 +214,7 @@ def bench_config5(smoke):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
-    ap.add_argument("--config", type=int, default=None, choices=[1, 2, 3, 4, 5])
+    ap.add_argument("--config", type=int, default=None, choices=[0, 1, 2, 3, 4, 5])
     args = ap.parse_args(argv)
 
     import jax
@@ -198,9 +224,9 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _log(f"devices: {jax.devices()}")
 
-    configs = {1: bench_config1, 2: bench_config2, 3: bench_config3,
-               4: bench_config4, 5: bench_config5}
-    run = [args.config] if args.config else [1, 2, 3, 4, 5]
+    configs = {0: bench_config0, 1: bench_config1, 2: bench_config2,
+               3: bench_config3, 4: bench_config4, 5: bench_config5}
+    run = [args.config] if args.config is not None else [0, 1, 2, 3, 4, 5]
     results = {}
     for i in run:
         try:

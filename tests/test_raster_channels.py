@@ -75,3 +75,20 @@ def test_channel_render_mesh_view():
     bad = (np.abs(a - b).max(-1) > 1e-4).sum()
     assert bad <= 10, f"{bad} differing pixels"
     assert (a.sum(-1) > 0).mean() > 0.02  # something rendered
+
+
+def test_fused_shading_matches_scan():
+    """The fused-shading Pallas path (binning + in-kernel interpolation +
+    lighting) must match the scan + deferred-shading oracle."""
+    sb = create_demo_scene()
+    sb.set_env_light([0.25, 0.27, 0.3], 1.0)
+    scene = sb.build()
+    p, n, c = tessellate_scene(scene)
+    args = (jnp.asarray(p), jnp.asarray(n), jnp.asarray(c), scene, scene.camera)
+    f_scan = jax.jit(functools.partial(R.render_soup, rows=36, cols=96,
+                                       pixel_aspect=0.5, method="scan"))
+    f_fused = jax.jit(functools.partial(R.render_soup, rows=36, cols=96,
+                                        pixel_aspect=0.5, method="fused"))
+    a = np.asarray(f_scan(*args))
+    b = np.asarray(f_fused(*args))
+    assert (np.abs(a - b).max(-1) > 1e-4).sum() == 0
