@@ -404,85 +404,6 @@ def clip_attrs_channels(attrs: jnp.ndarray, ch) -> jnp.ndarray:
     return jnp.stack(slot_arr, axis=1)  # [2T, 3, A]
 
 
-def shade_visibility_ch(tid, ch, attr_slots, scene: SceneData, rows: int,
-                        cols: int):
-    """Channel-form deferred shading: every gather is a flat [R] pull from a
-    [2T] channel (the [R,3,9]-shaped gather formulation spends ~22 ms/frame
-    in layout-padded memory traffic at bunny scale; this form is ~an order
-    cheaper). Same math as shade_visibility."""
-    R = rows * cols
-    tidf = tid.reshape(R)
-    hit = tidf >= 0
-    safe = jnp.maximum(tidf, 0)
-
-    def g(chan):
-        return chan[safe]
-
-    sx = [g(ch[f"sx{s}"]) for s in "abc"]
-    sy = [g(ch[f"sy{s}"]) for s in "abc"]
-    iw = [g(ch[f"iw{s}"]) for s in "abc"]
-
-    px = jnp.broadcast_to((jnp.arange(cols, dtype=jnp.float32) + 0.5)[None, :],
-                          (rows, cols)).reshape(R)
-    py = jnp.broadcast_to((jnp.arange(rows, dtype=jnp.float32) + 0.5)[:, None],
-                          (rows, cols)).reshape(R)
-
-    def edge(i, j):
-        return ((sx[j] - sx[i]) * (py - sy[i])
-                - (sy[j] - sy[i]) * (px - sx[i]))
-
-    w0 = edge(1, 2)
-    w1 = edge(2, 0)
-    w2 = edge(0, 1)
-    area = w0 + w1 + w2
-    area = jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
-    b = [w0 / area, w1 / area, w2 / area]
-
-    bw = [b[k] * iw[k] for k in range(3)]
-    denom = bw[0] + bw[1] + bw[2]
-    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    bpc = [x / denom for x in bw]
-
-    def interp(j):
-        return (bpc[0] * g(attr_slots[0][j]) + bpc[1] * g(attr_slots[1][j])
-                + bpc[2] * g(attr_slots[2][j]))
-
-    nx, ny, nz = interp(0), interp(1), interp(2)
-    cr, cg, cb = interp(3), interp(4), interp(5)
-    wx, wy_, wz = interp(6), interp(7), interp(8)
-    inv_nl = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
-    nx, ny, nz = nx * inv_nl, ny * inv_nl, nz * inv_nl
-
-    ambient = scene.env_color * scene.env_intensity
-    have_dl = scene.n_dl > 0
-    ddir = jnp.where(have_dl, scene.dl_dir[0],
-                     jnp.asarray(_DEFAULT_DIR, jnp.float32))
-    dcol = jnp.where(have_dl, scene.dl_col[0],
-                     jnp.asarray(_DEFAULT_DIR_COL, jnp.float32))
-    ndl = jnp.maximum(-(nx * ddir[0] + ny * ddir[1] + nz * ddir[2]), 0.0)
-    out = [cr * (ambient[0] + dcol[0] * ndl),
-           cg * (ambient[1] + dcol[1] * ndl),
-           cb * (ambient[2] + dcol[2] * ndl)]
-
-    pl_valid = jnp.arange(scene.pt_pos.shape[0]) < scene.n_pt
-    for i in range(scene.pt_pos.shape[0]):
-        lx = scene.pt_pos[i, 0] - wx
-        ly = scene.pt_pos[i, 1] - wy_
-        lz = scene.pt_pos[i, 2] - wz
-        d2 = jnp.maximum(lx * lx + ly * ly + lz * lz, 1e-4)
-        inv_d = jax.lax.rsqrt(d2)
-        ndlp = jnp.maximum((nx * lx + ny * ly + nz * lz) * inv_d, 0.0)
-        att = 1.0 / (1.0 + d2 * 0.05)
-        w_i = jnp.where(pl_valid[i], ndlp * att, 0.0)
-        out[0] = out[0] + cr * scene.pt_col[i, 0] * w_i
-        out[1] = out[1] + cg * scene.pt_col[i, 1] * w_i
-        out[2] = out[2] + cb * scene.pt_col[i, 2] * w_i
-
-    rgb = jnp.stack([jnp.clip(c, 0.0, 1.0) for c in out], axis=-1)
-    rgb = jnp.where(hit[:, None], rgb, 0.0)
-    return rgb.reshape(rows, cols, 3)
-
-
 def channels_clip_array(ch) -> jnp.ndarray:
     """Materialize the [2T, 3, 4] clip array from channels (one stack; used
     only by the deferred shading gather)."""
@@ -762,9 +683,7 @@ def visibility_binned(setup, rows: int, cols: int, slots: int = 256,
                                 tile_window=tile_window)
 
 
-# Backwards-compatible alias (the earlier fragment-scatter implementation
-# was superseded by the tile-binned design above).
-visibility_scatter = visibility_binned
+
 
 
 def shade_visibility(tid, clip, attrs, scene: SceneData, rows: int, cols: int):

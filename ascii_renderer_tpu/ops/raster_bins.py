@@ -1,6 +1,6 @@
 """Pallas TPU kernel: binned rasterization with dynamic per-tile bins.
 
-Replaces the fixed-slot-table kernel (ops/raster_tiles.py): that design
+Replaces an earlier fixed-slot-table kernel design which
 capped each tile at `slots` triangles and silently dropped the rest beyond a
 small spill buffer — at bunny scale hot tiles hold thousands of triangles
 (max measured 4572 vs a 256 cap). Here every tile walks its EXACT bin:
