@@ -543,6 +543,102 @@ def render_fused_ch(ch, attr_slots, scene: SceneData, rows: int, cols: int,
     return img[:rows, :cols]
 
 
+def shade_planes_ch(tid, ch, attr_slots, scene: SceneData, rows: int,
+                    cols: int):
+    """Deferred shading via per-triangle screen-space PLANE coefficients.
+
+    Perspective-correct interpolation of attribute A is N_A(p)/D(p) where
+    both N_A = sum_k w_k(p) iw_k A_k / area and D = sum_k w_k(p) iw_k / area
+    are LINEAR in the pixel coords (the edge functions w_k are). So each
+    triangle precomputes 10 planes (9 attrs + denominator, 3 coeffs each)
+    as cheap [2T] channel math, and the per-pixel stage is ONE 32-wide
+    gather + ~40 FMAs — replacing the two wide vertex gathers (clip +
+    attrs, ~80 MB of random access) the rederivation needed."""
+    A = 9
+    sx = [ch[f"sx{s}"] for s in "abc"]
+    sy = [ch[f"sy{s}"] for s in "abc"]
+    iw = [ch[f"iw{s}"] for s in "abc"]
+    # edge-function coefficients: w_k = alpha_k*px + beta_k*py + gamma_k
+    alpha, beta, gamma = [], [], []
+    for k in range(3):
+        x1, y1 = sx[(k + 1) % 3], sy[(k + 1) % 3]
+        x2, y2 = sx[(k + 2) % 3], sy[(k + 2) % 3]
+        alpha.append(-(y2 - y1))
+        beta.append(x2 - x1)
+        gamma.append((y2 - y1) * x1 - (x2 - x1) * y1)
+    area = ch["area2"]  # w0+w1+w2 is constant per tri (set in setup)
+    inv_area = 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
+
+    planes = []  # 10 x (a, b, c) channels [2T]
+    for j in range(A):
+        av = [attr_slots[k][j] for k in range(3)]
+        pa = sum(alpha[k] * iw[k] * av[k] for k in range(3)) * inv_area
+        pb = sum(beta[k] * iw[k] * av[k] for k in range(3)) * inv_area
+        pc = sum(gamma[k] * iw[k] * av[k] for k in range(3)) * inv_area
+        planes.append((pa, pb, pc))
+    da = sum(alpha[k] * iw[k] for k in range(3)) * inv_area
+    db = sum(beta[k] * iw[k] for k in range(3)) * inv_area
+    dc = sum(gamma[k] * iw[k] for k in range(3)) * inv_area
+    planes.append((da, db, dc))
+
+    table = jnp.stack([c for p in planes for c in p], axis=-1)  # [2T, 30]
+    table = jnp.concatenate(
+        [table, jnp.zeros((table.shape[0], 2), jnp.float32)], axis=-1)
+    table = jnp.concatenate(
+        [table, jnp.zeros((1, 32), jnp.float32)], axis=0)  # bg row
+
+    R_ = rows * cols
+    tidf = tid.reshape(R_)
+    hit = tidf >= 0
+    g = table[jnp.where(hit, tidf, table.shape[0] - 1)]  # [R, 32]
+    px = jnp.broadcast_to((jnp.arange(cols, dtype=jnp.float32) + 0.5)[None],
+                          (rows, cols)).reshape(R_)
+    py = jnp.broadcast_to((jnp.arange(rows, dtype=jnp.float32) + 0.5)[:, None],
+                          (rows, cols)).reshape(R_)
+    d = g[:, 27] * px + g[:, 28] * py + g[:, 29]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+
+    def attr(j):
+        return (g[:, 3 * j] * px + g[:, 3 * j + 1] * py
+                + g[:, 3 * j + 2]) * inv_d
+
+    nx, ny, nz = attr(0), attr(1), attr(2)
+    cr, cg, cb = attr(3), attr(4), attr(5)
+    wx, wy_, wz = attr(6), attr(7), attr(8)
+    inv_nl = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
+    nx, ny, nz = nx * inv_nl, ny * inv_nl, nz * inv_nl
+
+    ambient = scene.env_color * scene.env_intensity
+    have_dl = scene.n_dl > 0
+    ddir = jnp.where(have_dl, scene.dl_dir[0],
+                     jnp.asarray(_DEFAULT_DIR, jnp.float32))
+    dcol = jnp.where(have_dl, scene.dl_col[0],
+                     jnp.asarray(_DEFAULT_DIR_COL, jnp.float32))
+    ndl = jnp.maximum(-(nx * ddir[0] + ny * ddir[1] + nz * ddir[2]), 0.0)
+    out_r = cr * (ambient[0] + dcol[0] * ndl)
+    out_g = cg * (ambient[1] + dcol[1] * ndl)
+    out_b = cb * (ambient[2] + dcol[2] * ndl)
+
+    pl_valid = jnp.arange(scene.pt_pos.shape[0]) < scene.n_pt
+    for i in range(scene.pt_pos.shape[0]):
+        lx = scene.pt_pos[i, 0] - wx
+        ly = scene.pt_pos[i, 1] - wy_
+        lz = scene.pt_pos[i, 2] - wz
+        d2 = jnp.maximum(lx * lx + ly * ly + lz * lz, 1e-4)
+        inv_dd = jax.lax.rsqrt(d2)
+        ndlp = jnp.maximum((nx * lx + ny * ly + nz * lz) * inv_dd, 0.0)
+        att = 1.0 / (1.0 + d2 * 0.05)
+        w_i = jnp.where(pl_valid[i], ndlp * att, 0.0)
+        out_r = out_r + cr * scene.pt_col[i, 0] * w_i
+        out_g = out_g + cg * scene.pt_col[i, 1] * w_i
+        out_b = out_b + cb * scene.pt_col[i, 2] * w_i
+
+    rgb = jnp.stack([jnp.clip(out_r, 0.0, 1.0), jnp.clip(out_g, 0.0, 1.0),
+                     jnp.clip(out_b, 0.0, 1.0)], axis=-1)
+    rgb = jnp.where(hit[:, None], rgb, 0.0)
+    return rgb.reshape(rows, cols, 3)
+
+
 def visibility_binned_ch(ch, rows: int, cols: int, big_cap: int = 64,
                          tile_window: int = 2):
     """Channel-major tile-binned visibility with EXACT per-tile bins.
@@ -777,12 +873,11 @@ def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
         ch = transform_clip_channels(positions, mvp)
         ch = setup_screen_channels(ch, rows, cols)
         _zbuf, tid = visibility_binned_ch(ch, rows, cols)
-        clip = channels_clip_array(ch)
-        tattr = clip_attrs_channels(attrs, ch)
-    else:
-        clip, tattr, valid = transform_clip(positions, attrs, mvp)
-        setup = setup_screen(clip, valid, rows, cols)
-        _zbuf, tid = visibility_scan(setup, rows, cols, chunk)
+        attr_slots = clip_attrs_channel_lists(attrs, ch)
+        return shade_planes_ch(tid, ch, attr_slots, scene, rows, cols)
+    clip, tattr, valid = transform_clip(positions, attrs, mvp)
+    setup = setup_screen(clip, valid, rows, cols)
+    _zbuf, tid = visibility_scan(setup, rows, cols, chunk)
     return shade_visibility(tid, clip, tattr, scene, rows, cols)
 
 
