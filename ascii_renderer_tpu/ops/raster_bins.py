@@ -56,7 +56,10 @@ def _kernel(off_ref, data_hbm, z_ref, t_ref, buf, sem, *, tiles_x: int):
     off1 = off_ref[i + 1]
     # DMA row offsets must be 8-row aligned -> entry alignment 64
     start = (off0 // (8 * PACK)) * (8 * PACK)
-    n_chunks = (off1 - start + CHUNK - 1) // CHUNK
+    # empty bins must run ZERO chunks (the aligned start would otherwise
+    # round a 0-length bin up to one full wasted chunk per tile)
+    n_chunks = jnp.where(off1 > off0,
+                         (off1 - start + CHUNK - 1) // CHUNK, 0)
 
     def chunk_body(c, carry):
         zbest, tbest = carry
@@ -173,7 +176,8 @@ def _shaded_kernel(off_ref, data_hbm, light_ref, rgb_r, buf, sem,
     off0 = off_ref[i]
     off1 = off_ref[i + 1]
     start = (off0 // (8 * NS_PACK)) * (8 * NS_PACK)
-    n_chunks = (off1 - start + S_CHUNK - 1) // S_CHUNK
+    n_chunks = jnp.where(off1 > off0,
+                         (off1 - start + S_CHUNK - 1) // S_CHUNK, 0)
 
     zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     carry0 = (jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32),) + (zero,) * 9
