@@ -369,7 +369,11 @@ def clip_attrs_channel_lists(attrs: jnp.ndarray, ch):
     3 lists (one per output vertex slot) of A channels, each [2T]."""
     V, A = attrs.shape
     T = V // 3
-    av = attrs.reshape(T, 3, A)
+    # One channel-major transpose up front: [V, A] -> [3*A, T]. Every
+    # per-channel read below is then a contiguous [T] row instead of a
+    # stride-A minor-axis slice (which wastes 1-1/A of every vector load;
+    # measured 10.6 ms -> ~1 ms/frame on the 69k-tri headline).
+    av_t = attrs.reshape(T, 3 * A).T
     rot = ch["rot"]
     n_in = ch["n_in"]
     one_in = n_in == 1
@@ -381,7 +385,7 @@ def clip_attrs_channel_lists(attrs: jnp.ndarray, ch):
 
     out_slots = [[], [], []]  # per output slot: list of [2T] channels
     for j in range(A):
-        base = [av[:, 0, j], av[:, 1, j], av[:, 2, j]]
+        base = [av_t[0 * A + j], av_t[1 * A + j], av_t[2 * A + j]]
         r = [rot_sel(base[(0 + k) % 3], base[(1 + k) % 3], base[(2 + k) % 3],
                      rot) for k in range(3)]
         ab = r[0] + ta * (r[1] - r[0])
