@@ -688,19 +688,27 @@ def visibility_binned_ch(ch, rows: int, cols: int, big_cap: int = 64,
     big = valid & onscreen & jnp.logical_not(fits)
 
     # ---- small pairs: static 2x2 window ----
-    oy = jnp.arange(wy, dtype=jnp.int32)
-    ox = jnp.arange(wx, dtype=jnp.int32)
-    ty = ty0[:, None, None] + oy[None, :, None]
-    tx = tx0[:, None, None] + ox[None, None, :]
-    pair_ok = (small[:, None, None]
-               & (ty >= 0) & (ty < tiles_y) & (tx >= 0) & (tx < tiles_x)
-               & (ty <= ty1[:, None, None]) & (tx <= tx1[:, None, None]))
-    tile_small = jnp.where(pair_ok, ty * tiles_x + tx, n_tiles).reshape(-1)
-    tri_small = jnp.broadcast_to(
-        jnp.arange(T, dtype=jnp.int32)[:, None, None], (T, wy, wx)).reshape(-1)
+    # Built as wy*wx flat [T] channels, NOT a [T, wy, wx] array: minor dims
+    # of size 2 put 2 of 128 vector lanes to work. The pre-sort pair order
+    # differs from the array layout but the multiset of (tile, tri) keys is
+    # identical, and the packed sort canonicalizes it.
+    tri_ids = jnp.arange(T, dtype=jnp.int32)
+    tile_small_parts = []
+    for k in range(wy * wx):
+        ty = ty0 + (k // wx)
+        tx = tx0 + (k % wx)
+        ok = (small & (ty >= 0) & (ty < tiles_y) & (tx >= 0) & (tx < tiles_x)
+              & (ty <= ty1) & (tx <= tx1))
+        tile_small_parts.append(jnp.where(ok, ty * tiles_x + tx, n_tiles))
+    tile_small = jnp.concatenate(tile_small_parts)
+    tri_small = jnp.tile(tri_ids, wy * wx)
 
     # ---- big pairs: per-overlapped-tile emission for <= big_cap tris ----
-    (big_idx,) = jnp.nonzero(big, size=big_cap, fill_value=T)
+    # top_k on a 0/1 score instead of jnp.nonzero: one fused op vs the
+    # ~50-op cumsum+scatter decomposition. XLA top_k is stable, so equal
+    # scores keep ascending index order — same result as nonzero.
+    scores, idxs = jax.lax.top_k(big.astype(jnp.int32), big_cap)
+    big_idx = jnp.where(scores > 0, idxs, T)
 
     def padi(c, fill):
         return jnp.concatenate([c, jnp.asarray([fill], c.dtype)])[big_idx]
@@ -747,14 +755,17 @@ def visibility_binned_ch(ch, rows: int, cols: int, big_cap: int = 64,
     src = jnp.concatenate(
         [src, jnp.zeros((src.shape[0], RB.N_CHAN - 11), jnp.float32)],
         axis=-1)
-    data = src[tri_s]
     # inert tail so any aligned slab read past the last bin stays in bounds,
-    # rounded so the packed layout divides evenly
+    # rounded so the packed layout divides evenly. Folded into the gather:
+    # row T of src is all-zero and the padded tail of tri_s points at it,
+    # so the single row gather emits the padded table directly.
     tail = RB.CHUNK + 8 * RB.PACK
     total = P + tail
     pad_rows = (-total) % RB.PACK + tail
-    data = jnp.concatenate(
-        [data, jnp.zeros((pad_rows, RB.N_CHAN), jnp.float32)], axis=0)
+    src = jnp.concatenate([src, jnp.zeros((1, RB.N_CHAN), jnp.float32)])
+    tri_sp = jnp.concatenate(
+        [tri_s, jnp.full((pad_rows,), src.shape[0] - 1, jnp.int32)])
+    data = src[tri_sp]
     packed = RB.pack_entries(data)
 
     ztile, tidf = RB.tile_eval_bins(packed, offsets, tiles_x, n_tiles)
