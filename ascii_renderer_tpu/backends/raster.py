@@ -747,13 +747,32 @@ def visibility_binned_ch(ch, rows: int, cols: int, big_cap: int = 64,
     # [0, T) (small pairs carry real ids, big fill slots are min'd to T-1)
     # so no fill row is needed.
     P = tri_s.shape[0]
+    # entries in PLANE form (see ops/raster_bins.py): per-edge coefficients
+    # w_k = A_k*px + B_k*py + G_k plus the screen-linear depth plane
+    # z = ZX*px + ZY*py + ZC — the kernel then runs pure FMAs with no
+    # per-pixel divide. Computed as [2T] channel math, negligible next to
+    # the per-pixel work it removes from the kernel.
+    sxv, syv, szv = (xa, xb, xc), (ya, yb, yc), (za, zb, zc)
+    acs, bcs, gcs = [], [], []
+    for k in range(3):
+        x1, y1 = sxv[(k + 1) % 3], syv[(k + 1) % 3]
+        x2, y2 = sxv[(k + 2) % 3], syv[(k + 2) % 3]
+        acs.append(-(y2 - y1))
+        bcs.append(x2 - x1)
+        gcs.append((y2 - y1) * x1 - (x2 - x1) * y1)
+    area = (xb - xa) * (yc - ya) - (yb - ya) * (xc - xa)  # == w0+w1+w2
+    inv_area = 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
+    zpx = (acs[0] * za + acs[1] * zb + acs[2] * zc) * inv_area
+    zpy = (bcs[0] * za + bcs[1] * zb + bcs[2] * zc) * inv_area
+    zpc = (gcs[0] * za + gcs[1] * zb + gcs[2] * zc) * inv_area
     src = jnp.stack([
-        xa, xb, xc, ya, yb, yc, za, zb, zc,
+        acs[0], bcs[0], gcs[0], acs[1], bcs[1], gcs[1],
+        acs[2], bcs[2], gcs[2], zpx, zpy, zpc,
         jnp.ones_like(xa),
         jnp.arange(xa.shape[0], dtype=jnp.float32),
     ], axis=-1)
     src = jnp.concatenate(
-        [src, jnp.zeros((src.shape[0], RB.N_CHAN - 11), jnp.float32)],
+        [src, jnp.zeros((src.shape[0], RB.N_CHAN - 14), jnp.float32)],
         axis=-1)
     # inert tail so any aligned slab read past the last bin stays in bounds,
     # rounded so the packed layout divides evenly. Folded into the gather:

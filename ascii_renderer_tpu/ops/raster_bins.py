@@ -16,9 +16,16 @@ small spill buffer — at bunny scale hot tiles hold thousands of triangles
 
 Memory layout: HBM DMA slices must span full 128-lane rows, so pair entries
 pack 8-to-a-row: data [P/8, 128] where lanes [k*16, k*16+16) hold entry k's
-channels (x0 x1 x2 y0 y1 y2 z0 z1 z2 valid tri_id pad...). The kernel's
-inner loop over k is a static 8-way unroll, so every lane index is static
-(Mosaic requirement); the sublane index may be dynamic.
+channels. The kernel's inner loop over k is a static 8-way unroll, so every
+lane index is static (Mosaic requirement); the sublane index may be dynamic.
+
+Entries are stored in PLANE form, not vertex form: the three edge functions
+w_k(p) = A_k px + B_k py + G_k and the screen-linear depth plane
+z(p) = ZX px + ZY py + ZC (z = sum_k w_k z_k / area is itself affine in the
+pixel coords because area = w0+w1+w2 is constant). The XLA prep computes
+the 12 coefficients once per (tile, tri) pair source triangle; the kernel
+then runs 3 FMA pairs + 1 for depth per entry with NO per-pixel divide
+(the vertex form cost a vector divide per entry-tile evaluation).
 """
 
 from __future__ import annotations
@@ -36,11 +43,12 @@ PACK = 8  # entries per 128-lane row
 CHUNK_ROWS = 32  # packed rows per DMA slab -> 256 entries
 CHUNK = PACK * CHUNK_ROWS
 
-CH_X0, CH_X1, CH_X2 = 0, 1, 2
-CH_Y0, CH_Y1, CH_Y2 = 3, 4, 5
-CH_Z0, CH_Z1, CH_Z2 = 6, 7, 8
-CH_VALID = 9
-CH_TID = 10
+CH_A0, CH_B0, CH_G0 = 0, 1, 2  # edge 0 plane: w0 = A0*px + B0*py + G0
+CH_A1, CH_B1, CH_G1 = 3, 4, 5
+CH_A2, CH_B2, CH_G2 = 6, 7, 8
+CH_ZX, CH_ZY, CH_ZC = 9, 10, 11  # depth plane: z = ZX*px + ZY*py + ZC
+CH_VALID = 12
+CH_TID = 13
 
 
 def _kernel(off_ref, data_hbm, z_ref, t_ref, buf, sem, *, tiles_x: int):
@@ -75,19 +83,15 @@ def _kernel(off_ref, data_hbm, z_ref, t_ref, buf, sem, *, tiles_x: int):
                 lane = k * N_CHAN
                 p = base + r * PACK + k
                 live = (p >= off0) & (p < off1) & (buf[r, lane + CH_VALID] > 0.0)
-                x0 = buf[r, lane + CH_X0]
-                x1 = buf[r, lane + CH_X1]
-                x2 = buf[r, lane + CH_X2]
-                y0 = buf[r, lane + CH_Y0]
-                y1 = buf[r, lane + CH_Y1]
-                y2 = buf[r, lane + CH_Y2]
-                w0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-                w1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
-                w2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
-                area = w0 + w1 + w2
+                w0 = (buf[r, lane + CH_A0] * px + buf[r, lane + CH_B0] * py
+                      + buf[r, lane + CH_G0])
+                w1 = (buf[r, lane + CH_A1] * px + buf[r, lane + CH_B1] * py
+                      + buf[r, lane + CH_G1])
+                w2 = (buf[r, lane + CH_A2] * px + buf[r, lane + CH_B2] * py
+                      + buf[r, lane + CH_G2])
                 inside = (w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0) & live
-                z = (w0 * buf[r, lane + CH_Z0] + w1 * buf[r, lane + CH_Z1]
-                     + w2 * buf[r, lane + CH_Z2]) / area
+                z = (buf[r, lane + CH_ZX] * px + buf[r, lane + CH_ZY] * py
+                     + buf[r, lane + CH_ZC])
                 ok = inside & (z >= 0.0) & (z <= 1.0)
                 z = jnp.where(ok, z, jnp.inf)
                 better = z < zb  # strict: earlier (smaller tri id) wins ties
