@@ -304,8 +304,26 @@ def _kernel(params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
         hz = roz + t * rdz
 
         if atlas_texels > 0:
-            txr, txg, txb, ab, inb = atlas_fetch(uvx, uvy)
-            sampled = alive & texturable & inb & (ab >= 0.5)
+            # The one-hot texel reduction is the most expensive block in
+            # the kernel (~atlas_texels vector MACs x2 channels). Most ray
+            # blocks never touch a texturable surface on a given bounce, so
+            # gate the whole fetch on a scalar any() — skipped blocks return
+            # zeros, which downstream masks (`sampled` requires texturable)
+            # never read. Semantics are bit-identical.
+            need = jnp.any(alive & texturable)
+
+            def _fetch(_):
+                fr, fg, fb, fab, finb = atlas_fetch(uvx, uvy)
+                # f32 0/1 flag, not i1: Mosaic rejects bool vectors through
+                # control-flow region boundaries
+                return fr, fg, fb, fab, finb.astype(jnp.float32)
+
+            def _skip(_):
+                zz = jnp.zeros((BH, BW), jnp.float32)
+                return zz, zz, zz, zz, zz
+
+            txr, txg, txb, ab, inb_f = jax.lax.cond(need, _fetch, _skip, 0)
+            sampled = alive & texturable & (inb_f > 0.5) & (ab >= 0.5)
             glyph = sampled & (ab >= 31.5) & (ab <= 126.5)
             if j == 0:
                 fetched = sampled
