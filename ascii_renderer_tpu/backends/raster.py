@@ -110,9 +110,12 @@ def transform_clip_channels(positions: jnp.ndarray, mvp: jnp.ndarray):
     T = V // 3
     clip = jnp.concatenate([positions, jnp.ones_like(positions[:, :1])],
                            axis=1) @ mvp.T  # [V, 4] (MXU)
-    # per-vertex-slot channels [T]
-    cv = clip.reshape(T, 3, 4)
-    ch = {f"{c}{s}": cv[:, i, j]
+    # per-vertex-slot channels [T], via ONE channel-major transpose —
+    # slicing cv[:, i, j] from a [T, 3, 4] view reads with stride 12 on
+    # the minor axis (wastes 11/12 of every vector load); rows of the
+    # [12, T] transpose are contiguous (same fix as clip_attrs).
+    cv_t = clip.reshape(T, 12).T
+    ch = {f"{c}{s}": cv_t[4 * i + j]
           for i, s in enumerate("abc")
           for j, c in enumerate("xyzw")}
 
