@@ -84,8 +84,19 @@ def config_from_args(args) -> Config:
 
 
 def _builder_from_args(args):
-    """--scene / --atlas -> SceneBuilder override (None = demo scene)."""
+    """--scene / --atlas -> SceneBuilder override (None = demo scene).
+
+    The raytrace backend gets the LIT demo fixture by default: the path
+    tracer's demo scene lights the room with emissive quads, which the
+    (reference-faithful) Whitted tracer does not treat as lights — on that
+    scene it renders a pitch-black room, exactly like the reference's
+    raytrace shader on its default scene. A black screen is a useless
+    default, so the rt fixture (same room, explicit point/dir lights) is
+    substituted unless the user names a scene."""
     if not args.scene and not args.atlas:
+        if getattr(args, "backend", None) in ("rt", "ray", "raytrace"):
+            from ascii_renderer_tpu.scene.demo import create_rt_demo_scene
+            return create_rt_demo_scene()
         return None
     if args.scene:
         from ascii_renderer_tpu.utils.checkpoint import load_scene_json
