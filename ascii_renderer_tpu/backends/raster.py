@@ -646,7 +646,8 @@ def shade_planes_ch(tid, ch, attr_slots, scene: SceneData, rows: int,
     return rgb.reshape(rows, cols, 3)
 
 
-def visibility_binned_ch(ch, rows: int, cols: int, big_cap: int = 64,
+def visibility_binned_ch(ch, rows: int, cols: int, *, kernel: str = "mm",
+                         big_cap: int = 64,
                          tile_window: int = 2):
     """Channel-major tile-binned visibility with EXACT per-tile bins.
 
@@ -781,16 +782,24 @@ def visibility_binned_ch(ch, rows: int, cols: int, big_cap: int = 64,
     # rounded so the packed layout divides evenly. Folded into the gather:
     # row T of src is all-zero and the padded tail of tri_s points at it,
     # so the single row gather emits the padded table directly.
-    tail = RB.CHUNK + 8 * RB.PACK
+    if kernel == "mm":
+        tail = 2 * RB.MM_CHUNK
+        quantum = RB.MM_CHUNK
+    else:
+        tail = RB.CHUNK + 8 * RB.PACK
+        quantum = RB.PACK
     total = P + tail
-    pad_rows = (-total) % RB.PACK + tail
+    pad_rows = (-total) % quantum + tail
     src = jnp.concatenate([src, jnp.zeros((1, RB.N_CHAN), jnp.float32)])
     tri_sp = jnp.concatenate(
         [tri_s, jnp.full((pad_rows,), src.shape[0] - 1, jnp.int32)])
     data = src[tri_sp]
-    packed = RB.pack_entries(data)
-
-    ztile, tidf = RB.tile_eval_bins(packed, offsets, tiles_x, n_tiles)
+    if kernel == "mm":
+        mm = data.reshape(-1, RB.MM_CHUNK, RB.N_CHAN).transpose(0, 2, 1)
+        ztile, tidf = RB.tile_eval_bins_mm(mm, offsets, tiles_x, n_tiles)
+    else:
+        packed = RB.pack_entries(data)
+        ztile, tidf = RB.tile_eval_bins(packed, offsets, tiles_x, n_tiles)
     tt = tidf.astype(jnp.int32)
 
     zimg = (ztile.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
@@ -906,14 +915,19 @@ def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
         attr_slots = clip_attrs_channel_lists(attrs, ch)
         # re-group: each slot list of A=9 channels
         return render_fused_ch(ch, attr_slots, scene, rows, cols)
-    if method == "scatter":
+    if method in ("scatter", "scatter_mm", "scatter_loop"):
         # channel-major fast path end to end; shading gathers use the
         # materialized [2T,3,*] arrays — measured FASTER than per-channel
         # 1-D gathers (2 wide gathers at 27 ms beat 36 narrow ones at
         # ~125 ms: TPU gather cost is dominated by per-op overhead)
         ch = transform_clip_channels(positions, mvp)
         ch = setup_screen_channels(ch, rows, cols)
-        _zbuf, tid = visibility_binned_ch(ch, rows, cols)
+        # kernel="mm" (default): MXU array-form bin walk — measured 12.5 ->
+        # 11.8 ms/frame over the sequential loop kernel at bunny scale, and
+        # bit-identical in interpret mode / <1e-4 rgb on TPU (bf16x3 dots).
+        # "scatter_loop" keeps the scalar-load loop kernel selectable.
+        kern = "loop" if method == "scatter_loop" else "mm"
+        _zbuf, tid = visibility_binned_ch(ch, rows, cols, kernel=kern)
         attr_slots = clip_attrs_channel_lists(attrs, ch)
         return shade_planes_ch(tid, ch, attr_slots, scene, rows, cols)
     clip, tattr, valid = transform_clip(positions, attrs, mvp)

@@ -147,6 +147,127 @@ def tile_eval_bins(data_packed: jnp.ndarray, offsets: jnp.ndarray,
 
 
 # --------------------------------------------------------------------------
+# MXU array-form variant: 128-entry chunks, plane evaluation as matmuls
+# --------------------------------------------------------------------------
+MM_CHUNK = 128  # entries per chunk == lane width
+
+
+def _kernel_mm(off_ref, data_hbm, z_ref, t_ref, buf, sem, *, tiles_x: int):
+    """Array-form bin walk. Each chunk holds 128 entries channel-major
+    ([16 chan, 128 entries]); the three edge planes and the depth plane are
+    evaluated for ALL 128 entries x 128 pixels of one tile row with one
+    [3,128]^T @ [3,128] MXU dot each (contracting the size-3 coefficient
+    axis), and the winner is a min-reduction over the entry axis — no
+    per-entry scalar loads at all. Tie-breaking matches the sequential
+    kernel: within a chunk the smallest tri id among depth-equal winners
+    (bins are sorted by tri id), across chunks strict less-than."""
+    i = pl.program_id(0)
+    ty = i // tiles_x
+    tx = i % tiles_x
+
+    off0 = off_ref[i]
+    off1 = off_ref[i + 1]
+    start = (off0 // MM_CHUNK) * MM_CHUNK
+    n_chunks = jnp.where(off1 > off0,
+                         (off1 - start + MM_CHUNK - 1) // MM_CHUNK, 0)
+
+    lanef = (jax.lax.broadcasted_iota(jnp.int32, (3, TILE_W), 1)
+             .astype(jnp.float32))
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (3, TILE_W), 0)
+    px_row = lanef + tx.astype(jnp.float32) * TILE_W + 0.5
+    rhs_rows = []
+    for r in range(TILE_H):
+        pyv = ty.astype(jnp.float32) * TILE_H + (r + 0.5)
+        rhs_rows.append(jnp.where(rowi == 0, px_row,
+                                  jnp.where(rowi == 1, pyv, 1.0)))
+
+    dn = (((0,), (0,)), ((), ()))
+    onesr = jnp.ones((1, TILE_W), jnp.float32)
+
+    def chunk_body(c, carry):
+        base = start + c * MM_CHUNK
+        cp = pltpu.make_async_copy(data_hbm.at[base // MM_CHUNK], buf, sem)
+        cp.start()
+        cp.wait()
+        lhs0 = buf[0:3, :]
+        lhs1 = buf[3:6, :]
+        lhs2 = buf[6:9, :]
+        lhsz = buf[9:12, :]
+        # tid broadcast onto the entry (sublane) axis via a K=1 matmul —
+        # the cheap in-kernel way to transpose a lane vector
+        tidm = jax.lax.dot_general(buf[13:14, :], onesr, dn,
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=jnp.float32)
+        eidx = base + jax.lax.broadcasted_iota(jnp.int32,
+                                               (MM_CHUNK, TILE_W), 0)
+        liv = (eidx >= off0) & (eidx < off1)
+
+        out = list(carry)  # z rows then t rows, 2*TILE_H of [TILE_W]
+        for r in range(TILE_H):
+            rhs = rhs_rows[r]
+            w0 = jax.lax.dot_general(lhs0, rhs, dn,
+                                     precision=jax.lax.Precision.HIGHEST,
+                                     preferred_element_type=jnp.float32)
+            w1 = jax.lax.dot_general(lhs1, rhs, dn,
+                                     precision=jax.lax.Precision.HIGHEST,
+                                     preferred_element_type=jnp.float32)
+            w2 = jax.lax.dot_general(lhs2, rhs, dn,
+                                     precision=jax.lax.Precision.HIGHEST,
+                                     preferred_element_type=jnp.float32)
+            z = jax.lax.dot_general(lhsz, rhs, dn,
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32)
+            ok = ((w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0) & liv
+                  & (z >= 0.0) & (z <= 1.0))
+            zm = jnp.where(ok, z, jnp.inf)
+            zrow = jnp.min(zm, axis=0)  # [TILE_W]
+            trow = jnp.min(jnp.where(zm == zrow[None, :], tidm, jnp.inf),
+                           axis=0)
+            better = zrow < out[r]
+            out[r] = jnp.where(better, zrow, out[r])
+            out[TILE_H + r] = jnp.where(better, trow, out[TILE_H + r])
+        return tuple(out)
+
+    init = ([jnp.full((TILE_W,), jnp.inf, jnp.float32)] * TILE_H
+            + [jnp.full((TILE_W,), -1.0, jnp.float32)] * TILE_H)
+    fin = jax.lax.fori_loop(0, n_chunks, chunk_body, tuple(init))
+    for r in range(TILE_H):
+        z_ref[0, r, :] = fin[r]
+        t_ref[0, r, :] = fin[TILE_H + r]
+
+
+def tile_eval_bins_mm(data_mm: jnp.ndarray, offsets: jnp.ndarray,
+                      tiles_x: int, n_tiles: int,
+                      interpret: bool | None = None):
+    """data_mm f32 [P/128, N_CHAN, 128] (channel-major 128-entry chunks;
+    include >= 2*MM_CHUNK inert trailing entries); offsets i32 [n_tiles+1]
+    in ENTRY units -> (z, tid) as in tile_eval_bins."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(_kernel_mm, tiles_x=tiles_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((N_CHAN, MM_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32),
+                   jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32)),
+        interpret=interpret,
+    )(offsets, data_mm)
+
+
+# --------------------------------------------------------------------------
 # Fused-shading variant: interpolate + light inside the walk
 # --------------------------------------------------------------------------
 NS_CHAN = 64
