@@ -152,15 +152,23 @@ def tile_eval_bins(data_packed: jnp.ndarray, offsets: jnp.ndarray,
 MM_CHUNK = 128  # entries per chunk == lane width
 
 
+PIX = TILE_H * TILE_W  # 1024 pixels per tile, flattened row-major
+
+
 def _kernel_mm(off_ref, data_hbm, z_ref, t_ref, buf, sem, *, tiles_x: int):
     """Array-form bin walk. Each chunk holds 128 entries channel-major
-    ([16 chan, 128 entries]); the three edge planes and the depth plane are
-    evaluated for ALL 128 entries x 128 pixels of one tile row with one
-    [3,128]^T @ [3,128] MXU dot each (contracting the size-3 coefficient
-    axis), and the winner is a min-reduction over the entry axis — no
-    per-entry scalar loads at all. Tie-breaking matches the sequential
-    kernel: within a chunk the smallest tri id among depth-equal winners
-    (bins are sorted by tri id), across chunks strict less-than."""
+    ([16 chan, 128 entries]). All four planes (3 edges + depth) of all 128
+    entries are evaluated against ALL 1024 tile pixels with ONE
+    [3,512]^T @ [3,1024] MXU dot per chunk: the lhs packs the four plane
+    coefficient triples side by side on lanes, so rows [0:128) of the
+    [512, 1024] product are w0, [128:256) w1, [256:384) w2, [384:512) z.
+    The winner is a min-reduction over the entry axis — no per-entry
+    scalar loads at all. HIGHEST precision keeps the bf16x3-pass dots
+    f32-faithful (plane coefficients of near-clipped triangles reach 1e10;
+    single-pass bf16 shifts edges by hundreds of pixels). Tie-breaking
+    matches the sequential kernel: within a chunk the smallest tri id among
+    depth-equal winners (bins are sorted by tri id), across chunks strict
+    less-than."""
     i = pl.program_id(0)
     ty = i // tiles_x
     tx = i % tiles_x
@@ -171,57 +179,50 @@ def _kernel_mm(off_ref, data_hbm, z_ref, t_ref, buf, sem, *, tiles_x: int):
     n_chunks = jnp.where(off1 > off0,
                          (off1 - start + MM_CHUNK - 1) // MM_CHUNK, 0)
 
-    lanef = (jax.lax.broadcasted_iota(jnp.int32, (3, TILE_W), 1)
-             .astype(jnp.float32))
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (3, TILE_W), 0)
-    px_row = lanef + tx.astype(jnp.float32) * TILE_W + 0.5
-    rhs_rows = []
-    for r in range(TILE_H):
-        pyv = ty.astype(jnp.float32) * TILE_H + (r + 0.5)
-        rhs_rows.append(jnp.where(rowi == 0, px_row,
-                                  jnp.where(rowi == 1, pyv, 1.0)))
+    # rhs [3, 1024]: rows = (px, py, 1) for the flattened tile pixels
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (3, PIX), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (3, PIX), 0)
+    pr = pidx // TILE_W
+    pc = pidx - pr * TILE_W
+    pxv = (pc + tx * TILE_W).astype(jnp.float32) + 0.5
+    pyv = (pr + ty * TILE_H).astype(jnp.float32) + 0.5
+    rhs = jnp.where(rowi == 0, pxv, jnp.where(rowi == 1, pyv, 1.0))
 
     dn = (((0,), (0,)), ((), ()))
-    onesr = jnp.ones((1, TILE_W), jnp.float32)
+    onesr = jnp.ones((1, PIX), jnp.float32)
 
     def chunk_body(c, carry):
         base = start + c * MM_CHUNK
         cp = pltpu.make_async_copy(data_hbm.at[base // MM_CHUNK], buf, sem)
         cp.start()
         cp.wait()
-        lhs0 = buf[0:3, :]
-        lhs1 = buf[3:6, :]
-        lhs2 = buf[6:9, :]
-        lhsz = buf[9:12, :]
+        lhs4 = jnp.concatenate(
+            [buf[0:3, :], buf[3:6, :], buf[6:9, :], buf[9:12, :]], axis=1)
+        big = jax.lax.dot_general(lhs4, rhs, dn,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
+        w0 = big[0 * MM_CHUNK:1 * MM_CHUNK]
+        w1 = big[1 * MM_CHUNK:2 * MM_CHUNK]
+        w2 = big[2 * MM_CHUNK:3 * MM_CHUNK]
+        z = big[3 * MM_CHUNK:4 * MM_CHUNK]
         # tid broadcast onto the entry (sublane) axis via a K=1 matmul —
         # the cheap in-kernel way to transpose a lane vector
         tidm = jax.lax.dot_general(buf[13:14, :], onesr, dn,
                                    precision=jax.lax.Precision.HIGHEST,
                                    preferred_element_type=jnp.float32)
-        eidx = base + jax.lax.broadcasted_iota(jnp.int32,
-                                               (MM_CHUNK, TILE_W), 0)
+        eidx = base + jax.lax.broadcasted_iota(jnp.int32, (MM_CHUNK, PIX), 0)
         liv = (eidx >= off0) & (eidx < off1)
-
+        ok = ((w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0) & liv
+              & (z >= 0.0) & (z <= 1.0))
+        zm = jnp.where(ok, z, jnp.inf)
+        # reduce per 128-pixel group (static lane slices — a [PIX] result
+        # could not be reshaped to the (8, 128) output block in-kernel)
         out = list(carry)  # z rows then t rows, 2*TILE_H of [TILE_W]
         for r in range(TILE_H):
-            rhs = rhs_rows[r]
-            w0 = jax.lax.dot_general(lhs0, rhs, dn,
-                                     precision=jax.lax.Precision.HIGHEST,
-                                     preferred_element_type=jnp.float32)
-            w1 = jax.lax.dot_general(lhs1, rhs, dn,
-                                     precision=jax.lax.Precision.HIGHEST,
-                                     preferred_element_type=jnp.float32)
-            w2 = jax.lax.dot_general(lhs2, rhs, dn,
-                                     precision=jax.lax.Precision.HIGHEST,
-                                     preferred_element_type=jnp.float32)
-            z = jax.lax.dot_general(lhsz, rhs, dn,
-                                    precision=jax.lax.Precision.HIGHEST,
-                                    preferred_element_type=jnp.float32)
-            ok = ((w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0) & liv
-                  & (z >= 0.0) & (z <= 1.0))
-            zm = jnp.where(ok, z, jnp.inf)
-            zrow = jnp.min(zm, axis=0)  # [TILE_W]
-            trow = jnp.min(jnp.where(zm == zrow[None, :], tidm, jnp.inf),
+            zmr = zm[:, r * TILE_W:(r + 1) * TILE_W]
+            tmr = tidm[:, r * TILE_W:(r + 1) * TILE_W]
+            zrow = jnp.min(zmr, axis=0)  # [TILE_W]
+            trow = jnp.min(jnp.where(zmr == zrow[None, :], tmr, jnp.inf),
                            axis=0)
             better = zrow < out[r]
             out[r] = jnp.where(better, zrow, out[r])
@@ -241,7 +242,7 @@ def tile_eval_bins_mm(data_mm: jnp.ndarray, offsets: jnp.ndarray,
                       interpret: bool | None = None):
     """data_mm f32 [P/128, N_CHAN, 128] (channel-major 128-entry chunks;
     include >= 2*MM_CHUNK inert trailing entries); offsets i32 [n_tiles+1]
-    in ENTRY units -> (z, tid) as in tile_eval_bins."""
+    in ENTRY units -> (z, tid) as in tile_eval_bins ([n_tiles, 8, 128])."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kernel = functools.partial(_kernel_mm, tiles_x=tiles_x)
