@@ -77,6 +77,27 @@ def test_channel_render_mesh_view():
     assert (a.sum(-1) > 0).mean() > 0.02  # something rendered
 
 
+def test_mm_kernel_matches_loop_kernel():
+    """The MXU array-form bin walk (default, method='scatter') and the
+    sequential loop kernel ('scatter_loop') must agree bit-for-bit in
+    interpret mode — same winner selection incl. depth-tie ordering."""
+    sb = create_demo_scene()
+    sb.set_env_light([0.25, 0.27, 0.3], 1.0)
+    scene = sb.build()
+    p, n, c = tessellate_scene(scene)
+    args = (jnp.asarray(p), jnp.asarray(n), jnp.asarray(c), scene, scene.camera)
+
+    @jax.jit
+    def both(p, n, c, scene, cam):
+        a = R.render_soup(p, n, c, scene, cam, 36, 96, 0.5,
+                          method="scatter_loop")
+        b = R.render_soup(p, n, c, scene, cam, 36, 96, 0.5, method="scatter")
+        return a, b
+
+    a, b = both(*args)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_shading_matches_scan():
     """The fused-shading Pallas path (binning + in-kernel interpolation +
     lighting) must match the scan + deferred-shading oracle."""
