@@ -123,7 +123,9 @@ def bench_config1(smoke):
     soup, scene, cam = _mesh_scene(lambda: meshes.cube(2.0), (0.85, 0.85, 0.85),
                                    (2.2, 1.8, 3.2), -0.42)
     fn = _raster_ascii_fn(cfg, rows, cols)
-    dt = _time_fn(fn, (*soup, scene, cam))
+    # device time is ~0.2 ms/frame; iters must dwarf the one ~30 ms
+    # end-of-loop tunnel readback or the figure measures the tunnel
+    dt = _time_fn(fn, (*soup, scene, cam), iters=256)
     tris = soup[0].shape[0] // 3
     return {"fps": 1.0 / dt, "tris": tris, "grid": f"{cols}x{rows}",
             "mtris_s": tris / dt / 1e6}
@@ -138,7 +140,8 @@ def bench_config2(smoke):
     soup, scene, cam = _mesh_scene(lambda: meshes.teapot_like(1024),
                                    (0.9, 0.9, 0.9), (1.9, 1.3, 2.7), -0.4)
     fn = _raster_ascii_fn(cfg, rows, cols)
-    dt = _time_fn(fn, (*soup, scene, cam))
+    # device time is ~0.3 ms/frame — amortize the single readback away
+    dt = _time_fn(fn, (*soup, scene, cam), iters=256)
     tris = soup[0].shape[0] // 3
     return {"fps": 1.0 / dt, "tris": tris, "grid": f"{cols}x{rows}",
             "mtris_s": tris / dt / 1e6}
