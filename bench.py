@@ -106,10 +106,10 @@ def bench_config0(smoke):
         light_color=(16.86, 10.76, 8.2), sample_batch=min(64, spp),
         use_kernel=use_kernel))
     key = jax.random.key(0)
-    # iters=16: amortize the single end-of-loop host readback (~30 ms
-    # tunnel RTT) like config 3, else it adds ~4 ms/frame to a ~15 ms frame
+    # iters=32: amortize the single end-of-loop host readback (~30 ms
+    # tunnel RTT) like config 3, else it adds ~2 ms/frame to a ~13 ms frame
     dt = _time_fn(lambda: fn(scene, scene.camera, jnp.float32(0.0), key), (),
-                  iters=16)
+                  iters=32)
     return {"fps": 1.0 / dt, "spp": spp, "grid": "96x36",
             "vs_ref_60fps": round(1.0 / dt / 60.0, 3)}
 
@@ -215,7 +215,9 @@ def bench_config5(smoke):
         s, l = step(state, cams, targets)
         return s, l
 
-    dt = _time_fn(one, (state,), warmup=2, iters=5)
+    # iters=20: the end-of-loop readback (~30 ms tunnel RTT) would add
+    # ~6 ms to a ~45 ms step at iters=5
+    dt = _time_fn(one, (state,), warmup=2, iters=20)
     return {"steps_per_s": 1.0 / dt, "grid": f"{cols}x{rows}",
             "devices": dp}
 
