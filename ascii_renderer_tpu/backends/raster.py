@@ -365,6 +365,133 @@ def visibility_scan(setup, rows: int, cols: int, chunk: int = 64):
 
 TILE_H, TILE_W = 8, 128  # f32-native VPU tile of the cell grid
 
+MAX_V_CAP = (1 << 19) - 4096  # packed sort key leaves 19 bits for tri ids
+
+
+def _cumsum_i32(mask: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum of a bool/0-1 [N] array as i32, MXU-blocked.
+
+    XLA's native 1-D cumsum lowers poorly on TPU at raster scales (measured
+    2.2 ms at N=589k — as expensive as a full sort). Blocking into [N/512,
+    512] rows and multiplying by a constant upper-triangular matrix runs the
+    whole scan on the MXU in ~0.1 ms. Exact: counts < 2^24 are exact in f32
+    and HIGHEST-precision dots are f32-faithful."""
+    n = mask.shape[0]
+    c = 512
+    pad = (-n) % c
+    x = jnp.concatenate([mask.astype(jnp.float32),
+                         jnp.zeros((pad,), jnp.float32)]).reshape(-1, c)
+    triu = jnp.triu(jnp.ones((c, c), jnp.float32))  # M[j,i]=1 for j<=i
+    row_cum = jax.lax.dot_general(
+        x, triu, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # [R, C] within-row inclusive
+    offs = jnp.cumsum(row_cum[:, -1]) - row_cum[:, -1]  # exclusive row offset
+    out = (row_cum + offs[:, None]).reshape(-1)[:n]
+    return out.astype(jnp.int32)
+
+
+_COMPACT_KEYS = ("sxa", "sxb", "sxc", "sya", "syb", "syc",
+                 "sza", "szb", "szc", "iwa", "iwb", "iwc", "area2")
+
+
+def compact_valid_ch(ch, v_cap: int):
+    """Order-preserving compaction of the valid clipped triangles.
+
+    The clip expansion + culling leaves ~70% of the [2T] channel slots dead
+    on real meshes (bunny headline: 41k valid of 137k), yet binning, the
+    pair sort, and the shading-plane table all paid for every slot. This
+    compacts the 13 screen channels to a static [v_cap] via one blocked
+    cumsum + one unique-index scatter + one wide row gather (~0.5 ms at
+    bunny scale vs ~2+ ms saved downstream).
+
+    Returns (cch, cidx, n_valid): cch is a channel dict like ``ch`` but
+    [v_cap]-shaped (slots past n_valid are inert zeros with valid=False),
+    cidx [v_cap] i32 maps compacted slot -> original [2T] index (fill = 2T),
+    n_valid is the dynamic count. **If n_valid > v_cap the overflow
+    triangles are dropped** — callers must check the returned count
+    (see `render_soup_diag` / `suggest_caps`) and re-render with a larger
+    cap; compaction preserves ascending original order, so winner selection
+    and depth-tie behavior are bit-identical to the uncompacted path."""
+    valid = ch["valid"]
+    n2t = valid.shape[0]
+    assert v_cap <= MAX_V_CAP, f"v_cap {v_cap} exceeds {MAX_V_CAP}"
+    cum = _cumsum_i32(valid)
+    n_valid = cum[-1]
+    ids = jnp.arange(n2t, dtype=jnp.int32)
+    dest = jnp.where(valid, cum - 1, v_cap + 1 + ids)  # all-unique targets
+    cidx = (jnp.full((v_cap,), n2t, jnp.int32)
+            .at[dest].set(ids, mode="drop", unique_indices=True))
+    packed = jnp.stack([ch[k] for k in _COMPACT_KEYS], axis=-1)  # [2T, 13]
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((1, len(_COMPACT_KEYS)), jnp.float32)], axis=0)
+    g = packed[cidx].T  # one wide row gather, then channel-major unpack
+    cch = {k: g[i] for i, k in enumerate(_COMPACT_KEYS)}
+    cch["valid"] = cidx < n2t
+    return cch, cidx, n_valid
+
+
+def clip_attrs_compact_lists(attrs: jnp.ndarray, ch, cidx: jnp.ndarray):
+    """clip_attrs_channel_lists, evaluated only at the compacted slots.
+
+    attrs f32 [V=3T, A]; ch carries the per-source-triangle lerp records
+    (rot, t_ab/t_ac/t_bc, n_in — all [T]); cidx [v_cap] holds original
+    [2T]-space ids (o < T = first clip output of tri o, o >= T = second).
+    Returns 3 slot lists of A channels, each [v_cap]."""
+    V, A = attrs.shape
+    T = V // 3
+    n2t = 2 * T
+    attr27 = attrs.reshape(T, 3 * A)  # row-major: v0 | v1 | v2 — a free view
+    info = jnp.stack([
+        ch["rot"].astype(jnp.float32), ch["t_ab"], ch["t_ac"], ch["t_bc"],
+        (ch["n_in"] == 1).astype(jnp.float32),
+        (ch["n_in"] == 2).astype(jnp.float32),
+    ], axis=-1)  # [T, 6]
+    src_tri = jnp.where(cidx < n2t, cidx % T, 0)
+    is2 = cidx >= T  # dump slots land here too; their values are never read
+    ai = attr27[src_tri].T   # [27, v_cap]
+    fo = info[src_tri].T     # [6, v_cap]
+    rot, ta, tc, tb = fo[0], fo[1], fo[2], fo[3]
+    one_in = fo[4] > 0.5
+    two_in = fo[5] > 0.5
+
+    out_slots = [[], [], []]
+    for j in range(A):
+        base = [ai[0 * A + j], ai[1 * A + j], ai[2 * A + j]]
+        r = [jnp.where(rot == 0.0, base[(0 + k) % 3],
+                       jnp.where(rot == 1.0, base[(1 + k) % 3],
+                                 base[(2 + k) % 3])) for k in range(3)]
+        ab = r[0] + ta * (r[1] - r[0])
+        ac = r[0] + tc * (r[2] - r[0])
+        bc = r[1] + tb * (r[2] - r[1])
+        t1b = jnp.where(one_in, ab, r[1])
+        t1c = jnp.where(one_in, ac, jnp.where(two_in, bc, r[2]))
+        out_slots[0].append(r[0])  # tri1 and tri2 share vertex a
+        out_slots[1].append(jnp.where(is2, bc, t1b))
+        out_slots[2].append(jnp.where(is2, ac, t1c))
+    return out_slots
+
+
+def count_big_small(ch, rows: int, cols: int, tile_window: int = 2):
+    """Classify valid tris by bbox tile span (duplicates the binning
+    classification; XLA CSEs it away when both live in one program).
+    Returns (n_small, n_big) i32 scalars."""
+    xa, xb, xc = ch["sxa"], ch["sxb"], ch["sxc"]
+    ya, yb, yc = ch["sya"], ch["syb"], ch["syc"]
+    xmin = jnp.minimum(jnp.minimum(xa, xb), xc)
+    xmax = jnp.maximum(jnp.maximum(xa, xb), xc)
+    ymin = jnp.minimum(jnp.minimum(ya, yb), yc)
+    ymax = jnp.maximum(jnp.maximum(ya, yb), yc)
+    tx0 = jnp.floor(xmin / TILE_W).astype(jnp.int32)
+    ty0 = jnp.floor(ymin / TILE_H).astype(jnp.int32)
+    tx1 = jnp.floor(xmax / TILE_W).astype(jnp.int32)
+    ty1 = jnp.floor(ymax / TILE_H).astype(jnp.int32)
+    onscreen = (xmax > 0) & (xmin < cols) & (ymax > 0) & (ymin < rows)
+    fits = ((tx1 - tx0) < tile_window) & ((ty1 - ty0) < tile_window)
+    small = ch["valid"] & onscreen & fits
+    big = ch["valid"] & onscreen & jnp.logical_not(fits)
+    return small.sum().astype(jnp.int32), big.sum().astype(jnp.int32)
+
 
 def clip_attrs_channel_lists(attrs: jnp.ndarray, ch):
     """Apply the clip rotation + lerp recorded by transform_clip_channels to
@@ -894,14 +1021,52 @@ def shade_visibility(tid, clip, attrs, scene: SceneData, rows: int, cols: int):
 # --------------------------------------------------------------------------
 # Full pipeline
 # --------------------------------------------------------------------------
+def render_soup_diag(positions, normals, colors, scene: SceneData,
+                     cam: Camera, rows: int, cols: int, pixel_aspect: float,
+                     v_cap: int, big_cap: int = 64, kernel: str = "mm"):
+    """Compacted raster pipeline with capacity diagnostics.
+
+    Returns (rgb f32 [rows, cols, 3], diag) where diag = {'n_valid',
+    'n_big'} as i32 device scalars. The frame is exact iff
+    n_valid <= v_cap and n_big <= big_cap; otherwise triangles were
+    dropped and the caller should re-render with caps from `suggest_caps`
+    (see RasterBackend.render for the adaptive loop)."""
+    attrs = jnp.concatenate([normals, colors, positions], axis=1)
+    mvp = camera_mvp(cam, rows, cols, pixel_aspect)
+    ch = transform_clip_channels(positions, mvp)
+    ch = setup_screen_channels(ch, rows, cols)
+    cch, cidx, n_valid = compact_valid_ch(ch, v_cap)
+    _zbuf, tid = visibility_binned_ch(cch, rows, cols, kernel=kernel,
+                                      big_cap=big_cap)
+    attr_slots = clip_attrs_compact_lists(attrs, ch, cidx)
+    rgb = shade_planes_ch(tid, cch, attr_slots, scene, rows, cols)
+    _n_small, n_big = count_big_small(cch, rows, cols)
+    return rgb, {"n_valid": n_valid, "n_big": n_big}
+
+
+def suggest_caps(n_valid: int, n_big: int):
+    """Adaptive capacities with growth margin (host-side policy).
+
+    Sized ~30%/50% above the last observed counts so camera motion doesn't
+    recompile every frame; rounded to coarse quanta so nearby scenes share
+    compiled programs."""
+    def _round_up(x, q):
+        return -(-x // q) * q
+    v_cap = min(MAX_V_CAP, _round_up(int(n_valid * 1.3) + 512, 8192))
+    big_cap = max(64, _round_up(int(n_big * 1.5) + 8, 64))
+    return v_cap, big_cap
+
+
 def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
                 rows: int, cols: int, pixel_aspect: float,
-                chunk: int = 64, method: str = "auto") -> jnp.ndarray:
+                chunk: int = 64, method: str = "auto",
+                v_cap: int | None = None, big_cap: int = 64) -> jnp.ndarray:
     """Triangle soup -> shaded RGB f32 [rows, cols, 3].
 
-    method: 'scatter' (fragment scatter-min, fast for many small tris),
+    method: 'scatter' (binned Pallas bin-walk, fast for many small tris),
     'scan' (chunked dense scan, the oracle-tested reference path), or
-    'auto' (scatter above 512 tris)."""
+    'auto' (scatter above 512 tris). v_cap enables the compacted pipeline
+    (see render_soup_diag); None keeps the exact uncapped path."""
     attrs = jnp.concatenate([normals, colors, positions], axis=1)  # [V, 9]
     mvp = camera_mvp(cam, rows, cols, pixel_aspect)
     if method == "auto":
@@ -909,6 +1074,12 @@ def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
         # fused-shading 232 ms (eager per-entry attribute interpolation
         # outweighs the deferred gathers) — keep the visibility buffer
         method = "scatter" if positions.shape[0] // 3 * 2 > 512 else "scan"
+    if method in ("scatter", "scatter_mm", "scatter_loop") and v_cap is not None:
+        kern = "loop" if method == "scatter_loop" else "mm"
+        rgb, _diag = render_soup_diag(
+            positions, normals, colors, scene, cam, rows, cols, pixel_aspect,
+            v_cap=v_cap, big_cap=big_cap, kernel=kern)
+        return rgb
     if method == "fused":
         ch = transform_clip_channels(positions, mvp)
         ch = setup_screen_channels(ch, rows, cols)
@@ -936,9 +1107,18 @@ def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
     return shade_visibility(tid, clip, tattr, scene, rows, cols)
 
 
+_ADAPTIVE_MIN_TRIS = 2048  # below this the compacted path isn't worth caps
+
+
 class RasterBackend:
     """Backend-protocol wrapper (contract 5). Tessellation happens on scene
-    push (the analog of the reference's VBO rebuild, raster.js:130-266)."""
+    push (the analog of the reference's VBO rebuild, raster.js:130-266).
+
+    Capacity management: large soups render through the compacted pipeline
+    with adaptive (v_cap, big_cap). Every frame's diagnostics are checked
+    on the host (the frame is being read back anyway); on overflow the caps
+    grow with margin and the frame re-renders, so no triangle is ever
+    silently dropped — the GL analog is buffer reallocation on overflow."""
 
     name = "raster"
 
@@ -947,12 +1127,14 @@ class RasterBackend:
         self._scene: SceneData | None = None
         self._soup = None
         self._fns = {}
+        self._caps = None  # (v_cap, big_cap) once sized
 
     def set_scene(self, scene: SceneData):
         self._scene = scene
         p, n, c = tessellate_scene(scene)
         self._soup = (jnp.asarray(p), jnp.asarray(n), jnp.asarray(c))
         self._fns = {}
+        self._caps = None
 
     def set_soup(self, positions, normals, colors, scene: SceneData):
         """Direct mesh path for pre-tessellated geometry (benchmarks)."""
@@ -960,20 +1142,46 @@ class RasterBackend:
         self._soup = (jnp.asarray(positions), jnp.asarray(normals),
                       jnp.asarray(colors))
         self._fns = {}
+        self._caps = None
+
+    def _fn(self, rows, cols, pixel_aspect, caps):
+        key = (rows, cols, float(pixel_aspect), self._soup[0].shape[0], caps)
+        fn = self._fns.get(key)
+        if fn is None:
+            if caps is None:
+                fn = jax.jit(functools.partial(
+                    render_soup, rows=rows, cols=cols,
+                    pixel_aspect=pixel_aspect))
+            else:
+                fn = jax.jit(functools.partial(
+                    render_soup_diag, rows=rows, cols=cols,
+                    pixel_aspect=pixel_aspect, v_cap=caps[0],
+                    big_cap=caps[1]))
+            self._fns[key] = fn
+        return fn
 
     def render(self, time_sec, camera: Camera, rows: int, cols: int,
                pixel_aspect: float = 1.0) -> Frame:
         if self._scene is None or self._soup[0].shape[0] == 0:
             return Frame.blank(rows, cols)
-        key = (rows, cols, float(pixel_aspect), self._soup[0].shape[0])
-        fn = self._fns.get(key)
-        if fn is None:
-            fn = jax.jit(functools.partial(render_soup, rows=rows, cols=cols,
-                                           pixel_aspect=pixel_aspect))
-            self._fns[key] = fn
-        rgb = fn(*self._soup, self._scene, camera)
+        n2t = self._soup[0].shape[0] // 3 * 2
+        if n2t < _ADAPTIVE_MIN_TRIS or n2t > MAX_V_CAP:
+            rgb = self._fn(rows, cols, pixel_aspect, None)(
+                *self._soup, self._scene, camera)
+            return Frame.from_float(rgb)
+        caps = self._caps or (min(n2t, MAX_V_CAP), 64)
+        for _ in range(4):  # overflow retries (caps grow geometrically)
+            rgb, diag = self._fn(rows, cols, pixel_aspect, caps)(
+                *self._soup, self._scene, camera)
+            n_valid = int(diag["n_valid"])
+            n_big = int(diag["n_big"])
+            if n_valid <= caps[0] and n_big <= caps[1]:
+                break
+            caps = suggest_caps(n_valid, n_big)
+        self._caps = suggest_caps(n_valid, n_big)
         return Frame.from_float(rgb)
 
     def dispose(self):
         self._scene = self._soup = None
         self._fns = {}
+        self._caps = None

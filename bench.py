@@ -48,8 +48,11 @@ def _time_fn(fn, args, warmup=2, iters=8):
     return (time.perf_counter() - t0) / iters
 
 
-def _raster_ascii_fn(cfg, rows, cols):
-    """Fused raster -> glyph pipeline as one jitted fn of (soup, scene, cam)."""
+def _raster_ascii_fn(cfg, rows, cols, caps=None):
+    """Fused raster -> glyph pipeline as one jitted fn of (soup, scene, cam).
+
+    caps=(v_cap, big_cap) selects the compacted adaptive-capacity pipeline
+    (exactness is validated by the caller via `_probe_caps`)."""
     import jax
     import functools
     from ascii_renderer_tpu.backends.raster import render_soup
@@ -57,7 +60,9 @@ def _raster_ascii_fn(cfg, rows, cols):
     from ascii_renderer_tpu.ascii.ascii_pass import glyph_decide
 
     def run(p, n, c, scene, cam):
-        rgb = render_soup(p, n, c, scene, cam, rows, cols, cfg.pixel_aspect)
+        v_cap, big_cap = caps if caps else (None, 64)
+        rgb = render_soup(p, n, c, scene, cam, rows, cols, cfg.pixel_aspect,
+                          v_cap=v_cap, big_cap=big_cap)
         frame = Frame.from_float(rgb)
         chars, _tint = glyph_decide(
             frame, ramp=cfg.ascii_ramp, mode_on=cfg.ascii_mode_filter,
@@ -66,6 +71,28 @@ def _raster_ascii_fn(cfg, rows, cols):
         return chars
 
     return jax.jit(run)
+
+
+def _probe_caps(soup, scene, cam, rows, cols, pixel_aspect):
+    """Size the adaptive caps exactly like RasterBackend does: one render at
+    the safe cap (v_cap = 2T, nothing droppable), read the true counts,
+    return suggest_caps. The steady-state benchmark then runs the same
+    compiled program the backend would converge to."""
+    import jax
+    import functools
+    from ascii_renderer_tpu.backends import raster as R
+
+    n2t = soup[0].shape[0] // 3 * 2
+    if n2t > R.MAX_V_CAP:
+        return None
+    fn = jax.jit(functools.partial(
+        R.render_soup_diag, rows=rows, cols=cols, pixel_aspect=pixel_aspect,
+        v_cap=min(n2t, R.MAX_V_CAP), big_cap=64))
+    _, diag = fn(*soup, scene, cam)
+    caps = R.suggest_caps(int(diag["n_valid"]), int(diag["n_big"]))
+    _log(f"  probe: n_valid={int(diag['n_valid'])} n_big={int(diag['n_big'])}"
+         f" -> caps={caps}")
+    return caps
 
 
 def _mesh_scene(mesh_fn, color, cam_pos, cam_pitch=-0.35):
@@ -139,7 +166,8 @@ def bench_config2(smoke):
     rows, cols = (34, 60) if smoke else (135, 240)
     soup, scene, cam = _mesh_scene(lambda: meshes.teapot_like(1024),
                                    (0.9, 0.9, 0.9), (1.9, 1.3, 2.7), -0.4)
-    fn = _raster_ascii_fn(cfg, rows, cols)
+    caps = _probe_caps(soup, scene, cam, rows, cols, cfg.pixel_aspect)
+    fn = _raster_ascii_fn(cfg, rows, cols, caps)
     # device time is ~0.3 ms/frame — amortize the single readback away
     dt = _time_fn(fn, (*soup, scene, cam), iters=256)
     tris = soup[0].shape[0] // 3
@@ -156,11 +184,12 @@ def bench_config3(smoke):
     n_tris = 2000 if smoke else 69000
     soup, scene, cam = _mesh_scene(lambda: meshes.bunny_like(n_tris),
                                    (0.8, 0.78, 0.75), (2.4, 1.4, 2.8), -0.3)
-    fn = _raster_ascii_fn(cfg, rows, cols)
-    # iters=32: the single end-of-loop host readback (~30 ms tunnel RTT,
-    # absent on production hosts) must be amortized well below the ~10 ms
-    # device frame time or the figure measures the tunnel
-    dt = _time_fn(fn, (*soup, scene, cam), warmup=2, iters=32)
+    caps = _probe_caps(soup, scene, cam, rows, cols, cfg.pixel_aspect)
+    fn = _raster_ascii_fn(cfg, rows, cols, caps)
+    # iters=64: the single end-of-loop host readback (~30 ms tunnel RTT,
+    # absent on production hosts) must be amortized well below the device
+    # frame time or the figure measures the tunnel
+    dt = _time_fn(fn, (*soup, scene, cam), warmup=2, iters=64)
     tris = soup[0].shape[0] // 3
     return {"fps": 1.0 / dt, "tris": tris, "grid": f"{cols}x{rows}",
             "mtris_s": tris / dt / 1e6, "p50_ms": dt * 1e3}

@@ -98,6 +98,65 @@ def test_mm_kernel_matches_loop_kernel():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_compacted_path_bit_matches_uncompacted():
+    """The valid-compaction pipeline (compact_valid_ch + compacted bins +
+    compacted shading table) must be BIT-identical to the uncompacted
+    channel path — compaction preserves ascending original order, so
+    winner selection and depth ties are unchanged. Exercised on the demo
+    room (camera inside -> clip expansion active, n_valid=257)."""
+    sb = create_demo_scene()
+    sb.set_env_light([0.25, 0.27, 0.3], 1.0)
+    scene = sb.build()
+    p, n, c = tessellate_scene(scene)
+    args = (jnp.asarray(p), jnp.asarray(n), jnp.asarray(c), scene,
+            scene.camera)
+
+    @jax.jit
+    def both(p, n, c, scene, cam):
+        a = R.render_soup(p, n, c, scene, cam, 36, 96, 0.5,
+                          method="scatter")
+        b = R.render_soup(p, n, c, scene, cam, 36, 96, 0.5,
+                          method="scatter", v_cap=512)
+        return a, b
+
+    a, b = both(*args)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_compacted_overflow_detected_and_retry_exact():
+    """v_cap overflow must be reported via diag (true count, not clamped),
+    and a retry at suggest_caps must reproduce the exact image."""
+    import functools
+    sb = create_demo_scene()
+    sb.set_env_light([0.25, 0.27, 0.3], 1.0)
+    scene = sb.build()
+    p, n, c = tessellate_scene(scene)
+    args = (jnp.asarray(p), jnp.asarray(n), jnp.asarray(c), scene,
+            scene.camera)
+    ref = jax.jit(functools.partial(R.render_soup, rows=36, cols=96,
+                                    pixel_aspect=0.5, method="scatter"))(*args)
+    small = jax.jit(functools.partial(R.render_soup_diag, rows=36, cols=96,
+                                      pixel_aspect=0.5, v_cap=128))
+    img, diag = small(*args)
+    n_valid = int(diag["n_valid"])
+    assert n_valid > 128  # demo room has 257 valid clipped tris
+    v_cap, big_cap = R.suggest_caps(n_valid, int(diag["n_big"]))
+    assert v_cap >= n_valid
+    retry = jax.jit(functools.partial(R.render_soup_diag, rows=36, cols=96,
+                                      pixel_aspect=0.5, v_cap=v_cap,
+                                      big_cap=big_cap))
+    img2, _ = retry(*args)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(img2))
+
+
+def test_blocked_cumsum_matches_numpy():
+    rng = np.random.default_rng(11)
+    for n in (1, 7, 512, 513, 5000, 70001):
+        m = rng.random(n) < 0.3
+        got = np.asarray(R._cumsum_i32(jnp.asarray(m)))
+        np.testing.assert_array_equal(got, np.cumsum(m.astype(np.int64)))
+
+
 def test_fused_shading_matches_scan():
     """The fused-shading Pallas path (binning + in-kernel interpolation +
     lighting) must match the scan + deferred-shading oracle."""
