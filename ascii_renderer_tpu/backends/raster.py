@@ -677,18 +677,14 @@ def render_fused_ch(ch, attr_slots, scene: SceneData, rows: int, cols: int,
     return img[:rows, :cols]
 
 
-def shade_planes_ch(tid, ch, attr_slots, scene: SceneData, rows: int,
-                    cols: int):
-    """Deferred shading via per-triangle screen-space PLANE coefficients.
-
-    Perspective-correct interpolation of attribute A is N_A(p)/D(p) where
-    both N_A = sum_k w_k(p) iw_k A_k / area and D = sum_k w_k(p) iw_k / area
-    are LINEAR in the pixel coords (the edge functions w_k are). So each
-    triangle precomputes 10 planes (9 attrs + denominator, 3 coeffs each)
-    as cheap [2T] channel math, and the per-pixel stage is ONE 32-wide
-    gather + ~40 FMAs — replacing the two wide vertex gathers (clip +
-    attrs, ~80 MB of random access) the rederivation needed."""
-    A = 9
+def build_plane_table(ch, attr_slots) -> jnp.ndarray:
+    """Per-triangle shading-plane table [N, 3*(A+1) padded to 8] (see
+    shade_planes_ch): A attribute planes + the perspective denominator,
+    3 coeffs each. A = 9 (nx ny nz cr cg cb wx wy wz) normally; 6 when
+    the scene has no point lights (world-pos planes feed only the
+    point-light terms — a static specialization worth ~25% of the
+    table-build math at bunny scale)."""
+    A = len(attr_slots[0])
     sx = [ch[f"sx{s}"] for s in "abc"]
     sy = [ch[f"sy{s}"] for s in "abc"]
     iw = [ch[f"iw{s}"] for s in "abc"]
@@ -715,21 +711,50 @@ def shade_planes_ch(tid, ch, attr_slots, scene: SceneData, rows: int,
     dc = sum(gamma[k] * iw[k] for k in range(3)) * inv_area
     planes.append((da, db, dc))
 
-    table = jnp.stack([c for p in planes for c in p], axis=-1)  # [2T, 30]
-    table = jnp.concatenate(
-        [table, jnp.zeros((table.shape[0], 2), jnp.float32)], axis=-1)
-    table = jnp.concatenate(
-        [table, jnp.zeros((1, 32), jnp.float32)], axis=0)  # bg row
+    table = jnp.stack([c for p in planes for c in p], axis=-1)
+    pad = (-table.shape[1]) % 8
+    if pad:
+        table = jnp.concatenate(
+            [table, jnp.zeros((table.shape[0], pad), jnp.float32)], axis=-1)
+    return table
 
+
+def shade_planes_ch(tid, ch, attr_slots, scene: SceneData, rows: int,
+                    cols: int):
+    """Deferred shading via per-triangle screen-space PLANE coefficients.
+
+    Perspective-correct interpolation of attribute A is N_A(p)/D(p) where
+    both N_A = sum_k w_k(p) iw_k A_k / area and D = sum_k w_k(p) iw_k / area
+    are LINEAR in the pixel coords (the edge functions w_k are). So each
+    triangle precomputes 10 planes (9 attrs + denominator, 3 coeffs each)
+    as cheap channel math, and the per-pixel stage is ONE 32-wide
+    gather + ~40 FMAs — replacing the two wide vertex gathers (clip +
+    attrs, ~80 MB of random access) the rederivation needed."""
+    table = build_plane_table(ch, attr_slots)
+    table = jnp.concatenate(
+        [table, jnp.zeros((1, table.shape[1]), jnp.float32)], axis=0)  # bg
+    return shade_from_table(tid, table, scene, rows, cols,
+                            n_attrs=len(attr_slots[0]))
+
+
+def shade_from_table(tid, table, scene: SceneData, rows: int, cols: int,
+                     n_attrs: int = 9):
+    """Per-pixel plane evaluation + reference fragment lighting.
+
+    tid i32 [rows, cols] indexes rows of `table` [N+1, W] (plane-table
+    rows + one trailing all-zero background row); -1 = background.
+    n_attrs = 6 when the table was built without world-pos planes
+    (lightless-scene specialization; point lights require 9)."""
     R_ = rows * cols
     tidf = tid.reshape(R_)
     hit = tidf >= 0
-    g = table[jnp.where(hit, tidf, table.shape[0] - 1)]  # [R, 32]
+    g = table[jnp.where(hit, tidf, table.shape[0] - 1)]  # [R, W]
     px = jnp.broadcast_to((jnp.arange(cols, dtype=jnp.float32) + 0.5)[None],
                           (rows, cols)).reshape(R_)
     py = jnp.broadcast_to((jnp.arange(rows, dtype=jnp.float32) + 0.5)[:, None],
                           (rows, cols)).reshape(R_)
-    d = g[:, 27] * px + g[:, 28] * py + g[:, 29]
+    dn = 3 * n_attrs
+    d = g[:, dn] * px + g[:, dn + 1] * py + g[:, dn + 2]
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
 
     def attr(j):
@@ -738,7 +763,12 @@ def shade_planes_ch(tid, ch, attr_slots, scene: SceneData, rows: int,
 
     nx, ny, nz = attr(0), attr(1), attr(2)
     cr, cg, cb = attr(3), attr(4), attr(5)
-    wx, wy_, wz = attr(6), attr(7), attr(8)
+    if n_attrs >= 9:
+        wx, wy_, wz = attr(6), attr(7), attr(8)
+    else:
+        assert scene.pt_pos.shape[0] == 0, (
+            "point lights require world-pos planes (n_attrs=9)")
+        wx = wy_ = wz = jnp.zeros_like(nx)
     inv_nl = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
     nx, ny, nz = nx * inv_nl, ny * inv_nl, nz * inv_nl
 
@@ -938,6 +968,126 @@ def visibility_binned_ch(ch, rows: int, cols: int, *, kernel: str = "mm",
     return zbuf, tid
 
 
+def _entry_planes_src(ch) -> jnp.ndarray:
+    """Per-triangle GLOBAL-coordinate plane channels for the subtile kernel:
+    src f32 [T+1, 16] with A/B/G per edge + ZX/ZY/ZC depth plane (pixel-
+    center form: w_k = A_k*px + B_k*py + G_k evaluated at px+0.5 handled by
+    the per-pair fold in build_subtile_rows). Row T is the all-zero dump."""
+    xa, xb, xc = ch["sxa"], ch["sxb"], ch["sxc"]
+    ya, yb, yc = ch["sya"], ch["syb"], ch["syc"]
+    za, zb, zc = ch["sza"], ch["szb"], ch["szc"]
+    sxv, syv = (xa, xb, xc), (ya, yb, yc)
+    acs, bcs, gcs = [], [], []
+    for k in range(3):
+        x1, y1 = sxv[(k + 1) % 3], syv[(k + 1) % 3]
+        x2, y2 = sxv[(k + 2) % 3], syv[(k + 2) % 3]
+        acs.append(-(y2 - y1))
+        bcs.append(x2 - x1)
+        gcs.append((y2 - y1) * x1 - (x2 - x1) * y1)
+    area = (xb - xa) * (yc - ya) - (yb - ya) * (xc - xa)
+    inv_area = 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
+    zpx = (acs[0] * za + acs[1] * zb + acs[2] * zc) * inv_area
+    zpy = (bcs[0] * za + bcs[1] * zb + bcs[2] * zc) * inv_area
+    zpc = (gcs[0] * za + gcs[1] * zb + gcs[2] * zc) * inv_area
+    zero = jnp.zeros_like(xa)
+    src = jnp.stack([
+        acs[0], bcs[0], gcs[0], acs[1], bcs[1], gcs[1],
+        acs[2], bcs[2], gcs[2], zpx, zpy, zpc,
+        zero, zero, zero, zero,
+    ], axis=-1)
+    # dump row (dead bin slots): G0 = +1 -> w0 > 0 never inside; ZC = 2
+    # as belt-and-braces (z > 1 also fails the depth-range test)
+    dump = jnp.zeros((1, 16), jnp.float32).at[0, 2].set(1.0).at[0, 11].set(2.0)
+    return jnp.concatenate([src, dump], axis=0)
+
+
+def visibility_subtile(cch, rows: int, cols: int, *, big_cap: int = 64,
+                       r_cap: int = 16384, pair_cap: int = 1 << 30):
+    """Subtile-binned visibility via ops/raster_subtile (see its docstring).
+
+    Bins are per (8-row tile, 16-px column subtile); small tris (bbox
+    within a 2x2 tile-row x subtile-col window) emit up to 4 pairs, big
+    tris (up to big_cap, compacted) one pair per overlapped subtile.
+    Returns (zbuf f32 [rows, cols], pair_idx i32 [rows, cols] (-1 = bg),
+    tri_s i32 [P] pair->triangle map, n_rows, n_pairs) — callers must
+    check n_rows <= r_cap (aligned-layout capacity) for exactness."""
+    from ascii_renderer_tpu.ops import raster_subtile as RS
+
+    xa, xb, xc = cch["sxa"], cch["sxb"], cch["sxc"]
+    ya, yb, yc = cch["sya"], cch["syb"], cch["syc"]
+    valid = cch["valid"]
+    T = xa.shape[0]
+    assert T < RS.MAX_TRI, f"subtile sort key supports < {RS.MAX_TRI} tris"
+    assert r_cap % RS.CHUNK_R == 0
+    tiles_y = -(-rows // TILE_H)
+    tiles_x = -(-cols // TILE_W)
+    n_tiles = tiles_y * tiles_x
+    sx_n = tiles_x * RS.N_SUB  # subtile columns across the padded screen
+    n_bins = n_tiles * RS.N_SUB
+
+    xmin = jnp.minimum(jnp.minimum(xa, xb), xc)
+    xmax = jnp.maximum(jnp.maximum(xa, xb), xc)
+    ymin = jnp.minimum(jnp.minimum(ya, yb), yc)
+    ymax = jnp.maximum(jnp.maximum(ya, yb), yc)
+    sc0 = jnp.floor(xmin / RS.SUB_W).astype(jnp.int32)
+    sc1 = jnp.floor(xmax / RS.SUB_W).astype(jnp.int32)
+    ty0 = jnp.floor(ymin / TILE_H).astype(jnp.int32)
+    ty1 = jnp.floor(ymax / TILE_H).astype(jnp.int32)
+    onscreen = (xmax > 0) & (xmin < cols) & (ymax > 0) & (ymin < rows)
+    fits = ((sc1 - sc0) < 2) & ((ty1 - ty0) < 2)
+    small = valid & onscreen & fits
+    big = valid & onscreen & jnp.logical_not(fits)
+
+    tri_ids = jnp.arange(T, dtype=jnp.int32)
+    key_parts = []
+    for k in range(4):
+        ty = ty0 + (k // 2)
+        sc = sc0 + (k % 2)
+        ok = (small & (ty >= 0) & (ty < tiles_y) & (sc >= 0) & (sc < sx_n)
+              & (ty <= ty1) & (sc <= sc1))
+        bins = jnp.where(ok, ty * sx_n + sc, n_bins)
+        key_parts.append((bins << RS.SUB_SHIFT) | tri_ids)
+
+    scores, idxs = jax.lax.top_k(big.astype(jnp.int32), big_cap)
+    big_idx = jnp.where(scores > 0, idxs, T)
+
+    def padi(c, fill):
+        return jnp.concatenate([c, jnp.asarray([fill], c.dtype)])[big_idx]
+
+    bsc0 = padi(sc0, 1)
+    bsc1 = padi(sc1, 0)
+    bty0 = padi(ty0, 1)
+    bty1 = padi(ty1, 0)
+    bins_g = jnp.arange(n_bins, dtype=jnp.int32)
+    g_ty = bins_g // sx_n
+    g_sc = bins_g % sx_n
+    overlap = ((g_sc[None, :] >= bsc0[:, None]) & (g_sc[None, :] <= bsc1[:, None])
+               & (g_ty[None, :] >= bty0[:, None]) & (g_ty[None, :] <= bty1[:, None])
+               & (big_idx < T)[:, None])
+    bins_big = jnp.where(overlap, bins_g[None, :], n_bins)
+    tri_big = jnp.minimum(
+        jnp.broadcast_to(big_idx[:, None], (big_cap, n_bins)), T - 1
+    ).astype(jnp.int32)
+    key_parts.append(((bins_big << RS.SUB_SHIFT) | tri_big).reshape(-1))
+
+    keys = jax.lax.sort(jnp.concatenate(key_parts))
+    tri_s = (keys & (RS.MAX_TRI - 1)).astype(jnp.int32)
+
+    src = _entry_planes_src(cch)
+    rows_data, rowptr, n_rows, n_pairs = RS.build_subtile_rows(
+        src, keys, tiles_x, n_tiles, r_cap, pair_cap)
+    ztile, etile = RS.tile_eval_subtile(rows_data, rowptr, tiles_x, n_tiles)
+
+    zimg = (ztile.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
+            .transpose(0, 2, 1, 3).reshape(tiles_y * TILE_H, tiles_x * TILE_W))
+    eimg = (etile.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
+            .transpose(0, 2, 1, 3).reshape(tiles_y * TILE_H, tiles_x * TILE_W))
+    zbuf = zimg[:rows, :cols]
+    eidx = eimg[:rows, :cols].astype(jnp.int32)
+    eidx = jnp.where(eidx < 0, -1, eidx)
+    return zbuf, eidx, tri_s, n_rows, n_pairs
+
+
 def visibility_binned(setup, rows: int, cols: int, slots: int = 256,
                       tile_window: int = 2, big_cap: int = 64,
                       slot_chunk: int = 16):
@@ -1023,25 +1173,51 @@ def shade_visibility(tid, clip, attrs, scene: SceneData, rows: int, cols: int):
 # --------------------------------------------------------------------------
 def render_soup_diag(positions, normals, colors, scene: SceneData,
                      cam: Camera, rows: int, cols: int, pixel_aspect: float,
-                     v_cap: int, big_cap: int = 64, kernel: str = "mm"):
+                     v_cap: int, big_cap: int = 64, kernel: str = "mm",
+                     r_cap: int = 16384, pair_cap: int = 65536):
     """Compacted raster pipeline with capacity diagnostics.
 
-    Returns (rgb f32 [rows, cols, 3], diag) where diag = {'n_valid',
-    'n_big'} as i32 device scalars. The frame is exact iff
-    n_valid <= v_cap and n_big <= big_cap; otherwise triangles were
-    dropped and the caller should re-render with caps from `suggest_caps`
-    (see RasterBackend.render for the adaptive loop)."""
-    attrs = jnp.concatenate([normals, colors, positions], axis=1)
+    Returns (rgb f32 [rows, cols, 3], diag) with i32 device scalars. The
+    frame is exact iff every diag count is within its cap (n_valid <=
+    v_cap, n_big <= big_cap, and for kernel='subtile' n_rows <= r_cap,
+    n_pairs <= pair_cap); otherwise work was dropped and the caller should
+    re-render with caps from `suggest_caps` (see RasterBackend.render)."""
+    # lightless-scene specialization: world-pos attr planes feed only the
+    # point-light terms, and the padded point-light count is a STATIC 0
+    # for scenes without any (scene/builder.py rounds 0 up to 0)
+    if scene.pt_pos.shape[0] == 0:
+        attrs = jnp.concatenate([normals, colors], axis=1)
+    else:
+        attrs = jnp.concatenate([normals, colors, positions], axis=1)
     mvp = camera_mvp(cam, rows, cols, pixel_aspect)
     ch = transform_clip_channels(positions, mvp)
     ch = setup_screen_channels(ch, rows, cols)
     cch, cidx, n_valid = compact_valid_ch(ch, v_cap)
+    attr_slots = clip_attrs_compact_lists(attrs, ch, cidx)
+    if kernel == "subtile":
+        _zbuf, eidx, tri_s, n_rows, n_pairs = visibility_subtile(
+            cch, rows, cols, big_cap=big_cap, r_cap=r_cap,
+            pair_cap=pair_cap)
+        table = build_plane_table(cch, attr_slots)  # [v_cap, W]
+        ptable = table[tri_s[:pair_cap]]  # pair-ordered: shade skips the
+        ptable = jnp.concatenate(         # eidx->tri indirection entirely
+            [ptable, jnp.zeros((1, table.shape[1]), jnp.float32)], axis=0)
+        rgb = shade_from_table(eidx, ptable, scene, rows, cols,
+                               n_attrs=len(attr_slots[0]))
+        _n_small, n_big = count_big_small(cch, rows, cols)
+        return rgb, {"n_valid": n_valid, "n_big": n_big,
+                     "n_rows": n_rows, "n_pairs": n_pairs}
     _zbuf, tid = visibility_binned_ch(cch, rows, cols, kernel=kernel,
                                       big_cap=big_cap)
-    attr_slots = clip_attrs_compact_lists(attrs, ch, cidx)
     rgb = shade_planes_ch(tid, cch, attr_slots, scene, rows, cols)
     _n_small, n_big = count_big_small(cch, rows, cols)
-    return rgb, {"n_valid": n_valid, "n_big": n_big}
+    zero = jnp.zeros((), jnp.int32)
+    return rgb, {"n_valid": n_valid, "n_big": n_big,
+                 "n_rows": zero, "n_pairs": zero}
+
+
+def _round_up(x, q):
+    return -(-x // q) * q
 
 
 def suggest_caps(n_valid: int, n_big: int):
@@ -1050,23 +1226,38 @@ def suggest_caps(n_valid: int, n_big: int):
     Sized ~30%/50% above the last observed counts so camera motion doesn't
     recompile every frame; rounded to coarse quanta so nearby scenes share
     compiled programs."""
-    def _round_up(x, q):
-        return -(-x // q) * q
     v_cap = min(MAX_V_CAP, _round_up(int(n_valid * 1.3) + 512, 8192))
     big_cap = max(64, _round_up(int(n_big * 1.5) + 8, 64))
     return v_cap, big_cap
 
 
+def suggest_caps_subtile(n_valid: int, n_big: int, n_rows: int,
+                         n_pairs: int):
+    """Adaptive capacities for the subtile pipeline: (v_cap, big_cap,
+    r_cap, pair_cap). Same margin policy as suggest_caps; r_cap stays a
+    CHUNK_R multiple (kernel DMA granularity)."""
+    from ascii_renderer_tpu.ops import raster_subtile as RS
+
+    max_sub_v = RS.MAX_TRI - 4096
+    v_cap = min(max_sub_v, _round_up(int(n_valid * 1.15) + 512, 4096))
+    big_cap = max(16, _round_up(int(n_big * 1.5) + 8, 16))
+    r_cap = _round_up(int(n_rows * 1.15) + 256, max(RS.CHUNK_R, 2048))
+    pair_cap = _round_up(int(n_pairs * 1.15) + 512, 4096)
+    return v_cap, big_cap, r_cap, pair_cap
+
+
 def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
                 rows: int, cols: int, pixel_aspect: float,
                 chunk: int = 64, method: str = "auto",
-                v_cap: int | None = None, big_cap: int = 64) -> jnp.ndarray:
+                v_cap: int | None = None, big_cap: int = 64,
+                r_cap: int = 16384, pair_cap: int = 65536) -> jnp.ndarray:
     """Triangle soup -> shaded RGB f32 [rows, cols, 3].
 
     method: 'scatter' (binned Pallas bin-walk, fast for many small tris),
-    'scan' (chunked dense scan, the oracle-tested reference path), or
-    'auto' (scatter above 512 tris). v_cap enables the compacted pipeline
-    (see render_soup_diag); None keeps the exact uncapped path."""
+    'subtile' (subtile-packed walk, fastest), 'scan' (chunked dense scan,
+    the oracle-tested reference path), or 'auto' (scatter above 512 tris).
+    v_cap enables the compacted pipeline (see render_soup_diag); None
+    keeps the exact uncapped path (method='subtile' requires v_cap)."""
     attrs = jnp.concatenate([normals, colors, positions], axis=1)  # [V, 9]
     mvp = camera_mvp(cam, rows, cols, pixel_aspect)
     if method == "auto":
@@ -1074,11 +1265,14 @@ def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
         # fused-shading 232 ms (eager per-entry attribute interpolation
         # outweighs the deferred gathers) — keep the visibility buffer
         method = "scatter" if positions.shape[0] // 3 * 2 > 512 else "scan"
-    if method in ("scatter", "scatter_mm", "scatter_loop") and v_cap is not None:
-        kern = "loop" if method == "scatter_loop" else "mm"
+    if (method in ("scatter", "scatter_mm", "scatter_loop", "subtile")
+            and v_cap is not None):
+        kern = {"scatter_loop": "loop", "subtile": "subtile"}.get(method,
+                                                                  "mm")
         rgb, _diag = render_soup_diag(
             positions, normals, colors, scene, cam, rows, cols, pixel_aspect,
-            v_cap=v_cap, big_cap=big_cap, kernel=kern)
+            v_cap=v_cap, big_cap=big_cap, kernel=kern, r_cap=r_cap,
+            pair_cap=pair_cap)
         return rgb
     if method == "fused":
         ch = transform_clip_channels(positions, mvp)
@@ -1152,11 +1346,17 @@ class RasterBackend:
                 fn = jax.jit(functools.partial(
                     render_soup, rows=rows, cols=cols,
                     pixel_aspect=pixel_aspect))
-            else:
+            elif len(caps) == 2:  # mid scale: compacted mm bin-walk
                 fn = jax.jit(functools.partial(
                     render_soup_diag, rows=rows, cols=cols,
                     pixel_aspect=pixel_aspect, v_cap=caps[0],
                     big_cap=caps[1]))
+            else:
+                fn = jax.jit(functools.partial(
+                    render_soup_diag, rows=rows, cols=cols,
+                    pixel_aspect=pixel_aspect, kernel="subtile",
+                    v_cap=caps[0], big_cap=caps[1], r_cap=caps[2],
+                    pair_cap=caps[3]))
             self._fns[key] = fn
         return fn
 
@@ -1164,21 +1364,33 @@ class RasterBackend:
                pixel_aspect: float = 1.0) -> Frame:
         if self._scene is None or self._soup[0].shape[0] == 0:
             return Frame.blank(rows, cols)
+        from ascii_renderer_tpu.ops import raster_subtile as RS
         n2t = self._soup[0].shape[0] // 3 * 2
-        if n2t < _ADAPTIVE_MIN_TRIS or n2t > MAX_V_CAP:
+        if n2t < _ADAPTIVE_MIN_TRIS or n2t > RS.MAX_TRI - 4096:
             rgb = self._fn(rows, cols, pixel_aspect, None)(
                 *self._soup, self._scene, camera)
             return Frame.from_float(rgb)
-        caps = self._caps or (min(n2t, MAX_V_CAP), 64)
+        if n2t < 32768:  # mid scale: subtile prep overhead doesn't pay
+            caps = self._caps or (n2t, 64)
+            for _ in range(4):
+                rgb, diag = self._fn(rows, cols, pixel_aspect, caps)(
+                    *self._soup, self._scene, camera)
+                counts = (int(diag["n_valid"]), int(diag["n_big"]))
+                if all(c <= cap for c, cap in zip(counts, caps)):
+                    break
+                caps = suggest_caps(*counts)
+            self._caps = suggest_caps(*counts)
+            return Frame.from_float(rgb)
+        caps = self._caps or (n2t, 64, _round_up(n2t, 2048), 4 * n2t)
         for _ in range(4):  # overflow retries (caps grow geometrically)
             rgb, diag = self._fn(rows, cols, pixel_aspect, caps)(
                 *self._soup, self._scene, camera)
-            n_valid = int(diag["n_valid"])
-            n_big = int(diag["n_big"])
-            if n_valid <= caps[0] and n_big <= caps[1]:
+            counts = tuple(int(diag[k]) for k in
+                           ("n_valid", "n_big", "n_rows", "n_pairs"))
+            if all(c <= cap for c, cap in zip(counts, caps)):
                 break
-            caps = suggest_caps(n_valid, n_big)
-        self._caps = suggest_caps(n_valid, n_big)
+            caps = suggest_caps_subtile(*counts)
+        self._caps = suggest_caps_subtile(*counts)
         return Frame.from_float(rgb)
 
     def dispose(self):

@@ -60,9 +60,19 @@ def _raster_ascii_fn(cfg, rows, cols, caps=None):
     from ascii_renderer_tpu.ascii.ascii_pass import glyph_decide
 
     def run(p, n, c, scene, cam):
-        v_cap, big_cap = caps if caps else (None, 64)
-        rgb = render_soup(p, n, c, scene, cam, rows, cols, cfg.pixel_aspect,
-                          v_cap=v_cap, big_cap=big_cap)
+        if caps and len(caps) == 4:  # subtile pipeline (large scenes)
+            v_cap, big_cap, r_cap, pair_cap = caps
+            rgb = render_soup(p, n, c, scene, cam, rows, cols,
+                              cfg.pixel_aspect, method="subtile",
+                              v_cap=v_cap, big_cap=big_cap, r_cap=r_cap,
+                              pair_cap=pair_cap)
+        elif caps:  # compacted mm bin-walk (mid scale)
+            rgb = render_soup(p, n, c, scene, cam, rows, cols,
+                              cfg.pixel_aspect, v_cap=caps[0],
+                              big_cap=caps[1])
+        else:
+            rgb = render_soup(p, n, c, scene, cam, rows, cols,
+                              cfg.pixel_aspect)
         frame = Frame.from_float(rgb)
         chars, _tint = glyph_decide(
             frame, ramp=cfg.ascii_ramp, mode_on=cfg.ascii_mode_filter,
@@ -82,16 +92,29 @@ def _probe_caps(soup, scene, cam, rows, cols, pixel_aspect):
     import functools
     from ascii_renderer_tpu.backends import raster as R
 
+    from ascii_renderer_tpu.ops import raster_subtile as RS
+
     n2t = soup[0].shape[0] // 3 * 2
-    if n2t > R.MAX_V_CAP:
-        return None
+    if n2t < 2048 or n2t > RS.MAX_TRI - 4096:
+        return None  # fixed binning overhead beats tiny scenes: plain path
+    if n2t < 32768:  # mid scale: compaction pays, subtile prep doesn't
+        fn = jax.jit(functools.partial(
+            R.render_soup_diag, rows=rows, cols=cols,
+            pixel_aspect=pixel_aspect, v_cap=n2t, big_cap=64))
+        _, diag = fn(*soup, scene, cam)
+        caps = R.suggest_caps(int(diag["n_valid"]), int(diag["n_big"]))
+        _log(f"  probe: n_valid={int(diag['n_valid'])} "
+             f"n_big={int(diag['n_big'])} -> caps={caps}")
+        return caps
     fn = jax.jit(functools.partial(
         R.render_soup_diag, rows=rows, cols=cols, pixel_aspect=pixel_aspect,
-        v_cap=min(n2t, R.MAX_V_CAP), big_cap=64))
+        kernel="subtile", v_cap=n2t, big_cap=64,
+        r_cap=R._round_up(n2t, 2048), pair_cap=4 * n2t))
     _, diag = fn(*soup, scene, cam)
-    caps = R.suggest_caps(int(diag["n_valid"]), int(diag["n_big"]))
-    _log(f"  probe: n_valid={int(diag['n_valid'])} n_big={int(diag['n_big'])}"
-         f" -> caps={caps}")
+    counts = tuple(int(diag[k]) for k in
+                   ("n_valid", "n_big", "n_rows", "n_pairs"))
+    caps = R.suggest_caps_subtile(*counts)
+    _log(f"  probe: counts={counts} -> caps={caps}")
     return caps
 
 
@@ -151,8 +174,9 @@ def bench_config1(smoke):
                                    (2.2, 1.8, 3.2), -0.42)
     fn = _raster_ascii_fn(cfg, rows, cols)
     # device time is ~0.2 ms/frame; iters must dwarf the one ~30 ms
-    # end-of-loop tunnel readback or the figure measures the tunnel
-    dt = _time_fn(fn, (*soup, scene, cam), iters=256)
+    # end-of-loop tunnel readback (and its run-to-run jitter) or the
+    # figure measures the tunnel
+    dt = _time_fn(fn, (*soup, scene, cam), iters=1024)
     tris = soup[0].shape[0] // 3
     return {"fps": 1.0 / dt, "tris": tris, "grid": f"{cols}x{rows}",
             "mtris_s": tris / dt / 1e6}
@@ -168,8 +192,9 @@ def bench_config2(smoke):
                                    (0.9, 0.9, 0.9), (1.9, 1.3, 2.7), -0.4)
     caps = _probe_caps(soup, scene, cam, rows, cols, cfg.pixel_aspect)
     fn = _raster_ascii_fn(cfg, rows, cols, caps)
-    # device time is ~0.3 ms/frame — amortize the single readback away
-    dt = _time_fn(fn, (*soup, scene, cam), iters=256)
+    # device time is ~0.5 ms/frame — amortize the single readback (and
+    # its run-to-run jitter) well away
+    dt = _time_fn(fn, (*soup, scene, cam), iters=768)
     tris = soup[0].shape[0] // 3
     return {"fps": 1.0 / dt, "tris": tris, "grid": f"{cols}x{rows}",
             "mtris_s": tris / dt / 1e6}
