@@ -405,13 +405,21 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
     light_center, light_radius = get_light_sphere(scene, time)
     lcol = jnp.asarray(light_color, jnp.float32) * 1.3  # the *1.3 in the define
 
+    # kernel-path RNG: the megakernel's counter-based hash is seeded from
+    # the frame key so every frame draws fresh bounce-sampling noise (the
+    # reference reseeds per frame via its time uniform,
+    # pathtrace_shader.js:187-201); a literal seed here would make
+    # temporal accumulation over kernel frames barely converge.
+    frame_seed = (jax.random.key_data(key).reshape(-1)[-1]
+                  .astype(jnp.int32))
+
     # ---- phase 1: center-ray probe (fetched flag + primary glyph hits) ----
     rd0 = (px[..., None] * uu + py[..., None] * vv + focal * ww)
     rd0 = rd0 / jnp.linalg.norm(rd0, axis=-1, keepdims=True)
     ro0 = jnp.broadcast_to(cam.pos, (rows, cols, 3))
     if use_kernel:
         col0, ov0, fetched = trace_eye_paths_kernel(
-            scene, ro0, rd0, jnp.int32(0x5EED), light_center, light_radius,
+            scene, ro0, rd0, frame_seed, light_center, light_radius,
             bounces=bounces, light_color=lcol, nee=nee)
     else:
         col0, ov0, fetched = trace_eye_paths(
@@ -440,8 +448,10 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
         rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
 
         if use_kernel:
+            # golden-ratio stride decorrelates batches under one frame key
+            batch_seed = frame_seed + (b + 1) * jnp.int32(-1640531527)
             col, ov, _pf = trace_eye_paths_kernel(
-                scene, ro_b, rd, b + 1, light_center, light_radius,
+                scene, ro_b, rd, batch_seed, light_center, light_radius,
                 bounces=bounces, light_color=lcol, nee=nee)
         else:
             col, ov, _pf = trace_eye_paths(scene, ro_b, rd, k_path,

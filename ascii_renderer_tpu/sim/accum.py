@@ -105,7 +105,7 @@ class ProgressivePathTracer:
     functional analog of the dead accum/adaptive pipeline's render loop."""
 
     def __init__(self, cfg: Config, scene, rows: int | None = None,
-                 cols: int | None = None):
+                 cols: int | None = None, use_kernel: bool | None = None):
         import functools
         from ascii_renderer_tpu.backends.pathtrace import render_pt
 
@@ -115,11 +115,13 @@ class ProgressivePathTracer:
         self.scene = scene
         pt = cfg.path_tracer
         ad = cfg.adaptive
+        if use_kernel is None:  # megakernel on real TPU, channel core else
+            use_kernel = jax.default_backend() == "tpu"
         self._render = jax.jit(functools.partial(
             render_pt, rows=self.rows, cols=self.cols,
             pixel_aspect=cfg.pixel_aspect, spp=pt.samples_per_batch,
             bounces=pt.max_bounces, light_color=pt.light_color,
-            nee=pt.direct_light_sampling))
+            nee=pt.direct_light_sampling, use_kernel=use_kernel))
         self._accum = jax.jit(functools.partial(
             accumulate, max_tolerance=ad.max_tolerance,
             max_samples=ad.max_samples,

@@ -109,3 +109,53 @@ def test_demo_scene_with_atlas_renders_poster_glyphs():
     assert ov.any(), "some poster texels must land as glyph overrides"
     # the override codes are visible ASCII from the atlas
     assert np.isin(a[ov], np.arange(32, 127)).all()
+
+
+def _render_kernel(scene, cam, seed, rows=8, cols=16, spp=2, bounces=2):
+    return PT.render_pt(scene, cam, jnp.float32(0.0), jax.random.key(seed),
+                        rows=rows, cols=cols, pixel_aspect=1.0, spp=spp,
+                        bounces=bounces, light_color=(16.86, 10.76, 8.2),
+                        use_kernel=True)
+
+
+def test_kernel_path_rng_varies_per_frame_key():
+    """The megakernel seeds from the frame key (ref reseeds per frame via
+    its time uniform, pathtrace_shader.js:187-201): different keys must
+    draw different bounce noise; the same key must reproduce exactly."""
+    scene = create_demo_scene().build()
+    rgb0, _ = _render_kernel(scene, scene.camera, seed=0)
+    rgb0b, _ = _render_kernel(scene, scene.camera, seed=0)
+    rgb1, _ = _render_kernel(scene, scene.camera, seed=1)
+    np.testing.assert_array_equal(np.asarray(rgb0), np.asarray(rgb0b))
+    assert np.abs(np.asarray(rgb0) - np.asarray(rgb1)).max() > 1e-4
+
+
+def test_progressive_accum_converges_on_kernel_path():
+    """ProgressivePathTracer driven through the megakernel must actually
+    refine: with per-frame kernel reseeding the sample-mean variance
+    shrinks (a frame-constant seed would keep adding the same noise)."""
+    from ascii_renderer_tpu.core.config import Config
+    from ascii_renderer_tpu.sim.accum import ProgressivePathTracer
+
+    cfg = Config(pixel_aspect=1.0)
+    scene = create_demo_scene().build()
+    prog = ProgressivePathTracer(cfg, scene, rows=8, cols=16,
+                                 use_kernel=True)
+    prog.step(scene.camera)
+    prog.step(scene.camera)
+    k2 = np.asarray(prog.state.count)
+    m2_2 = np.asarray(prog.state.m2)
+    for _ in range(4):
+        prog.step(scene.camera)
+    k6 = np.asarray(prog.state.count)
+    m2_6 = np.asarray(prog.state.m2)
+    assert k6.max() > k2.max()
+    # per-frame reseeding must add NEW noise: m2 (sum of squared
+    # deviations) grows, and the CI half-width 1.96*sigma/sqrt(k) shrinks
+    assert m2_6.sum() > m2_2.sum() * 1.01, "no fresh noise across frames"
+
+    def ci(m2, k):
+        var = m2 / np.maximum(k[..., None] - 1, 1)
+        return (1.96 * np.sqrt(np.maximum(var, 0))
+                / np.sqrt(np.maximum(k[..., None], 1)))
+    assert ci(m2_6, k6).mean() < ci(m2_2, k2).mean() * 0.9, "CI not shrinking"
