@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", "-b", default=None,
                    help="pathtrace|raytrace|raster (aliases pt/rt/r)")
     p.add_argument("--frames", "-n", type=int, default=1)
+    p.add_argument("--batch", type=int, default=0,
+                   help="offline mode: render N frames per device dispatch "
+                        "(lax.scan batching; amortizes host overhead)")
     p.add_argument("--cols", type=int, default=None)
     p.add_argument("--rows", type=int, default=None)
     p.add_argument("--spp", type=int, default=None, help="path tracer samples")
@@ -117,16 +120,34 @@ def _builder_from_args(args):
 
 def run_offline(args) -> int:
     cfg = config_from_args(args)
-    cfg, scene, state, step = demo_setup(cfg, builder=_builder_from_args(args))
+    batch = max(0, args.batch)
+    cfg, scene, state, step = demo_setup(cfg, builder=_builder_from_args(args),
+                                         batch=batch)
     ins = CameraInputs.from_keys(())
     fps_val = float(cfg.target_fps)
     t_frame = 0.0
-    for i in range(args.frames):
-        t0 = time.perf_counter()
-        state, chars, _tint, frame = step(scene, state, ins, 1.0 / 60.0, fps_val)
-        chars.block_until_ready()
-        t_frame = time.perf_counter() - t0
-        fps_val = 1.0 / max(t_frame, 1e-6)
+    frame = None
+    if batch > 1:
+        # N frames per device dispatch (SURVEY §7 multi-frame batching)
+        import jax.numpy as jnp
+        from ascii_renderer_tpu.sim.framestep import broadcast_inputs
+        ins_n = broadcast_inputs(ins, batch)
+        dt_n = jnp.full((batch,), 1.0 / 60.0, jnp.float32)
+        for _ in range(-(-args.frames // batch)):
+            t0 = time.perf_counter()
+            state, chars_n, _tint_n = step(scene, state, ins_n, dt_n, fps_val)
+            chars_n.block_until_ready()
+            t_frame = (time.perf_counter() - t0) / batch
+            fps_val = 1.0 / max(t_frame, 1e-6)
+        chars = chars_n[-1]
+    else:
+        for i in range(args.frames):
+            t0 = time.perf_counter()
+            state, chars, _tint, frame = step(scene, state, ins, 1.0 / 60.0,
+                                              fps_val)
+            chars.block_until_ready()
+            t_frame = time.perf_counter() - t0
+            fps_val = 1.0 / max(t_frame, 1e-6)
     rows = chars_to_strings(chars)
     text = "\n".join(rows)
     if args.out:
@@ -136,7 +157,7 @@ def run_offline(args) -> int:
               f"last frame {t_frame*1000:.1f} ms)")
     else:
         print(text)
-    if args.debug:
+    if args.debug and frame is not None:
         rgb = np.asarray(frame.rgb)
         print(f"[debug] cell grid {rgb.shape} mean={rgb.mean():.1f} "
               f"max={rgb.max()} overrides={int(((np.asarray(frame.a)>=2)&(np.asarray(frame.a)<=254)).sum())}",

@@ -59,7 +59,8 @@ class FrameState:
 
 
 def _render_rgb_a(backend: str, scene: SceneData, cam: Camera, time_s,
-                  key, cfg: Config, rows: int, cols: int, soup=None):
+                  key, cfg: Config, rows: int, cols: int, soup=None,
+                  raster_caps=None):
     """Dispatch to a backend's pure render function (static choice — swapping
     backends selects a different compiled program, gpu_renderer.js:68-80)."""
     if backend == "raytrace":
@@ -68,8 +69,18 @@ def _render_rgb_a(backend: str, scene: SceneData, cam: Camera, time_s,
         return rgb, None
     if backend == "raster":
         from ascii_renderer_tpu.backends.raster import render_soup
-        rgb = render_soup(soup[0], soup[1], soup[2], scene, cam, rows, cols,
-                          cfg.pixel_aspect)
+        if raster_caps and len(raster_caps) == 4:
+            rgb = render_soup(soup[0], soup[1], soup[2], scene, cam, rows,
+                              cols, cfg.pixel_aspect, method="subtile",
+                              v_cap=raster_caps[0], big_cap=raster_caps[1],
+                              r_cap=raster_caps[2], pair_cap=raster_caps[3])
+        elif raster_caps:
+            rgb = render_soup(soup[0], soup[1], soup[2], scene, cam, rows,
+                              cols, cfg.pixel_aspect, v_cap=raster_caps[0],
+                              big_cap=raster_caps[1])
+        else:
+            rgb = render_soup(soup[0], soup[1], soup[2], scene, cam, rows,
+                              cols, cfg.pixel_aspect)
         return rgb, None
     if backend == "pathtrace":
         from ascii_renderer_tpu.backends.pathtrace import render_pt
@@ -83,9 +94,38 @@ def _render_rgb_a(backend: str, scene: SceneData, cam: Camera, time_s,
     raise ValueError(f"unknown backend {backend!r}")
 
 
+def _step_body(cfg: Config, backend: str, rows: int, cols: int, soup,
+               raster_caps, scene: SceneData, state: FrameState,
+               inputs: CameraInputs, dt_s, fps):
+    """One frame, unjitted: update_camera -> backend render -> UI char
+    plane -> alpha-protocol composite -> glyph decision."""
+    dt_s = jnp.float32(dt_s)
+    cam = update_camera(state.camera, inputs, dt_s)
+    time_ms = state.time_ms + dt_s * 1000.0
+    key = jax.random.fold_in(state.rng, state.frame_idx)
+
+    rgb, a = _render_rgb_a(backend, scene, cam, time_ms / 1000.0, key,
+                           cfg, rows, cols, soup=soup,
+                           raster_caps=raster_caps)
+    frame = Frame.from_float(rgb, a)
+
+    ui_chars, ui_mask = ui_mod.ui_char_plane(
+        cfg, rows, cols, fps, state.ripples, state.n_ripples, time_ms)
+    frame = frame.with_overrides(ui_chars, ui_mask)
+
+    chars, tint = glyph_decide(
+        frame, ramp=cfg.ascii_ramp, mode_on=cfg.ascii_mode_filter,
+        mode_radius=cfg.mode_radius, mode_thresh=cfg.ascii_mode_thresh,
+        grayscale=cfg.use_grayscale)
+
+    new_state = state.replace(camera=cam, time_ms=time_ms,
+                              frame_idx=state.frame_idx + 1)
+    return new_state, chars, tint, frame
+
+
 def make_frame_step(cfg: Config, backend: str | None = None,
                     rows: int | None = None, cols: int | None = None,
-                    soup=None) -> Callable:
+                    soup=None, raster_caps=None) -> Callable:
     """Build the jitted frame step:
 
       step(scene, state, inputs, dt_s, fps) ->
@@ -98,39 +138,57 @@ def make_frame_step(cfg: Config, backend: str | None = None,
     backend = backend or cfg.default_backend
     rows = rows or cfg.grid_height
     cols = cols or cfg.grid_width
+    return jax.jit(functools.partial(_step_body, cfg, backend, rows, cols,
+                                     soup, raster_caps))
 
-    def step(scene: SceneData, state: FrameState, inputs: CameraInputs,
-             dt_s, fps):
-        dt_s = jnp.float32(dt_s)
-        cam = update_camera(state.camera, inputs, dt_s)
-        time_ms = state.time_ms + dt_s * 1000.0
-        key = jax.random.fold_in(state.rng, state.frame_idx)
 
-        rgb, a = _render_rgb_a(backend, scene, cam, time_ms / 1000.0, key,
-                               cfg, rows, cols, soup=soup)
-        frame = Frame.from_float(rgb, a)
+def make_batched_frame_step(cfg: Config, backend: str | None = None,
+                            rows: int | None = None, cols: int | None = None,
+                            soup=None, raster_caps=None) -> Callable:
+    """Multi-frame batched dispatch (SURVEY §7: "render N frames per host
+    callback"): lax.scan the fused frame step over a frame sequence so
+    per-dispatch host overhead amortizes across N frames.
 
-        ui_chars, ui_mask = ui_mod.ui_char_plane(
-            cfg, rows, cols, fps, state.ripples, state.n_ripples, time_ms)
-        frame = frame.with_overrides(ui_chars, ui_mask)
+      step_n(scene, state, inputs_seq, dt_seq, fps) ->
+          (state', chars u8 [N,H,W], tint u8 [N,H,W,3])
 
-        chars, tint = glyph_decide(
-            frame, ramp=cfg.ascii_ramp, mode_on=cfg.ascii_mode_filter,
-            mode_radius=cfg.mode_radius, mode_thresh=cfg.ascii_mode_thresh,
-            grayscale=cfg.use_grayscale)
+    inputs_seq is a CameraInputs pytree with [N]-leading leaves (a camera
+    trajectory — e.g. broadcast one CameraInputs for held keys); dt_seq is
+    f32 [N]. The UI FPS readout uses the single fps scalar for the whole
+    batch (the readout lags by a batch, exactly as the reference's lags by
+    a frame)."""
+    backend = backend or cfg.default_backend
+    rows = rows or cfg.grid_height
+    cols = cols or cfg.grid_width
+    body = functools.partial(_step_body, cfg, backend, rows, cols, soup,
+                             raster_caps)
 
-        new_state = state.replace(camera=cam, time_ms=time_ms,
-                                  frame_idx=state.frame_idx + 1)
-        return new_state, chars, tint, frame
+    def step_n(scene: SceneData, state: FrameState, inputs_seq, dt_seq, fps):
+        def scan_body(st, xs):
+            inputs, dt_s = xs
+            st2, chars, tint, _frame = body(scene, st, inputs, dt_s, fps)
+            return st2, (chars, tint)
 
-    return jax.jit(step)
+        state2, (chars_n, tint_n) = jax.lax.scan(
+            scan_body, state, (inputs_seq, dt_seq))
+        return state2, chars_n, tint_n
+
+    return jax.jit(step_n)
+
+
+def broadcast_inputs(inputs: CameraInputs, n: int) -> CameraInputs:
+    """Stack one CameraInputs into an [n]-leading trajectory (held keys)."""
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
+                                   (n,) + jnp.asarray(x).shape), inputs)
 
 
 def demo_setup(cfg: Config | None = None, backend: str | None = None,
-               builder=None
+               builder=None, batch: int = 0
                ) -> Tuple[Config, SceneData, FrameState, Callable]:
     """Scene + initial state + compiled step (init() analog,
-    js/main.js:173-314). ``builder`` overrides the demo scene."""
+    js/main.js:173-314). ``builder`` overrides the demo scene. batch > 0
+    returns the N-frame batched step (make_batched_frame_step) instead."""
     cfg = cfg or Config()
     backend = backend or cfg.default_backend
     if builder is None:
@@ -149,5 +207,8 @@ def demo_setup(cfg: Config | None = None, backend: str | None = None,
         p, n, c = tessellate_scene(scene)
         soup = (jnp.asarray(p), jnp.asarray(n), jnp.asarray(c))
     state = FrameState.create(scene.camera)
-    step = make_frame_step(cfg, backend, soup=soup)
+    if batch > 0:
+        step = make_batched_frame_step(cfg, backend, soup=soup)
+    else:
+        step = make_frame_step(cfg, backend, soup=soup)
     return cfg, scene, state, step

@@ -67,28 +67,37 @@ def fps_plane(fps, rows: int, cols: int):
     return chars, mask
 
 
-def _bresenham_circle_mask(cx, cy, r, rows: int, cols: int):
-    """Midpoint-circle cells as a [rows, cols] mask — the exact integer
-    Bresenham variant of drawCircleOnBuffer (renderer.js:108-123), run as a
-    bounded fori_loop with 8-way scatter."""
-    cx = jnp.round(cx).astype(jnp.int32)
-    cy = jnp.round(cy).astype(jnp.int32)
-    r = jnp.round(r).astype(jnp.int32)
+def _bresenham_circle_points(cx, cy, r):
+    """Midpoint-circle cells as COORDINATE LISTS — the exact integer
+    Bresenham variant of drawCircleOnBuffer (renderer.js:108-123).
 
-    def body(_i, st):
-        x, y, err, mask = st
+    Marches ALL ripples together ([M] scalar carries) and collects the
+    8-way symmetric points into a [steps, 8, M] buffer; the caller does
+    ONE scatter. The earlier form scattered 8 cells into the full [H, W]
+    mask per step per ripple — 26 ms/frame at 960x540 (the scatter copies
+    dominate); point collection + one scatter is ~0.3 ms.
+
+    cx/cy/r: i32 [M]. Returns (px, py, on) each i32/bool [steps, 8, M]
+    (`on` = the cell was emitted while the march was active)."""
+    M = cx.shape[0]
+    steps = _MAX_BRESENHAM_STEPS
+
+    def body(i, st):
+        x, y, err, pxb, pyb, onb = st
         active = x >= y
-
-        def put(m, px, py):
-            ok = active & (px >= 0) & (px < cols) & (py >= 0) & (py < rows)
-            return m.at[jnp.clip(py, 0, rows - 1),
-                        jnp.clip(px, 0, cols - 1)].max(ok)
-
+        pxs, pys = [], []
         for sx, sy, swap in ((1, 1, False), (1, 1, True), (-1, 1, True),
                              (-1, 1, False), (-1, -1, False), (-1, -1, True),
                              (1, -1, True), (1, -1, False)):
             dx, dy = (y, x) if swap else (x, y)
-            mask = put(mask, cx + sx * dx, cy + sy * dy)
+            pxs.append(cx + sx * dx)
+            pys.append(cy + sy * dy)
+        pxb = jax.lax.dynamic_update_slice(pxb, jnp.stack(pxs)[None],
+                                           (i, 0, 0))
+        pyb = jax.lax.dynamic_update_slice(pyb, jnp.stack(pys)[None],
+                                           (i, 0, 0))
+        onb = jax.lax.dynamic_update_slice(
+            onb, jnp.broadcast_to(active, (1, 8, M)), (i, 0, 0))
 
         # JS: if (err <= 0) { y++; err += 2*y+1; }  — err uses the NEW y
         #     if (err > 0)  { x--; err -= 2*x+1; }  — err uses the NEW x
@@ -99,12 +108,15 @@ def _bresenham_circle_mask(cx, cy, r, rows: int, cols: int):
         x2 = jnp.where(active, x2, x)
         y2 = jnp.where(active, y2, y)
         err3 = jnp.where(active, err3, err)
-        return x2, y2, err3, mask
+        return x2, y2, err3, pxb, pyb, onb
 
-    init = (r, jnp.int32(0), jnp.int32(0),
-            jnp.zeros((rows, cols), bool))
-    _x, _y, _e, mask = jax.lax.fori_loop(0, _MAX_BRESENHAM_STEPS, body, init)
-    return mask
+    zero = jnp.zeros((M,), jnp.int32)
+    init = (r, zero, zero,
+            jnp.zeros((steps, 8, M), jnp.int32),
+            jnp.zeros((steps, 8, M), jnp.int32),
+            jnp.zeros((steps, 8, M), bool))
+    _x, _y, _e, pxb, pyb, onb = jax.lax.fori_loop(0, steps, body, init)
+    return pxb, pyb, onb
 
 
 def ripples_plane(ripples, n_ripples, time_ms, ripple_speed, max_radius,
@@ -115,14 +127,19 @@ def ripples_plane(ripples, n_ripples, time_ms, ripple_speed, max_radius,
     radius exceeds ``max_radius`` are skipped (the reference never expires
     effects and lets them grow forever — a leak we fix deliberately;
     config.MAX_RIPPLE_RADIUS existed for exactly this)."""
-    mask = jnp.zeros((rows, cols), bool)
-    for i in range(MAX_RIPPLES):
-        age = time_ms - ripples[i, 2]
-        radius = age * ripple_speed
-        live = (i < n_ripples) & (radius >= 0.0) & (radius <= max_radius)
-        m = _bresenham_circle_mask(ripples[i, 0], ripples[i, 1], radius,
-                                   rows, cols)
-        mask = mask | (m & live)
+    cx = jnp.round(ripples[:, 0]).astype(jnp.int32)
+    cy = jnp.round(ripples[:, 1]).astype(jnp.int32)
+    age = time_ms - ripples[:, 2]
+    radius = age * ripple_speed
+    live = ((jnp.arange(MAX_RIPPLES) < n_ripples)
+            & (radius >= 0.0) & (radius <= max_radius))
+    r = jnp.round(radius).astype(jnp.int32)
+    px, py, on = _bresenham_circle_points(cx, cy, r)
+    ok = (on & live[None, None, :]
+          & (px >= 0) & (px < cols) & (py >= 0) & (py < rows))
+    mask = jnp.zeros((rows, cols), bool).at[
+        jnp.clip(py, 0, rows - 1).reshape(-1),
+        jnp.clip(px, 0, cols - 1).reshape(-1)].max(ok.reshape(-1))
     chars = jnp.where(mask, jnp.uint8(ord("*")), jnp.uint8(0))
     return chars, mask
 

@@ -200,8 +200,10 @@ def bench_config2(smoke):
             "mtris_s": tris / dt / 1e6}
 
 
-def bench_config3(smoke):
-    """Bunny-class 69k tris at 960x540 — the headline."""
+def bench_config3(smoke, batch=0):
+    """Bunny-class 69k tris at 960x540 — the headline. batch > 1 runs the
+    SURVEY §7 multi-frame mode: lax.scan over a camera trajectory, N full
+    frames (raster -> UI -> glyphs) per device dispatch."""
     from ascii_renderer_tpu.core.config import Config
     from ascii_renderer_tpu.geom import meshes
     cfg = Config(pixel_aspect=0.5)
@@ -210,6 +212,24 @@ def bench_config3(smoke):
     soup, scene, cam = _mesh_scene(lambda: meshes.bunny_like(n_tris),
                                    (0.8, 0.78, 0.75), (2.4, 1.4, 2.8), -0.3)
     caps = _probe_caps(soup, scene, cam, rows, cols, cfg.pixel_aspect)
+    if batch > 1:
+        import jax.numpy as jnp
+        from ascii_renderer_tpu.core.camera import CameraInputs
+        from ascii_renderer_tpu.sim.framestep import (
+            FrameState, broadcast_inputs, make_batched_frame_step)
+        step_n = make_batched_frame_step(cfg, "raster", rows, cols,
+                                         soup=soup, raster_caps=caps)
+        state = FrameState.create(cam)
+        # a real trajectory: strafe keys held, so every frame re-bins
+        ins = broadcast_inputs(CameraInputs.from_keys(("d",)), batch)
+        dts = jnp.full((batch,), 1.0 / 60.0, jnp.float32)
+        fn = lambda: step_n(scene, state, ins, dts, 60.0)[1]  # noqa: E731
+        iters = max(2, 64 // batch)
+        dt = _time_fn(fn, (), warmup=2, iters=iters) / batch
+        tris = soup[0].shape[0] // 3
+        return {"fps": 1.0 / dt, "tris": tris, "grid": f"{cols}x{rows}",
+                "mtris_s": tris / dt / 1e6, "p50_ms": dt * 1e3,
+                "batch": batch}
     fn = _raster_ascii_fn(cfg, rows, cols, caps)
     # iters=64: the single end-of-loop host readback (~30 ms tunnel RTT,
     # absent on production hosts) must be amortized well below the device
@@ -280,6 +300,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--config", type=int, default=None, choices=[0, 1, 2, 3, 4, 5])
+    ap.add_argument("--batch", type=int, default=0,
+                    help="config 3: render N frames per dispatch (lax.scan)")
     args = ap.parse_args(argv)
 
     import jax
@@ -296,7 +318,10 @@ def main(argv=None):
     for i in run:
         try:
             t0 = time.time()
-            results[i] = configs[i](args.smoke)
+            if i == 3 and args.batch > 1:
+                results[i] = configs[i](args.smoke, batch=args.batch)
+            else:
+                results[i] = configs[i](args.smoke)
             _log(f"config {i}: {results[i]} ({time.time()-t0:.1f}s)")
         except Exception as e:  # keep the headline alive even if one dies
             _log(f"config {i} FAILED: {type(e).__name__}: {e}")

@@ -33,11 +33,22 @@ def _np_bresenham(cx, cy, r, rows, cols):
     return out
 
 
+def _points_to_mask(cx, cy, r, rows, cols):
+    """Single-circle mask via the batched point-collection form."""
+    cxa = jnp.asarray([round(cx)], jnp.int32)
+    cya = jnp.asarray([round(cy)], jnp.int32)
+    ra = jnp.asarray([round(r)], jnp.int32)
+    px, py, on = U._bresenham_circle_points(cxa, cya, ra)
+    ok = on & (px >= 0) & (px < cols) & (py >= 0) & (py < rows)
+    return np.asarray(jnp.zeros((rows, cols), bool).at[
+        jnp.clip(py, 0, rows - 1).reshape(-1),
+        jnp.clip(px, 0, cols - 1).reshape(-1)].max(ok.reshape(-1)))
+
+
 def test_bresenham_matches_js_oracle():
     for (cx, cy, r) in [(10, 10, 0), (10, 10, 1), (10, 10, 5), (5, 18, 7.4),
                         (0, 0, 9), (30, 5, 20)]:
-        got = np.asarray(U._bresenham_circle_mask(
-            jnp.float32(cx), jnp.float32(cy), jnp.float32(r), 24, 40))
+        got = _points_to_mask(cx, cy, r, 24, 40)
         want = _np_bresenham(cx, cy, r, 24, 40)
         np.testing.assert_array_equal(got, want, err_msg=f"{cx},{cy},{r}")
 
