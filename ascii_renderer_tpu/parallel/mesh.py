@@ -70,6 +70,25 @@ def orbit_cameras(n: int, center=(0.0, 1.5, 0.0), radius: float = 6.0,
     return batch_cameras(pos, yaw, pitch, fov_y_deg)
 
 
+def make_views_sharded_fn(render_one: Callable, mesh: Mesh,
+                          axis: str = "views") -> Callable:
+    """Compile-once form of render_views_sharded for hot loops: returns
+    ``fn(scene, cameras) -> results`` (inputs are device_put to the right
+    shardings on every call; the compiled program is reused)."""
+    vr = jax.vmap(render_one, in_axes=(None, 0))
+    cam_sharding = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    jfn = jax.jit(vr, in_shardings=(rep, cam_sharding),
+                  out_shardings=cam_sharding)
+
+    def fn(scene, cameras: Camera):
+        cameras = jax.device_put(cameras, cam_sharding)
+        scene = jax.device_put(scene, rep)
+        return jfn(scene, cameras)
+
+    return fn
+
+
 def render_views_sharded(render_one: Callable, scene, cameras: Camera,
                          mesh: Mesh, axis: str = "views"):
     """Shard a camera batch across ``mesh[axis]`` and render all views.
@@ -77,15 +96,9 @@ def render_views_sharded(render_one: Callable, scene, cameras: Camera,
     ``render_one(scene, camera) -> result pytree`` is vmapped over the
     camera batch; the batch axis is sharded, the scene replicated. Returns
     the batched result with its leading axis sharded over ``axis``.
-    """
-    vr = jax.vmap(render_one, in_axes=(None, 0))
-    cam_sharding = NamedSharding(mesh, P(axis))
-    rep = NamedSharding(mesh, P())
-    cameras = jax.device_put(cameras, cam_sharding)
-    scene = jax.device_put(scene, rep)
-    fn = jax.jit(vr, in_shardings=(rep, cam_sharding),
-                 out_shardings=cam_sharding)
-    return fn(scene, cameras)
+    One-shot convenience: for repeated calls use make_views_sharded_fn
+    (this form re-wraps/re-traces per call)."""
+    return make_views_sharded_fn(render_one, mesh, axis)(scene, cameras)
 
 
 def render_rows_sharded(render_rows_fn: Callable, scene, camera: Camera,

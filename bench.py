@@ -241,11 +241,18 @@ def bench_config3(smoke, batch=0):
 
 
 def bench_config4(smoke):
-    """Many-view render farm: 1024 cameras via vmap (raytrace, 96x36)."""
+    """Many-view ASCII render farm: 1024 cameras, each view rendered
+    (raytrace, 96x36) AND glyph-decided — the output is 1024 ASCII glyph
+    grids, not raw RGB. Views shard over the device mesh via
+    render_views_sharded (1 real TPU = 1-device mesh; the same path is
+    mesh-invariance-tested on 8 virtual CPUs)."""
     import jax
-    import functools
     from ascii_renderer_tpu.core.config import Config
-    from ascii_renderer_tpu.parallel.mesh import orbit_cameras
+    from ascii_renderer_tpu.core.frame import Frame
+    from ascii_renderer_tpu.ascii.ascii_pass import glyph_decide
+    from ascii_renderer_tpu.parallel.mesh import (make_mesh,
+                                                  make_views_sharded_fn,
+                                                  orbit_cameras)
     from ascii_renderer_tpu.backends.raytrace import render_rgb
     from ascii_renderer_tpu.scene.demo import create_rt_demo_scene
 
@@ -253,14 +260,23 @@ def bench_config4(smoke):
     views = 32 if smoke else 1024
     rows, cols = (12, 32) if smoke else (36, 96)
     scene = create_rt_demo_scene().build()
+    mesh = make_mesh((len(jax.devices()),), ("views",))
     cams = orbit_cameras(views, center=(0, 1.0, 1.0), radius=6.0)
-    fn = jax.jit(jax.vmap(
-        functools.partial(render_rgb, rows=rows, cols=cols,
-                          pixel_aspect=cfg.pixel_aspect),
-        in_axes=(None, 0)))
-    dt = _time_fn(fn, (scene, cams), warmup=1, iters=3)
+
+    def render_one(scene, cam):
+        rgb = render_rgb(scene, cam, rows, cols, cfg.pixel_aspect)
+        frame = Frame.from_float(rgb)
+        chars, _tint = glyph_decide(
+            frame, ramp=cfg.ascii_ramp, mode_on=cfg.ascii_mode_filter,
+            mode_radius=cfg.mode_radius, mode_thresh=cfg.ascii_mode_thresh,
+            grayscale=cfg.use_grayscale)
+        return chars
+
+    sharded = make_views_sharded_fn(render_one, mesh)
+    dt = _time_fn(sharded, (scene, cams), warmup=2, iters=8)
     return {"views_per_s": views / dt, "views": views,
-            "grid": f"{cols}x{rows}"}
+            "grid": f"{cols}x{rows}", "devices": len(jax.devices()),
+            "output": "glyph grids"}
 
 
 def bench_config5(smoke):
