@@ -195,6 +195,7 @@ def run_interactive(args) -> int:
         scr.nodelay(True)
         frame_interval = 1.0 / cfg.target_fps
         fps_val = float(cfg.target_fps)
+        pending = None  # frame in flight (dispatch-ahead double buffer)
         last = time.perf_counter()
         keymap = {ord("w"): "w", ord("a"): "a", ord("s"): "s", ord("d"): "d",
                   ord(" "): " ", curses.KEY_UP: "arrowup",
@@ -221,13 +222,18 @@ def run_interactive(args) -> int:
                 if k:
                     keys.add(k)
             ins = CameraInputs.from_keys(keys)
+            # dispatch-ahead pipelining (the fbA/fbB double buffer,
+            # js/main.js:364-375,406-409): kick frame N, then display
+            # frame N-1 while N renders — readback leaves the critical path
             state, chars, _tint, _f = step(scene, state, ins, dt, fps_val)
-            rows = chars_to_strings(chars)
+            if pending is not None:
+                rows = chars_to_strings(pending)
+                maxy, maxx = scr.getmaxyx()
+                for y, row in enumerate(rows[: maxy - 1]):
+                    scr.addnstr(y, 0, row, maxx - 1)
+                scr.refresh()
+            pending = chars
             fps_val = 1.0 / max(time.perf_counter() - now, 1e-6)
-            maxy, maxx = scr.getmaxyx()
-            for y, row in enumerate(rows[: maxy - 1]):
-                scr.addnstr(y, 0, row, maxx - 1)
-            scr.refresh()
 
     curses.wrapper(loop)
     return 0
@@ -244,7 +250,7 @@ def run_term(args) -> int:
     import tty
 
     from ascii_renderer_tpu.app.termblit import TermBlitter
-    from ascii_renderer_tpu.utils.profiling import FrameStats, force_completion
+    from ascii_renderer_tpu.utils.profiling import FrameStats
 
     if not sys.stdin.isatty() or not sys.stdout.isatty():
         print("error: --mode term needs an interactive terminal "
@@ -261,14 +267,21 @@ def run_term(args) -> int:
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)
     out = sys.stdout.buffer
+    # mouse-look: a terminal cell is several device pixels tall/wide; scale
+    # cell deltas so sensitivity feels like the reference's pixel deltas
+    MOUSE_SCALE = 8.0
     try:
         tty.setcbreak(fd)
-        out.write(b"\x1b[?1049h\x1b[?25l\x1b[2J")  # alt screen, hide cursor
+        # alt screen, hide cursor, any-event mouse tracking (xterm 1003)
+        # with SGR coordinates (1006) -> pointer-look, js/main.js:108-118
+        out.write(b"\x1b[?1049h\x1b[?25l\x1b[2J\x1b[?1003h\x1b[?1006h")
         out.flush()
         keymap = {"w": "w", "a": "a", "s": "s", "d": "d", " ": " ",
                   "A": "arrowup", "B": "arrowdown", "C": "arrowright",
                   "D": "arrowleft"}
         last = time.perf_counter()
+        mouse_at = None  # last SGR mouse cell (x, y)
+        pending = None  # frame in flight (dispatch-ahead double buffer)
         while True:
             now = time.perf_counter()
             dt = now - last
@@ -277,26 +290,50 @@ def run_term(args) -> int:
                 continue
             last = now
             keys = set()
+            mdx = mdy = 0.0
             while select.select([fd], [], [], 0)[0]:
                 ch = os.read(fd, 1).decode(errors="ignore")
                 if ch == "q" or ch == "\x03":
                     return 0
-                if ch == "\x1b":  # arrow escape sequence
-                    seq = os.read(fd, 2).decode(errors="ignore")
+                if ch == "\x1b":  # CSI sequence (arrow key or SGR mouse)
+                    seq = ""
+                    while select.select([fd], [], [], 0)[0] and len(seq) < 16:
+                        seq += os.read(fd, 1).decode(errors="ignore")
+                        if seq[-1].isalpha() or seq[-1] == "~":
+                            break
                     if len(seq) == 2 and seq[0] == "[" and seq[1] in "ABCD":
                         keys.add(keymap[seq[1]])
+                    elif (seq.startswith("[<")
+                          and seq[-1] in "Mm"):  # SGR mouse event
+                        try:
+                            b, mx, my = (int(v) for v in
+                                         seq[2:-1].split(";"))
+                        except ValueError:
+                            continue
+                        if b & 3 == 0 and seq[-1] == "M" and not b & 32:
+                            # left click -> ripple at the cell
+                            state = state.add_ripple(mx - 1, my - 1)
+                        if mouse_at is not None:
+                            mdx += (mx - mouse_at[0]) * MOUSE_SCALE
+                            mdy += (my - mouse_at[1]) * MOUSE_SCALE
+                        mouse_at = (mx, my)
                     continue
                 k = keymap.get(ch)
                 if k:
                     keys.add(k)
-            ins = CameraInputs.from_keys(keys)
+            ins = CameraInputs.from_keys(keys, mouse_dx=mdx, mouse_dy=mdy)
+            # dispatch-ahead pipelining (fbA/fbB, js/main.js:364-375):
+            # kick frame N, then materialize + display frame N-1 while N
+            # renders — loop FPS tracks device FPS, not device + readback
             state, chars, tint, _f = step(scene, state, ins, dt, stats.fps)
-            force_completion((chars, tint))
-            out.write(tb.encode(np.asarray(chars), np.asarray(tint)))
-            out.flush()
+            if pending is not None:
+                pc, pt = pending
+                out.write(tb.encode(np.asarray(pc), np.asarray(pt)))
+                out.flush()
+            pending = (chars, tint)
             stats.tick()
     finally:
-        out.write(b"\x1b[0m\x1b[?25h\x1b[?1049l")
+        out.write(b"\x1b[?1006l\x1b[?1003l\x1b[0m\x1b[?25h\x1b[?1049l")
         out.flush()
         termios.tcsetattr(fd, termios.TCSADRAIN, old)
         print(f"[termblit native={tb.native}] {stats.summary()}",

@@ -1,0 +1,74 @@
+"""Live terminal mode driven through a pty: mouse-look enable/parse,
+dispatch-ahead loop, clean teardown (ref: pointer-lock mouse-look,
+js/main.js:108-118; fbA/fbB double buffer, js/main.js:364-375)."""
+
+import os
+import pty
+import select
+import subprocess
+import sys
+import time
+
+
+def test_term_mode_mouse_look_and_clean_exit():
+    master, slave = pty.openpty()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ascii_renderer_tpu.app.cli",
+         "--mode", "term", "--backend", "raytrace",
+         "--rows", "12", "--cols", "32", "--fps", "60"],
+        stdin=slave, stdout=slave, stderr=subprocess.PIPE,
+        env=env, cwd=os.path.dirname(os.path.dirname(__file__)))
+    os.close(slave)
+    out = b""
+    try:
+        deadline = time.time() + 120
+        # wait until the loop is up (alt-screen + mouse enable emitted)
+        while time.time() < deadline and b"\x1b[?1003h" not in out:
+            r, _, _ = select.select([master], [], [], 1.0)
+            if r:
+                try:
+                    out += os.read(master, 65536)
+                except OSError:
+                    break
+        assert b"\x1b[?1003h" in out, "mouse tracking was not enabled"
+        # SGR mouse motion (two positions -> a look delta), then quit
+        os.write(master, b"\x1b[<35;10;5M")
+        time.sleep(0.3)
+        os.write(master, b"\x1b[<35;14;6M")
+        time.sleep(0.5)
+        os.write(master, b"q")
+        deadline = time.time() + 30
+        while proc.poll() is None and time.time() < deadline:
+            r, _, _ = select.select([master], [], [], 0.2)
+            if r:
+                try:
+                    out += os.read(master, 65536)
+                except OSError:
+                    break
+        # drain any remainder
+        while True:
+            r, _, _ = select.select([master], [], [], 0.2)
+            if not r:
+                break
+            try:
+                chunk = os.read(master, 65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            out += chunk
+    finally:
+        os.close(master)
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+    stderr = proc.stderr.read().decode()
+    assert proc.returncode == 0, f"rc={proc.returncode}\n{stderr[-2000:]}"
+    # teardown restored the terminal: mouse + alt screen disabled
+    assert b"\x1b[?1003l" in out
+    assert b"\x1b[?1049l" in out
+    assert "[termblit" in stderr
