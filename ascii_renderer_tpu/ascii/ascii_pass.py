@@ -69,12 +69,21 @@ def glyph_decide(frame: Frame, *, ramp: str, mode_on: bool, mode_radius: int,
 
 
 def expand_pixels(chars: jnp.ndarray, tint: jnp.ndarray, atlas: jnp.ndarray,
-                  alpha_gamma: float) -> jnp.ndarray:
+                  alpha_gamma: float,
+                  transparent_background: bool = False) -> jnp.ndarray:
     """Glyph-bitmap expansion: composite tinted coverage over white
     (ascii_pass_shader.js:223-230). atlas: u8 [256, ch, cw].
 
-    Note the atlas was already gamma-shaped at bake; applying alpha_gamma here
-    again reproduces the reference's double application (see glyphs.py).
+    transparent_background reproduces the shader's
+    `if (uTransparentBG && texelIsTransparent(cov)) discard;`
+    (ascii_pass_shader.js:224-230): zero-coverage pixels are left
+    unpainted. A discarded canvas pixel is transparent, so the output
+    grows an alpha channel — u8 [H*ch, W*cw, 4] with A=0 exactly where
+    coverage is zero (RGB stays the white composite for alpha-blind
+    viewers); plain RGB [H*ch, W*cw, 3] otherwise.
+
+    Note the atlas was already gamma-shaped at bake; applying alpha_gamma
+    here again reproduces the reference's double application (glyphs.py).
     """
     h, w = chars.shape
     ch, cw = atlas.shape[1], atlas.shape[2]
@@ -83,7 +92,11 @@ def expand_pixels(chars: jnp.ndarray, tint: jnp.ndarray, atlas: jnp.ndarray,
     t = tint.astype(jnp.float32) / 255.0  # [H, W, 3]
     out = (1.0 - cov)[..., None] + cov[..., None] * t[:, :, None, None, :]
     out = quantize.float_rgb_to_u8(out)  # [H, W, ch, cw, 3]
-    return out.transpose(0, 2, 1, 3, 4).reshape(h * ch, w * cw, 3)
+    if transparent_background:
+        a = jnp.where(cov > 0.0, jnp.uint8(255), jnp.uint8(0))[..., None]
+        out = jnp.concatenate([out, a], axis=-1)
+    n_chan = out.shape[-1]
+    return out.transpose(0, 2, 1, 3, 4).reshape(h * ch, w * cw, n_chan)
 
 
 class AsciiPass:
@@ -104,7 +117,8 @@ class AsciiPass:
             grayscale=c.use_grayscale,
         ))
         self._expand = jax.jit(functools.partial(
-            expand_pixels, alpha_gamma=c.alpha_gamma))
+            expand_pixels, alpha_gamma=c.alpha_gamma,
+            transparent_background=c.transparent_background))
 
     def __call__(self, frame: Frame):
         return self._decide(frame)

@@ -36,11 +36,12 @@ class PathTracerConfig:
     max_bounces: int = 5
     light_color: Tuple[float, float, float] = (16.86, 10.76, 8.2)
     gamma_exp: float = 1.0  # no gamma correction (ref comment js/config.js:51)
-    # Scene-size caps baked into the kernel (ref: pathtrace.js:22-24).
-    max_spheres: int = 8
-    max_tris: int = 64
-    max_quads: int = 32
     direct_light_sampling: bool = True
+    # NOTE: the reference's scene-size caps (8 spheres / 64 tris / 32 quads,
+    # pathtrace.js:22-24; the raytrace.js:52-61 block likewise) are WebGL
+    # uniform-buffer artifacts. This framework sizes its padded SoA arrays
+    # from the SceneBuilder (scene/builder.py caps) and the kernels scale
+    # with them, so those knobs do not exist here.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,18 +53,6 @@ class AdaptiveConfig:
     max_tolerance: float = 0.10
     max_samples: int = 64
     reset_on_camera_change: bool = True
-
-
-@dataclasses.dataclass(frozen=True)
-class RaytraceConfig:
-    """Scene-size caps for the deterministic tracer (ref: raytrace.js:52-61)."""
-
-    max_spheres: int = 32
-    max_planes: int = 16
-    max_tris: int = 64
-    max_mats: int = 64
-    max_point_lights: int = 8
-    max_dir_lights: int = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -102,7 +91,6 @@ class Config:
 
     path_tracer: PathTracerConfig = dataclasses.field(default_factory=PathTracerConfig)
     adaptive: AdaptiveConfig = dataclasses.field(default_factory=AdaptiveConfig)
-    raytrace: RaytraceConfig = dataclasses.field(default_factory=RaytraceConfig)
 
     # AsciiPass presentation options (ref: js/main.js:254-262 — only the
     # options the class actually reads: ascii_pass.js:142-146).

@@ -131,6 +131,24 @@ def test_expand_pixels_shapes_and_background():
     np.testing.assert_array_equal(img[0, 0], [255, 255, 255])
 
 
+def test_expand_pixels_transparent_background():
+    """transparent_background reproduces the shader discard of
+    zero-coverage pixels (ascii_pass_shader.js:224-230): output grows an
+    alpha channel, A=0 exactly where glyph coverage is zero."""
+    atlas = np.zeros((256, 4, 2), np.uint8)
+    atlas[ord("X"), 1:3, :] = 255
+    chars = jnp.asarray(np.array([[ord("X"), ord(" ")]], np.uint8))
+    tint = jnp.asarray(np.array([[[255, 0, 0], [0, 0, 0]]], np.uint8))
+    img = np.asarray(expand_pixels(chars, tint, jnp.asarray(atlas), 1.0,
+                                   transparent_background=True))
+    assert img.shape == (4, 4, 4)
+    np.testing.assert_array_equal(img[1, 0], [255, 0, 0, 255])  # covered
+    np.testing.assert_array_equal(img[0, 0, 3], 0)  # discarded
+    np.testing.assert_array_equal(img[:, 2:, 3], 0)  # space glyph cell
+    # RGB stays the white composite for alpha-blind viewers
+    np.testing.assert_array_equal(img[0, 0, :3], [255, 255, 255])
+
+
 def test_ascii_pass_end_to_end_jit():
     cfg = Config()
     p = AsciiPass(cfg)
