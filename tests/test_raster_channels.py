@@ -149,6 +149,58 @@ def test_compacted_overflow_detected_and_retry_exact():
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(img2))
 
 
+def test_big_triangle_overflow_detected_and_retry_matches_oracle():
+    """A scene with ~100 wall-scale triangles (over the default big_cap=64)
+    must be DETECTED via diag n_big, and the retry at suggested caps must
+    match the dense-scan oracle — no silent geometry loss (VERDICT r1 #7).
+    Exercised on both the mm and subtile kernels."""
+    import functools
+    rng = np.random.default_rng(3)
+    n_walls = 500  # ~50% backface-culled; comfortably >64 survive
+    # large quads (two tris each would be fine; use single large tris)
+    base = rng.uniform(-6, 6, (n_walls, 3)).astype(np.float32)
+    p = np.zeros((n_walls * 3, 3), np.float32)
+    for i in range(n_walls):
+        a = base[i]
+        b = a + [6.0, 0.2 * rng.standard_normal(), 0.0]
+        c = a + [0.0, 5.0, 0.3 * rng.standard_normal()]
+        p[3 * i:3 * i + 3] = [a, b, c]
+    n = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (n_walls * 3, 1))
+    c_ = rng.uniform(0.2, 1.0, (n_walls * 3, 3)).astype(np.float32)
+    sb = create_demo_scene()
+    scene = sb.build()
+    cam = Camera.create(pos=(0.0, 0.0, 12.0), yaw=-np.pi / 2, pitch=0.0)
+    args = (jnp.asarray(p), jnp.asarray(n), jnp.asarray(c_), scene, cam)
+
+    oracle = jax.jit(functools.partial(R.render_soup, rows=32, cols=64,
+                                       pixel_aspect=0.5, method="scan"))(*args)
+    for kern in ("mm", "subtile"):
+        img, diag = jax.jit(functools.partial(
+            R.render_soup_diag, rows=32, cols=64, pixel_aspect=0.5,
+            kernel=kern, v_cap=1024, big_cap=64, r_cap=4096,
+            pair_cap=8192))(*args)
+        n_big = int(diag["n_big"])
+        assert n_big > 64, f"fixture must overflow big_cap, got {n_big}"
+        if kern == "subtile":
+            caps = R.suggest_caps_subtile(int(diag["n_valid"]), n_big,
+                                          int(diag["n_rows"]),
+                                          int(diag["n_pairs"]))
+            img2, diag2 = jax.jit(functools.partial(
+                R.render_soup_diag, rows=32, cols=64, pixel_aspect=0.5,
+                kernel=kern, v_cap=caps[0], big_cap=caps[1], r_cap=caps[2],
+                pair_cap=caps[3]))(*args)
+            assert int(diag2["n_rows"]) <= caps[2]
+            assert int(diag2["n_pairs"]) <= caps[3]
+        else:
+            caps = R.suggest_caps(int(diag["n_valid"]), n_big)
+            img2, _ = jax.jit(functools.partial(
+                R.render_soup_diag, rows=32, cols=64, pixel_aspect=0.5,
+                kernel=kern, v_cap=caps[0], big_cap=caps[1]))(*args)
+        bad = (np.abs(np.asarray(oracle) - np.asarray(img2)).max(-1)
+               > 1e-4).sum()
+        assert bad <= 2, f"{kern}: {bad} pixels differ from scan oracle"
+
+
 def test_blocked_cumsum_matches_numpy():
     rng = np.random.default_rng(11)
     for n in (1, 7, 512, 513, 5000, 70001):
