@@ -753,6 +753,13 @@ def shade_from_table(tid, table, scene: SceneData, rows: int, cols: int,
                           (rows, cols)).reshape(R_)
     py = jnp.broadcast_to((jnp.arange(rows, dtype=jnp.float32) + 0.5)[:, None],
                           (rows, cols)).reshape(R_)
+    rgb = _shade_rows(g, hit, px, py, scene, n_attrs)
+    return rgb.reshape(rows, cols, 3)
+
+
+def _shade_rows(g, hit, px, py, scene: SceneData, n_attrs: int):
+    """Plane evaluation + lighting over flat pixel rows: g [R, W] gathered
+    plane rows, hit [R], px/py [R] pixel centers -> rgb f32 [R, 3]."""
     dn = 3 * n_attrs
     d = g[:, dn] * px + g[:, dn + 1] * py + g[:, dn + 2]
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
@@ -799,8 +806,7 @@ def shade_from_table(tid, table, scene: SceneData, rows: int, cols: int,
 
     rgb = jnp.stack([jnp.clip(out_r, 0.0, 1.0), jnp.clip(out_g, 0.0, 1.0),
                      jnp.clip(out_b, 0.0, 1.0)], axis=-1)
-    rgb = jnp.where(hit[:, None], rgb, 0.0)
-    return rgb.reshape(rows, cols, 3)
+    return jnp.where(hit[:, None], rgb, 0.0)
 
 
 def visibility_binned_ch(ch, rows: int, cols: int, *, kernel: str = "mm",
@@ -1001,16 +1007,9 @@ def _entry_planes_src(ch) -> jnp.ndarray:
     return jnp.concatenate([src, dump], axis=0)
 
 
-def visibility_subtile(cch, rows: int, cols: int, *, big_cap: int = 64,
-                       r_cap: int = 16384, pair_cap: int = 1 << 30):
-    """Subtile-binned visibility via ops/raster_subtile (see its docstring).
-
-    Bins are per (8-row tile, 16-px column subtile); small tris (bbox
-    within a 2x2 tile-row x subtile-col window) emit up to 4 pairs, big
-    tris (up to big_cap, compacted) one pair per overlapped subtile.
-    Returns (zbuf f32 [rows, cols], pair_idx i32 [rows, cols] (-1 = bg),
-    tri_s i32 [P] pair->triangle map, n_rows, n_pairs) — callers must
-    check n_rows <= r_cap (aligned-layout capacity) for exactness."""
+def _subtile_pair_keys(cch, rows: int, cols: int, *, big_cap: int):
+    """Sorted (bin << SUB_SHIFT | tri) pair keys for the subtile pipeline
+    (see visibility_subtile for the binning rules)."""
     from ascii_renderer_tpu.ops import raster_subtile as RS
 
     xa, xb, xc = cch["sxa"], cch["sxb"], cch["sxc"]
@@ -1018,7 +1017,6 @@ def visibility_subtile(cch, rows: int, cols: int, *, big_cap: int = 64,
     valid = cch["valid"]
     T = xa.shape[0]
     assert T < RS.MAX_TRI, f"subtile sort key supports < {RS.MAX_TRI} tris"
-    assert r_cap % RS.CHUNK_R == 0
     tiles_y = -(-rows // TILE_H)
     tiles_x = -(-cols // TILE_W)
     n_tiles = tiles_y * tiles_x
@@ -1069,8 +1067,26 @@ def visibility_subtile(cch, rows: int, cols: int, *, big_cap: int = 64,
         jnp.broadcast_to(big_idx[:, None], (big_cap, n_bins)), T - 1
     ).astype(jnp.int32)
     key_parts.append(((bins_big << RS.SUB_SHIFT) | tri_big).reshape(-1))
+    return jax.lax.sort(jnp.concatenate(key_parts))
 
-    keys = jax.lax.sort(jnp.concatenate(key_parts))
+
+def visibility_subtile(cch, rows: int, cols: int, *, big_cap: int = 64,
+                       r_cap: int = 16384, pair_cap: int = 1 << 30):
+    """Subtile-binned visibility via ops/raster_subtile (see its docstring).
+
+    Bins are per (8-row tile, 16-px column subtile); small tris (bbox
+    within a 2x2 tile-row x subtile-col window) emit up to 4 pairs, big
+    tris (up to big_cap, compacted) one pair per overlapped subtile.
+    Returns (zbuf f32 [rows, cols], pair_idx i32 [rows, cols] (-1 = bg),
+    tri_s i32 [P] pair->triangle map, n_rows, n_pairs) — callers must
+    check n_rows <= r_cap (aligned-layout capacity) for exactness."""
+    from ascii_renderer_tpu.ops import raster_subtile as RS
+
+    assert r_cap % RS.CHUNK_R == 0
+    tiles_y = -(-rows // TILE_H)
+    tiles_x = -(-cols // TILE_W)
+    n_tiles = tiles_y * tiles_x
+    keys = _subtile_pair_keys(cch, rows, cols, big_cap=big_cap)
     tri_s = (keys & (RS.MAX_TRI - 1)).astype(jnp.int32)
 
     src = _entry_planes_src(cch)
@@ -1086,6 +1102,70 @@ def visibility_subtile(cch, rows: int, cols: int, *, big_cap: int = 64,
     eidx = eimg[:rows, :cols].astype(jnp.int32)
     eidx = jnp.where(eidx < 0, -1, eidx)
     return zbuf, eidx, tri_s, n_rows, n_pairs
+
+
+def visibility_subtile_tiles(cch, rows: int, cols: int, *, big_cap: int,
+                             r_cap: int, pair_cap: int):
+    """Tiled-form twin of visibility_subtile for the tile-compacted shade:
+    returns (etile f32 [n_tiles, 8, 128] winning pair ids (-1 = bg),
+    nonempty bool [n_tiles], tri_s, n_rows, n_pairs). A tile is nonempty
+    iff it owns aligned rows (its bins hold at least one pair)."""
+    from ascii_renderer_tpu.ops import raster_subtile as RS
+
+    assert r_cap % RS.CHUNK_R == 0
+    tiles_y = -(-rows // TILE_H)
+    tiles_x = -(-cols // TILE_W)
+    n_tiles = tiles_y * tiles_x
+    keys = _subtile_pair_keys(cch, rows, cols, big_cap=big_cap)
+    src = _entry_planes_src(cch)
+    rows_data, rowptr, n_rows, n_pairs = RS.build_subtile_rows(
+        src, keys, tiles_x, n_tiles, r_cap, pair_cap)
+    _ztile, etile = RS.tile_eval_subtile(rows_data, rowptr, tiles_x, n_tiles)
+    tri_s = (keys & (RS.MAX_TRI - 1)).astype(jnp.int32)
+    nonempty = rowptr[1:] > rowptr[:-1]
+    return etile, nonempty, tri_s, n_rows, n_pairs
+
+
+def shade_tiles_compact(etile, nonempty, ptable, scene: SceneData,
+                        rows: int, cols: int, tile_cap: int, n_attrs: int):
+    """Tile-compacted deferred shading: only NONEMPTY tiles' pixels run the
+    plane-table gather + lighting (the bunny headline covers ~14% of the
+    screen; the full-image gather paid for every background pixel).
+
+    etile f32 [n_tiles, 8, 128] winning pair ids; ptable [P+1, W] with the
+    trailing background row; returns rgb f32 [rows, cols, 3]. Tiles beyond
+    ``tile_cap`` are dropped — callers check diag n_tiles_nz and retry."""
+    tiles_y = -(-rows // TILE_H)
+    tiles_x = -(-cols // TILE_W)
+    n_tiles = tiles_y * tiles_x
+    (nz_ids,) = jnp.nonzero(nonempty, size=tile_cap, fill_value=n_tiles)
+    pad_tile = jnp.full((1, TILE_H, TILE_W), -1.0, jnp.float32)
+    et = jnp.concatenate([etile, pad_tile], axis=0)[nz_ids]  # [tc, 8, 128]
+
+    idx = et.reshape(-1).astype(jnp.int32)
+    hit = idx >= 0
+    g = ptable[jnp.where(hit, idx, ptable.shape[0] - 1)]  # [tc*1024, W]
+
+    t_ids = jnp.minimum(nz_ids, n_tiles - 1)
+    ty = (t_ids // tiles_x).astype(jnp.float32)
+    tx = (t_ids % tiles_x).astype(jnp.float32)
+    sub = jnp.arange(TILE_H, dtype=jnp.float32)
+    lane = jnp.arange(TILE_W, dtype=jnp.float32)
+    px = jnp.broadcast_to(
+        tx[:, None, None] * TILE_W + lane[None, None, :] + 0.5,
+        (tile_cap, TILE_H, TILE_W))
+    py = jnp.broadcast_to(
+        ty[:, None, None] * TILE_H + sub[None, :, None] + 0.5,
+        (tile_cap, TILE_H, TILE_W))
+    rgb_flat = _shade_rows(g, hit, px.reshape(-1), py.reshape(-1), scene,
+                           n_attrs)
+    rgb_tiles = rgb_flat.reshape(tile_cap, TILE_H, TILE_W, 3)
+    full = jnp.zeros((n_tiles + 1, TILE_H, TILE_W, 3), jnp.float32)
+    full = full.at[nz_ids].set(rgb_tiles, mode="drop")
+    img = (full[:n_tiles].reshape(tiles_y, tiles_x, TILE_H, TILE_W, 3)
+           .transpose(0, 2, 1, 3, 4)
+           .reshape(tiles_y * TILE_H, tiles_x * TILE_W, 3))
+    return img[:rows, :cols]
 
 
 def visibility_binned(setup, rows: int, cols: int, slots: int = 256,
@@ -1174,14 +1254,16 @@ def shade_visibility(tid, clip, attrs, scene: SceneData, rows: int, cols: int):
 def render_soup_diag(positions, normals, colors, scene: SceneData,
                      cam: Camera, rows: int, cols: int, pixel_aspect: float,
                      v_cap: int, big_cap: int = 64, kernel: str = "mm",
-                     r_cap: int = 16384, pair_cap: int = 65536):
+                     r_cap: int = 16384, pair_cap: int = 65536,
+                     tile_cap: int | None = None):
     """Compacted raster pipeline with capacity diagnostics.
 
     Returns (rgb f32 [rows, cols, 3], diag) with i32 device scalars. The
     frame is exact iff every diag count is within its cap (n_valid <=
     v_cap, n_big <= big_cap, and for kernel='subtile' n_rows <= r_cap,
-    n_pairs <= pair_cap); otherwise work was dropped and the caller should
-    re-render with caps from `suggest_caps` (see RasterBackend.render)."""
+    n_pairs <= pair_cap, n_tiles_nz <= tile_cap); otherwise work was
+    dropped and the caller should re-render with caps from
+    `suggest_caps*` (see RasterBackend.render for the adaptive loop)."""
     # lightless-scene specialization: world-pos attr planes feed only the
     # point-light terms, and the padded point-light count is a STATIC 0
     # for scenes without any (scene/builder.py rounds 0 up to 0)
@@ -1195,25 +1277,32 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
     cch, cidx, n_valid = compact_valid_ch(ch, v_cap)
     attr_slots = clip_attrs_compact_lists(attrs, ch, cidx)
     if kernel == "subtile":
-        _zbuf, eidx, tri_s, n_rows, n_pairs = visibility_subtile(
+        tiles_y = -(-rows // TILE_H)
+        tiles_x = -(-cols // TILE_W)
+        if tile_cap is None:
+            tile_cap = tiles_y * tiles_x  # safe default: no compaction win
+        etile, nonempty, tri_s, n_rows, n_pairs = visibility_subtile_tiles(
             cch, rows, cols, big_cap=big_cap, r_cap=r_cap,
             pair_cap=pair_cap)
         table = build_plane_table(cch, attr_slots)  # [v_cap, W]
         ptable = table[tri_s[:pair_cap]]  # pair-ordered: shade skips the
         ptable = jnp.concatenate(         # eidx->tri indirection entirely
             [ptable, jnp.zeros((1, table.shape[1]), jnp.float32)], axis=0)
-        rgb = shade_from_table(eidx, ptable, scene, rows, cols,
-                               n_attrs=len(attr_slots[0]))
+        rgb = shade_tiles_compact(etile, nonempty, ptable, scene, rows,
+                                  cols, tile_cap=tile_cap,
+                                  n_attrs=len(attr_slots[0]))
         _n_small, n_big = count_big_small(cch, rows, cols)
+        n_tiles_nz = nonempty.sum().astype(jnp.int32)
         return rgb, {"n_valid": n_valid, "n_big": n_big,
-                     "n_rows": n_rows, "n_pairs": n_pairs}
+                     "n_rows": n_rows, "n_pairs": n_pairs,
+                     "n_tiles_nz": n_tiles_nz}
     _zbuf, tid = visibility_binned_ch(cch, rows, cols, kernel=kernel,
                                       big_cap=big_cap)
     rgb = shade_planes_ch(tid, cch, attr_slots, scene, rows, cols)
     _n_small, n_big = count_big_small(cch, rows, cols)
     zero = jnp.zeros((), jnp.int32)
     return rgb, {"n_valid": n_valid, "n_big": n_big,
-                 "n_rows": zero, "n_pairs": zero}
+                 "n_rows": zero, "n_pairs": zero, "n_tiles_nz": zero}
 
 
 def _round_up(x, q):
@@ -1232,10 +1321,10 @@ def suggest_caps(n_valid: int, n_big: int):
 
 
 def suggest_caps_subtile(n_valid: int, n_big: int, n_rows: int,
-                         n_pairs: int):
+                         n_pairs: int, n_tiles_nz: int = 0):
     """Adaptive capacities for the subtile pipeline: (v_cap, big_cap,
-    r_cap, pair_cap). Same margin policy as suggest_caps; r_cap stays a
-    CHUNK_R multiple (kernel DMA granularity)."""
+    r_cap, pair_cap, tile_cap). Same margin policy as suggest_caps; r_cap
+    stays a CHUNK_R multiple (kernel DMA granularity)."""
     from ascii_renderer_tpu.ops import raster_subtile as RS
 
     max_sub_v = RS.MAX_TRI - 4096
@@ -1243,14 +1332,16 @@ def suggest_caps_subtile(n_valid: int, n_big: int, n_rows: int,
     big_cap = max(16, _round_up(int(n_big * 1.5) + 8, 16))
     r_cap = _round_up(int(n_rows * 1.15) + 256, max(RS.CHUNK_R, 2048))
     pair_cap = _round_up(int(n_pairs * 1.15) + 512, 4096)
-    return v_cap, big_cap, r_cap, pair_cap
+    tile_cap = _round_up(int(n_tiles_nz * 1.3) + 16, 64)
+    return v_cap, big_cap, r_cap, pair_cap, tile_cap
 
 
 def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
                 rows: int, cols: int, pixel_aspect: float,
                 chunk: int = 64, method: str = "auto",
                 v_cap: int | None = None, big_cap: int = 64,
-                r_cap: int = 16384, pair_cap: int = 65536) -> jnp.ndarray:
+                r_cap: int = 16384, pair_cap: int = 65536,
+                tile_cap: int | None = None) -> jnp.ndarray:
     """Triangle soup -> shaded RGB f32 [rows, cols, 3].
 
     method: 'scatter' (binned Pallas bin-walk, fast for many small tris),
@@ -1272,7 +1363,7 @@ def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
         rgb, _diag = render_soup_diag(
             positions, normals, colors, scene, cam, rows, cols, pixel_aspect,
             v_cap=v_cap, big_cap=big_cap, kernel=kern, r_cap=r_cap,
-            pair_cap=pair_cap)
+            pair_cap=pair_cap, tile_cap=tile_cap)
         return rgb
     if method == "fused":
         ch = transform_clip_channels(positions, mvp)
@@ -1356,7 +1447,7 @@ class RasterBackend:
                     render_soup_diag, rows=rows, cols=cols,
                     pixel_aspect=pixel_aspect, kernel="subtile",
                     v_cap=caps[0], big_cap=caps[1], r_cap=caps[2],
-                    pair_cap=caps[3]))
+                    pair_cap=caps[3], tile_cap=caps[4]))
             self._fns[key] = fn
         return fn
 
@@ -1381,12 +1472,15 @@ class RasterBackend:
                 caps = suggest_caps(*counts)
             self._caps = suggest_caps(*counts)
             return Frame.from_float(rgb)
-        caps = self._caps or (n2t, 64, _round_up(n2t, 2048), 4 * n2t)
+        n_tiles = (-(-rows // TILE_H)) * (-(-cols // TILE_W))
+        caps = self._caps or (n2t, 64, _round_up(n2t, 2048), 4 * n2t,
+                              n_tiles)
         for _ in range(4):  # overflow retries (caps grow geometrically)
             rgb, diag = self._fn(rows, cols, pixel_aspect, caps)(
                 *self._soup, self._scene, camera)
             counts = tuple(int(diag[k]) for k in
-                           ("n_valid", "n_big", "n_rows", "n_pairs"))
+                           ("n_valid", "n_big", "n_rows", "n_pairs",
+                            "n_tiles_nz"))
             if all(c <= cap for c, cap in zip(counts, caps)):
                 break
             caps = suggest_caps_subtile(*counts)

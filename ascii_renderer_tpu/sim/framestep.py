@@ -69,11 +69,12 @@ def _render_rgb_a(backend: str, scene: SceneData, cam: Camera, time_s,
         return rgb, None
     if backend == "raster":
         from ascii_renderer_tpu.backends.raster import render_soup
-        if raster_caps and len(raster_caps) == 4:
+        if raster_caps and len(raster_caps) == 5:
             rgb = render_soup(soup[0], soup[1], soup[2], scene, cam, rows,
                               cols, cfg.pixel_aspect, method="subtile",
                               v_cap=raster_caps[0], big_cap=raster_caps[1],
-                              r_cap=raster_caps[2], pair_cap=raster_caps[3])
+                              r_cap=raster_caps[2], pair_cap=raster_caps[3],
+                              tile_cap=raster_caps[4])
         elif raster_caps:
             rgb = render_soup(soup[0], soup[1], soup[2], scene, cam, rows,
                               cols, cfg.pixel_aspect, v_cap=raster_caps[0],

@@ -60,12 +60,12 @@ def _raster_ascii_fn(cfg, rows, cols, caps=None):
     from ascii_renderer_tpu.ascii.ascii_pass import glyph_decide
 
     def run(p, n, c, scene, cam):
-        if caps and len(caps) == 4:  # subtile pipeline (large scenes)
-            v_cap, big_cap, r_cap, pair_cap = caps
+        if caps and len(caps) == 5:  # subtile pipeline (large scenes)
+            v_cap, big_cap, r_cap, pair_cap, tile_cap = caps
             rgb = render_soup(p, n, c, scene, cam, rows, cols,
                               cfg.pixel_aspect, method="subtile",
                               v_cap=v_cap, big_cap=big_cap, r_cap=r_cap,
-                              pair_cap=pair_cap)
+                              pair_cap=pair_cap, tile_cap=tile_cap)
         elif caps:  # compacted mm bin-walk (mid scale)
             rgb = render_soup(p, n, c, scene, cam, rows, cols,
                               cfg.pixel_aspect, v_cap=caps[0],
@@ -112,7 +112,7 @@ def _probe_caps(soup, scene, cam, rows, cols, pixel_aspect):
         r_cap=R._round_up(n2t, 2048), pair_cap=4 * n2t))
     _, diag = fn(*soup, scene, cam)
     counts = tuple(int(diag[k]) for k in
-                   ("n_valid", "n_big", "n_rows", "n_pairs"))
+                   ("n_valid", "n_big", "n_rows", "n_pairs", "n_tiles_nz"))
     caps = R.suggest_caps_subtile(*counts)
     _log(f"  probe: counts={counts} -> caps={caps}")
     return caps
