@@ -1091,7 +1091,7 @@ def visibility_subtile(cch, rows: int, cols: int, *, big_cap: int = 64,
 
     src = _entry_planes_src(cch)
     rows_data, rowptr, n_rows, n_pairs = RS.build_subtile_rows(
-        src, keys, tiles_x, n_tiles, r_cap, pair_cap)
+        src, keys, tiles_x, n_tiles, r_cap, pair_cap, entry="pair")
     ztile, etile = RS.tile_eval_subtile(rows_data, rowptr, tiles_x, n_tiles)
 
     zimg = (ztile.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
@@ -1107,23 +1107,24 @@ def visibility_subtile(cch, rows: int, cols: int, *, big_cap: int = 64,
 def visibility_subtile_tiles(cch, rows: int, cols: int, *, big_cap: int,
                              r_cap: int, pair_cap: int):
     """Tiled-form twin of visibility_subtile for the tile-compacted shade:
-    returns (etile f32 [n_tiles, 8, 128] winning pair ids (-1 = bg),
-    nonempty bool [n_tiles], tri_s, n_rows, n_pairs). A tile is nonempty
-    iff it owns aligned rows (its bins hold at least one pair)."""
+    returns (etile f32 [n_tiles, 8, 128] winning TRIANGLE ids (-1 = bg),
+    nonempty bool [n_tiles], n_rows, n_pairs). Emitting tri ids (not pair
+    ids) lets shading index the per-triangle plane table directly — no
+    [pair_cap]-row pair-table gather. A tile is nonempty iff it owns
+    aligned rows (its bins hold at least one pair)."""
     from ascii_renderer_tpu.ops import raster_subtile as RS
 
-    assert r_cap % RS.CHUNK_R == 0
+    assert r_cap % RS.CHUNK_RP == 0
     tiles_y = -(-rows // TILE_H)
     tiles_x = -(-cols // TILE_W)
     n_tiles = tiles_y * tiles_x
     keys = _subtile_pair_keys(cch, rows, cols, big_cap=big_cap)
     src = _entry_planes_src(cch)
-    rows_data, rowptr, n_rows, n_pairs = RS.build_subtile_rows(
-        src, keys, tiles_x, n_tiles, r_cap, pair_cap)
-    _ztile, etile = RS.tile_eval_subtile(rows_data, rowptr, tiles_x, n_tiles)
-    tri_s = (keys & (RS.MAX_TRI - 1)).astype(jnp.int32)
+    rows128, rowptr, n_rows, n_pairs = RS.build_packed_rows(
+        src, keys, tiles_x, n_tiles, r_cap, pair_cap, entry="tri")
+    _ztile, etile = RS.tile_eval_packed(rows128, rowptr, tiles_x, n_tiles)
     nonempty = rowptr[1:] > rowptr[:-1]
-    return etile, nonempty, tri_s, n_rows, n_pairs
+    return etile, nonempty, n_rows, n_pairs
 
 
 def shade_tiles_compact(etile, nonempty, ptable, scene: SceneData,
@@ -1281,14 +1282,15 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
         tiles_x = -(-cols // TILE_W)
         if tile_cap is None:
             tile_cap = tiles_y * tiles_x  # safe default: no compaction win
-        etile, nonempty, tri_s, n_rows, n_pairs = visibility_subtile_tiles(
+        etile, nonempty, n_rows, n_pairs = visibility_subtile_tiles(
             cch, rows, cols, big_cap=big_cap, r_cap=r_cap,
             pair_cap=pair_cap)
+        # kernel emits triangle ids -> shade indexes the per-triangle
+        # plane table directly (one trailing all-zero background row)
         table = build_plane_table(cch, attr_slots)  # [v_cap, W]
-        ptable = table[tri_s[:pair_cap]]  # pair-ordered: shade skips the
-        ptable = jnp.concatenate(         # eidx->tri indirection entirely
-            [ptable, jnp.zeros((1, table.shape[1]), jnp.float32)], axis=0)
-        rgb = shade_tiles_compact(etile, nonempty, ptable, scene, rows,
+        table = jnp.concatenate(
+            [table, jnp.zeros((1, table.shape[1]), jnp.float32)], axis=0)
+        rgb = shade_tiles_compact(etile, nonempty, table, scene, rows,
                                   cols, tile_cap=tile_cap,
                                   n_attrs=len(attr_slots[0]))
         _n_small, n_big = count_big_small(cch, rows, cols)

@@ -17,7 +17,7 @@ Data layout (built by `build_subtile_rows`, consumed by the kernel):
   across its 16 lanes. Channels (sublanes):
     0..8   edge planes  w_k = A_k*px + B_k*py + G_k   (k = 0,1,2)
     9..11  depth plane  z   = ZX*px + ZY*py + ZC
-    12     pair index (f32; exact below 2^24)
+    12     entry id (triangle id by default; f32, exact below 2^24)
     13..15 zero padding
   Planes are in GLOBAL pixel coordinates: because lane group g occupies
   exactly the lanes of its subtile's pixel columns, the kernel evaluates
@@ -126,7 +126,7 @@ def tile_eval_subtile(rows_data: jnp.ndarray, rowptr: jnp.ndarray,
                       interpret: bool | None = None):
     """rows_data f32 [R_CAP, 16, 128] (see module docstring); rowptr i32
     [n_tiles+1] with CHUNK_R-multiple ranges -> (z [n_tiles, 8, 128] f32,
-    pair f32 [n_tiles, 8, 128], -1 = background)."""
+    entry id f32 [n_tiles, 8, 128], -1 = background)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     import functools
@@ -157,7 +157,7 @@ def tile_eval_subtile(rows_data: jnp.ndarray, rowptr: jnp.ndarray,
 
 def build_subtile_rows(src: jnp.ndarray, pair_key: jnp.ndarray,
                        tiles_x: int, n_tiles: int, r_cap: int,
-                       pair_cap: int = 1 << 30):
+                       pair_cap: int = 1 << 30, entry: str = "tri"):
     """Build the aligned row layout from sorted (bin, tri) pairs.
 
     src f32 [V+1, 16]: per-triangle GLOBAL-coordinate planes (channels
@@ -165,6 +165,11 @@ def build_subtile_rows(src: jnp.ndarray, pair_key: jnp.ndarray,
     pixel centers); row V must be all-zero (dump row for dead pair slots).
     pair_key i32 [P] SORTED keys ((bin << SUB_SHIFT) | tri, bin = tile*8 +
     subtile; dead pairs have bin == n_tiles*8 and sort to the end).
+
+    entry: what the kernel reports as the per-pixel winner id — "tri"
+    (the triangle id, so shading indexes the per-triangle plane table
+    directly with NO pair-table gather) or "pair" (the sorted-pair index,
+    for callers that need the bin slot itself).
 
     Returns (rows f32 [r_cap, 16, 128], rowptr i32 [n_tiles+1] clamped to
     r_cap for safe kernel DMA, n_rows i32 scalar TRUE row count, n_pairs
@@ -192,8 +197,9 @@ def build_subtile_rows(src: jnp.ndarray, pair_key: jnp.ndarray,
     # Row pair_cap is the inert dump (G0=+1 -> never inside).
     p_eff = min(pair_cap, P)
     src_pair = src[tri_s[:p_eff]]  # [p_eff, 16] locality-friendly rows
-    src_pair = src_pair.at[:, CH_PAIR].set(
-        jnp.arange(p_eff, dtype=jnp.float32))
+    ids = (tri_s[:p_eff].astype(jnp.float32) if entry == "tri"
+           else jnp.arange(p_eff, dtype=jnp.float32))
+    src_pair = src_pair.at[:, CH_PAIR].set(ids)
     inert = jnp.zeros((1, N_CHAN), jnp.float32).at[0, CH_G[0]].set(1.0)
     src_pair = jnp.concatenate([src_pair, inert], axis=0)
 
@@ -218,3 +224,212 @@ def build_subtile_rows(src: jnp.ndarray, pair_key: jnp.ndarray,
     rows = jnp.repeat(g.transpose(0, 2, 1), SUB_W, axis=-1)  # [r_cap,16,128]
     rowptr_k = jnp.minimum(rowptr, r_cap)
     return rows, rowptr_k, n_rows, n_pairs
+
+
+# ---------------------------------------------------------------------------
+# Packed-lane layout: the 16x-broadcast moved from HBM onto the MXU
+# ---------------------------------------------------------------------------
+# The expanded [R_CAP, 16, 128] layout above costs 8 KB of HBM per entry
+# row (written by the prep, read back by the kernel — ~185 MB/frame at the
+# 69k-tri headline) because TPU DMA slabs must be 128-lane aligned, so the
+# per-subtile entry values are materialized pre-broadcast. The packed form
+# stores one entry row as ONE 128-lane vector — lane j = g*SUB_W + c holds
+# channel c of subtile g's entry — and the kernel expands it on-core:
+#
+#   Y = X @ M   with a constant one-hot-structured M f32 [128, 13*128]:
+#   for output block k and lane l (pixel column l of the tile), column
+#   k*128 + l reads only channels of group g = l // SUB_W. Blocks:
+#     k = 0..3   P_w(l) = A_w * (l + 0.5) + C_w     (w = w0, w1, w2, z)
+#     k = 4..7   a_w(l) = A_w                        (x-plane coefficient)
+#     k = 8..11  b_w(l) = B_w                        (y-plane coefficient)
+#     k = 12     entry id
+#   so w_w(s, l) = P_w(l) + a_w(l) * tile_x0 + b_w(l) * (tile_y0 + s + .5)
+#   — two FMAs per edge/depth plane per row, with the lane-varying part
+#   baked into the matmul. One [CHUNK_RP, 128] x [128, 1664] MXU op per
+#   chunk replaces 16x the DMA traffic.
+
+CHUNK_RP = 16       # packed rows per DMA slab: 16 x 128 f32 = 8 KB
+N_EXP = 13          # expanded blocks: 4x P, 4x a, 4x b, id
+
+
+def expand_matrix() -> jnp.ndarray:
+    """The constant packed->expanded selection matrix M f32 [128, N_EXP*128]
+    (see module comment). Built once per trace; XLA folds it to a literal."""
+    import numpy as np
+    m = np.zeros((TILE_W, N_EXP * TILE_W), np.float32)
+    # per-w channel sources: (A, B, C) channel indices in the packed lane
+    w_src = [(CH_A[0], CH_B[0], CH_G[0]), (CH_A[1], CH_B[1], CH_G[1]),
+             (CH_A[2], CH_B[2], CH_G[2]), (CH_ZX, CH_ZY, CH_ZC)]
+    for l in range(TILE_W):
+        g = l // SUB_W
+        for w, (ca, cb, cc) in enumerate(w_src):
+            m[g * SUB_W + ca, (0 + w) * TILE_W + l] = l + 0.5  # P: A*(l+.5)
+            m[g * SUB_W + cc, (0 + w) * TILE_W + l] = 1.0      # P: + C
+            m[g * SUB_W + ca, (4 + w) * TILE_W + l] = 1.0      # a
+            m[g * SUB_W + cb, (8 + w) * TILE_W + l] = 1.0      # b
+        m[g * SUB_W + CH_PAIR, 12 * TILE_W + l] = 1.0          # id
+    return jnp.asarray(m)
+
+
+def _kernel_packed(rowptr_ref, data_hbm, m_ref, z_ref, e_ref, buf, sem, *,
+                   tiles_x: int, r_cap: int):
+    """Packed-layout bin walk (double-buffered DMA, MXU lane expansion)."""
+    t = pl.program_id(0)
+    r0 = rowptr_ref[t]
+    r1 = rowptr_ref[t + 1]
+    n_chunks = (r1 - r0) // CHUNK_RP  # prep pads per tile -> exact
+
+    ty = (t // tiles_x).astype(jnp.float32)
+    tx = (t % tiles_x).astype(jnp.float32)
+    bx = tx * TILE_W                      # tile-global x offset
+    # v(s) = tile_y0 + s + 0.5 as an [8, 128] column pattern
+    vv = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+          .astype(jnp.float32) + ty * TILE_H + 0.5)
+
+    max_start = r_cap - CHUNK_RP
+
+    def copy_in(c, slot):
+        start = jnp.minimum(r0 + c * CHUNK_RP, max_start)
+        return pltpu.make_async_copy(
+            data_hbm.at[pl.ds(start, CHUNK_RP)], buf.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        copy_in(0, 0).start()
+
+    def chunk_body(c, carry):
+        zb, eb = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            copy_in(c + 1, 1 - slot).start()
+
+        copy_in(c, slot).wait()
+
+        y = jax.lax.dot_general(
+            buf[slot], m_ref[...], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # [CHUNK_RP, 13*128]
+        # fold the tile x offset chunk-wide: P'_w = P_w + a_w * bx
+        p4 = y[:, 0:4 * TILE_W] + bx * y[:, 4 * TILE_W:8 * TILE_W]
+
+        for r in range(CHUNK_RP):  # static unroll
+            def wplane(w):
+                pb = jnp.broadcast_to(
+                    p4[r, w * TILE_W:(w + 1) * TILE_W][None, :],
+                    (TILE_H, TILE_W))
+                bb = jnp.broadcast_to(
+                    y[r, (8 + w) * TILE_W:(9 + w) * TILE_W][None, :],
+                    (TILE_H, TILE_W))
+                return pb + bb * vv
+
+            w0, w1, w2, z = wplane(0), wplane(1), wplane(2), wplane(3)
+            ok = ((w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0)
+                  & (z >= 0.0) & (z <= 1.0))
+            zm = jnp.where(ok, z, jnp.inf)
+            ide = jnp.broadcast_to(
+                y[r, 12 * TILE_W:13 * TILE_W][None, :], (TILE_H, TILE_W))
+            better = zm < zb  # strict: earlier (smaller tri id) wins ties
+            zb = jnp.where(better, zm, zb)
+            eb = jnp.where(better, ide, eb)
+        return zb, eb
+
+    z0 = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
+    e0 = jnp.full((TILE_H, TILE_W), -1.0, jnp.float32)
+    zb, eb = jax.lax.fori_loop(0, n_chunks, chunk_body, (z0, e0))
+    z_ref[0, ...] = zb
+    e_ref[0, ...] = eb
+
+
+def tile_eval_packed(rows128: jnp.ndarray, rowptr: jnp.ndarray,
+                     tiles_x: int, n_tiles: int,
+                     interpret: bool | None = None):
+    """rows128 f32 [R_CAP, 128] packed layout (lane j = g*16 + c); rowptr
+    i32 [n_tiles+1] with CHUNK_RP-multiple ranges -> (z [n_tiles, 8, 128]
+    f32, entry id f32 [n_tiles, 8, 128], -1 = background)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    import functools
+    r_cap = rows128.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((TILE_W, N_EXP * TILE_W), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK_RP, TILE_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_packed, tiles_x=tiles_x, r_cap=r_cap),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W),
+                                        jnp.float32)),
+        interpret=interpret,
+    )(rowptr, rows128, expand_matrix())
+
+
+def build_packed_rows(src: jnp.ndarray, pair_key: jnp.ndarray,
+                      tiles_x: int, n_tiles: int, r_cap: int,
+                      pair_cap: int = 1 << 30, entry: str = "tri"):
+    """Build the packed aligned row layout by SCATTER (one write per live
+    pair) instead of gather (one read per slot): the aligned layout holds
+    ~2.5x more slots than live pairs (per-tile max-of-8-bins alignment),
+    and TPU gather/scatter cost is dominated by rows/sec, so writing the
+    57k live pairs beats reading the 140k slots.
+
+    Same contract as build_subtile_rows, but returns rows128 f32
+    [r_cap, 128] (packed lanes j = g*SUB_W + c, consumed by
+    tile_eval_packed) and rowptr in CHUNK_RP quanta."""
+    assert r_cap % CHUNK_RP == 0
+    n_bins = n_tiles * N_SUB
+    bin_s = (pair_key >> SUB_SHIFT).astype(jnp.int32)
+    tri_s = (pair_key & (MAX_TRI - 1)).astype(jnp.int32)
+    P = pair_key.shape[0]
+    offsets = jnp.searchsorted(
+        bin_s, jnp.arange(n_bins + 1, dtype=jnp.int32)).astype(jnp.int32)
+    n_pairs = offsets[-1]
+    depth = (offsets[1:] - offsets[:-1]).reshape(n_tiles, N_SUB)
+    d_tile = depth.max(axis=1)
+    d_pad = ((d_tile + CHUNK_RP - 1) // CHUNK_RP) * CHUNK_RP
+    rowptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(d_pad).astype(jnp.int32)])
+    n_rows = rowptr[-1]
+
+    p_eff = min(pair_cap, P)
+    src_pair = src[tri_s[:p_eff]]  # [p_eff, 16] one wide row gather
+    ids = (tri_s[:p_eff].astype(jnp.float32) if entry == "tri"
+           else jnp.arange(p_eff, dtype=jnp.float32))
+    src_pair = src_pair.at[:, CH_PAIR].set(ids)
+
+    # per-pair destination slot: (row within the aligned layout, subtile)
+    i_p = jnp.arange(p_eff, dtype=jnp.int32)
+    b_p = bin_s[:p_eff]
+    safe_b = jnp.minimum(b_p, n_bins - 1)
+    tile_p = safe_b // N_SUB
+    g_p = safe_b % N_SUB
+    d_p = i_p - offsets[safe_b]                 # rank within bin
+    row_p = rowptr[:-1][tile_p] + d_p
+    slot = row_p * N_SUB + g_p
+    n_slots = r_cap * N_SUB
+    slot = jnp.where(b_p < n_bins, slot, n_slots)  # dead/fill -> dropped
+
+    # inert base (G0 = +1 -> never inside; ZC = 2 fails the depth range)
+    inert = jnp.zeros((N_CHAN,), jnp.float32).at[CH_G[0]].set(1.0)
+    inert = inert.at[CH_ZC].set(2.0)
+    base = jnp.broadcast_to(inert, (n_slots, N_CHAN))
+    buf = base.at[slot].set(src_pair, mode="drop", unique_indices=True)
+    rows128 = buf.reshape(r_cap, N_SUB * N_CHAN)
+    rowptr_k = jnp.minimum(rowptr, r_cap)
+    return rows128, rowptr_k, n_rows, n_pairs

@@ -469,7 +469,12 @@ class SceneBuilder:
             rfl[mid] = m.reflective
             rgh[mid] = m.roughness
 
-        PL = _round_up(len(self._point_lights), 8)
+        # 0 point lights -> 0 capacity (not 8): every consumer loops over the
+        # STATIC capacity with a validity mask, and the raster path drops the
+        # three world-pos attribute planes entirely when the capacity is 0
+        # (render_soup_diag's lightless specialization) — padding a lightless
+        # scene would silently re-enable all of that dead work.
+        PL = 0 if not self._point_lights else _round_up(len(self._point_lights), 8)
         plp = np.zeros((PL, 3), f32)
         plc = np.zeros((PL, 3), f32)
         for i, L in enumerate(self._point_lights):

@@ -1,10 +1,14 @@
 #!/usr/bin/env python
-"""Per-stage device timing of the 960x540/69k-tri headline raster pipeline.
+"""Per-stage device timing of the 960x540/69k-tri headline raster pipeline
+(the compacted subtile path — the one RasterBackend and bench.py config 3
+actually run at this scale).
 
 Times each pipeline stage as its own jitted program with the amortized
 dispatch method (bench.py `_time_fn`): N back-to-back dispatches,
 materialize only the last, divide by N. Stage inputs are precomputed and
-materialized so each timing covers only that stage.
+materialized so each timing covers only that stage. The sum of stages
+overstates the fused frame (XLA fuses across stage boundaries) — use it
+for RELATIVE budget, the FULL row for truth.
 
 Usage: python tools/profile_raster.py [--rows 540 --cols 960 --tris 69000]
 """
@@ -57,8 +61,10 @@ def main():
     from ascii_renderer_tpu.scene.builder import SceneBuilder
     from ascii_renderer_tpu.core.camera import Camera
     from ascii_renderer_tpu.backends import raster as R
+    from ascii_renderer_tpu.ops import raster_subtile as RS
     from ascii_renderer_tpu.core.frame import Frame
     from ascii_renderer_tpu.ascii.ascii_pass import glyph_decide
+    import functools
 
     cfg = Config(pixel_aspect=0.5)
     rows, cols = args.rows, args.cols
@@ -72,103 +78,80 @@ def main():
                         yaw=float(np.arctan2(-cam_pos[2], -cam_pos[0])),
                         pitch=-0.3)
     p, n, c = jnp.asarray(p), jnp.asarray(n), jnp.asarray(c)
-    attrs = jnp.concatenate([n, c, p], axis=1)
+    # mirror render_soup_diag's lightless-scene attr specialization
+    if scene.pt_pos.shape[0] == 0:
+        attrs = jnp.concatenate([n, c], axis=1)
+    else:
+        attrs = jnp.concatenate([n, c, p], axis=1)
+    n_attrs = attrs.shape[1]
     mvp = R.camera_mvp(cam, rows, cols, cfg.pixel_aspect)
-
-    # ---- stage functions ----
-    @jax.jit
-    def s_vertex(p, mvp):
-        ch = R.transform_clip_channels(p, mvp)
-        return R.setup_screen_channels(ch, rows, cols)
-
-    @jax.jit
-    def s_attrs(attrs, ch):
-        return R.clip_attrs_channel_lists(attrs, ch)
-
-    @jax.jit
-    def s_bins(ch):
-        return R._build_bins(ch, rows, cols)[:2]
-
-    ch = jax.jit(lambda p, mvp: s_vertex(p, mvp))(p, mvp)
-    _materialize(ch)
-    attr_slots = s_attrs(attrs, ch)
-    _materialize(attr_slots)
-    tri_s, offsets = s_bins(ch)
-    _materialize((tri_s, offsets))
-
-    from ascii_renderer_tpu.ops import raster_bins as RB
     tiles_y = -(-rows // R.TILE_H)
     tiles_x = -(-cols // R.TILE_W)
     n_tiles = tiles_y * tiles_x
 
-    @jax.jit
-    def s_gather_mm(ch, tri_s):
-        xa, xb, xc = ch["sxa"], ch["sxb"], ch["sxc"]
-        ya, yb, yc = ch["sya"], ch["syb"], ch["syc"]
-        za, zb, zc = ch["sza"], ch["szb"], ch["szc"]
-        P = tri_s.shape[0]
-        sxv, syv = (xa, xb, xc), (ya, yb, yc)
-        acs, bcs, gcs = [], [], []
-        for k in range(3):
-            x1, y1 = sxv[(k + 1) % 3], syv[(k + 1) % 3]
-            x2, y2 = sxv[(k + 2) % 3], syv[(k + 2) % 3]
-            acs.append(-(y2 - y1))
-            bcs.append(x2 - x1)
-            gcs.append((y2 - y1) * x1 - (x2 - x1) * y1)
-        area = (xb - xa) * (yc - ya) - (yb - ya) * (xc - xa)
-        inv_area = 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
-        zpx = (acs[0] * za + acs[1] * zb + acs[2] * zc) * inv_area
-        zpy = (bcs[0] * za + bcs[1] * zb + bcs[2] * zc) * inv_area
-        zpc = (gcs[0] * za + gcs[1] * zb + gcs[2] * zc) * inv_area
-        src = jnp.stack([
-            acs[0], bcs[0], gcs[0], acs[1], bcs[1], gcs[1],
-            acs[2], bcs[2], gcs[2], zpx, zpy, zpc,
-            jnp.ones_like(xa),
-            jnp.arange(xa.shape[0], dtype=jnp.float32),
-        ], axis=-1)
-        src = jnp.concatenate(
-            [src, jnp.zeros((src.shape[0], RB.N_CHAN - 14), jnp.float32)],
-            axis=-1)
-        tail = 2 * RB.MM_CHUNK
-        quantum = RB.MM_CHUNK
-        total = P + tail
-        pad_rows = (-total) % quantum + tail
-        src = jnp.concatenate([src, jnp.zeros((1, RB.N_CHAN), jnp.float32)])
-        tri_sp = jnp.concatenate(
-            [tri_s, jnp.full((pad_rows,), src.shape[0] - 1, jnp.int32)])
-        data = src[tri_sp]
-        return data.reshape(-1, RB.MM_CHUNK, RB.N_CHAN).transpose(0, 2, 1)
+    # ---- adaptive caps exactly as bench/_probe_caps sizes them ----
+    n2t = p.shape[0] // 3 * 2
+    probe = jax.jit(functools.partial(
+        R.render_soup_diag, rows=rows, cols=cols,
+        pixel_aspect=cfg.pixel_aspect, kernel="subtile", v_cap=n2t,
+        big_cap=64, r_cap=R._round_up(n2t, 2048), pair_cap=4 * n2t))
+    _, diag = probe(p, n, c, scene, cam)
+    counts = tuple(int(diag[k]) for k in
+                   ("n_valid", "n_big", "n_rows", "n_pairs", "n_tiles_nz"))
+    v_cap, big_cap, r_cap, pair_cap, tile_cap = R.suggest_caps_subtile(*counts)
+    print(f"counts={counts} caps={(v_cap, big_cap, r_cap, pair_cap, tile_cap)}",
+          file=sys.stderr)
 
-    mm = s_gather_mm(ch, tri_s)
-    _materialize(mm)
+    # ---- stage functions ----
+    # Each stage is timed via a ONE-SCALAR reducer twin: the axon tunnel
+    # charges ~30 ms RTT per materialized output leaf, so multi-output
+    # stage timings are garbage (PARITY.md "measurement gotchas"). The
+    # reducer must also defeat DCE: plain sums are permutation-invariant,
+    # so the sort stage uses an order-dependent weighting.
+    def _red(out):
+        s = jnp.zeros((), jnp.float32)
+        for leaf in jax.tree.leaves(out):
+            s = s + jnp.sum(leaf.astype(jnp.float32) if leaf.dtype != jnp.float32
+                            else leaf)
+        return s
 
-    @jax.jit
-    def s_kernel(mm, offsets):
-        return RB.tile_eval_bins_mm(mm, offsets, tiles_x, n_tiles)
+    def s_vertex_f(p, mvp):
+        ch = R.transform_clip_channels(p, mvp)
+        return R.setup_screen_channels(ch, rows, cols)
 
-    ztile, tidf = s_kernel(mm, offsets)
-    _materialize((ztile, tidf))
+    def s_compact_f(ch):
+        return R.compact_valid_ch(ch, v_cap)
 
-    @jax.jit
-    def s_unpack(tidf):
-        tt = tidf.astype(jnp.int32)
-        timg = (tt.reshape(tiles_y, tiles_x, R.TILE_H, R.TILE_W)
-                .transpose(0, 2, 1, 3)
-                .reshape(tiles_y * R.TILE_H, tiles_x * R.TILE_W))
-        return jnp.where(timg[:rows, :cols] < 0, -1, timg[:rows, :cols])
+    def s_attrs_f(attrs, ch, cidx):
+        return R.clip_attrs_compact_lists(attrs, ch, cidx)
 
-    tid = s_unpack(tidf)
-    _materialize(tid)
+    def s_keys_f(cch):
+        return R._subtile_pair_keys(cch, rows, cols, big_cap=big_cap)
 
-    @jax.jit
-    def s_shade(tid, ch, attr_slots):
-        return R.shade_planes_ch(tid, ch, attr_slots, scene, rows, cols)
+    def s_src_f(cch):
+        return R._entry_planes_src(cch)
 
-    rgb = s_shade(tid, ch, attr_slots)
-    _materialize(rgb)
+    def s_rows_f(src, keys):
+        return RS.build_packed_rows(src, keys, tiles_x, n_tiles, r_cap,
+                                    pair_cap)
 
-    @jax.jit
-    def s_glyph(rgb):
+    def s_rows_old_f(src, keys):
+        return RS.build_subtile_rows(src, keys, tiles_x, n_tiles, r_cap,
+                                     pair_cap)
+
+    def s_kernel_f(rows128, rowptr):
+        return RS.tile_eval_packed(rows128, rowptr, tiles_x, n_tiles)
+
+    def s_table_f(cch, attr_slots, keys):
+        table = R.build_plane_table(cch, attr_slots)
+        return jnp.concatenate(
+            [table, jnp.zeros((1, table.shape[1]), jnp.float32)], axis=0)
+
+    def s_shade_f(etile, nonempty, ptable):
+        return R.shade_tiles_compact(etile, nonempty, ptable, scene, rows,
+                                     cols, tile_cap=tile_cap, n_attrs=n_attrs)
+
+    def s_glyph_f(rgb):
         frame = Frame.from_float(rgb)
         chars, _t = glyph_decide(
             frame, ramp=cfg.ascii_ramp, mode_on=cfg.ascii_mode_filter,
@@ -176,12 +159,43 @@ def main():
             grayscale=cfg.use_grayscale)
         return chars
 
-    chars = s_glyph(rgb)
-    _materialize(chars)
+    s_vertex = jax.jit(s_vertex_f)
+    s_compact = jax.jit(s_compact_f)
+    s_attrs = jax.jit(s_attrs_f)
+    s_keys = jax.jit(s_keys_f)
+    s_src = jax.jit(s_src_f)
+    s_rows = jax.jit(s_rows_f)
+    s_kernel = jax.jit(s_kernel_f)
+    s_table = jax.jit(s_table_f)
+    s_shade = jax.jit(s_shade_f)
+    s_glyph = jax.jit(s_glyph_f)
+
+    # one-scalar timing twins
+    t_vertex = jax.jit(lambda p, mvp: _red(s_vertex_f(p, mvp)))
+    t_compact = jax.jit(lambda ch: _red(s_compact_f(ch)))
+    t_attrs = jax.jit(lambda a, ch, ci: _red(s_attrs_f(a, ch, ci)))
+    # order-dependent reduction or the sort is DCE'd (sum is perm-invariant)
+    def _t_keys(cch):
+        keys = s_keys_f(cch)
+        w = jnp.arange(keys.shape[0], dtype=jnp.float32) % 7.0
+        return jnp.sum(keys.astype(jnp.float32) * w)
+    t_keys = jax.jit(_t_keys)
+    t_src = jax.jit(lambda cch: _red(s_src_f(cch)))
+    t_rows = jax.jit(lambda src, keys: _red(s_rows_f(src, keys)))
+    t_rows_old = jax.jit(lambda src, keys: _red(s_rows_old_f(src, keys)))
+    t_kernel = jax.jit(lambda rd, rp: _red(s_kernel_f(rd, rp)))
+    t_table = jax.jit(lambda cch, a, k: _red(s_table_f(cch, a, k)))
+    t_shade = jax.jit(lambda e, ne, pt: _red(s_shade_f(e, ne, pt)))
+    t_glyph = jax.jit(lambda rgb: _red(s_glyph_f(rgb)))
+
+    full_diag = jax.jit(functools.partial(
+        R.render_soup_diag, rows=rows, cols=cols,
+        pixel_aspect=cfg.pixel_aspect, kernel="subtile", v_cap=v_cap,
+        big_cap=big_cap, r_cap=r_cap, pair_cap=pair_cap, tile_cap=tile_cap))
 
     @jax.jit
     def s_full(p, n, c, scene, cam):
-        rgb = R.render_soup(p, n, c, scene, cam, rows, cols, cfg.pixel_aspect)
+        rgb, _d = full_diag(p, n, c, scene, cam)
         frame = Frame.from_float(rgb)
         chars, _t = glyph_decide(
             frame, ramp=cfg.ascii_ramp, mode_on=cfg.ascii_mode_filter,
@@ -189,36 +203,58 @@ def main():
             grayscale=cfg.use_grayscale)
         return chars
 
+    # ---- materialize stage inputs ----
+    ch = s_vertex(p, mvp)
+    _materialize(ch)
+    cch, cidx, n_valid = s_compact(ch)
+    _materialize((cch, cidx))
+    attr_slots = s_attrs(attrs, ch, cidx)
+    _materialize(attr_slots)
+    keys = s_keys(cch)
+    _materialize(keys)
+    src = s_src(cch)
+    _materialize(src)
+    rows_data, rowptr, n_rows, n_pairs = s_rows(src, keys)
+    _materialize((rows_data, rowptr))
+    ztile, etile = s_kernel(rows_data, rowptr)
+    _materialize((ztile, etile))
+    nonempty = jax.jit(lambda rp: rp[1:] > rp[:-1])(rowptr)
+    ptable = s_table(cch, attr_slots, keys)
+    _materialize(ptable)
+    rgb = s_shade(etile, nonempty, ptable)
+    _materialize(rgb)
+    _materialize(s_glyph(rgb))
     _materialize(s_full(p, n, c, scene, cam))
+
+    @jax.jit
+    def t_full(p, n, c, scene, cam):
+        return jnp.sum(s_full(p, n, c, scene, cam).astype(jnp.float32))
 
     it = args.iters
     stages = [
-        ("vertex+setup      ", s_vertex, (p, mvp)),
-        ("attr clip/lerp    ", s_attrs, (attrs, ch)),
-        ("binning(sort)     ", s_bins, (ch,)),
-        ("entry gather/plane", s_gather_mm, (ch, tri_s)),
-        ("bins kernel (mm)  ", s_kernel, (mm, offsets)),
-        ("tid unpack        ", s_unpack, (tidf,)),
-        ("deferred shade    ", s_shade, (tid, ch, attr_slots)),
-        ("glyph decide      ", s_glyph, (rgb,)),
-        ("FULL fused        ", s_full, (p, n, c, scene, cam)),
+        ("vertex+setup      ", t_vertex, (p, mvp)),
+        ("compact valid     ", t_compact, (ch,)),
+        ("attr clip/lerp    ", t_attrs, (attrs, ch, cidx)),
+        ("pair keys + sort  ", t_keys, (cch,)),
+        ("entry planes src  ", t_src, (cch,)),
+        ("packed row build  ", t_rows, (src, keys)),
+        ("OLD row build     ", t_rows_old, (src, keys)),
+        ("packed kernel     ", t_kernel, (rows_data, rowptr)),
+        ("plane table+pgath ", t_table, (cch, attr_slots, keys)),
+        ("tile-compact shade", t_shade, (etile, nonempty, ptable)),
+        ("glyph decide      ", t_glyph, (rgb,)),
+        ("FULL fused        ", t_full, (p, n, c, scene, cam)),
     ]
     total = 0.0
     for name, fn, a in stages:
         dt = _time_fn(fn, a, warmup=2, iters=it)
-        if not name.startswith("FULL"):
+        if not (name.startswith("FULL") or name.startswith("OLD")):
             total += dt
         print(f"{name}: {dt*1e3:8.3f} ms")
     print(f"sum of stages     : {total*1e3:8.3f} ms")
-    # diagnostics: pair count, bin stats
-    offs = np.asarray(offsets)
-    depth = np.diff(offs)
-    print(f"pairs P={offs[-1]}, tiles={n_tiles}, "
-          f"bin depth mean={depth.mean():.1f} p50={np.percentile(depth, 50):.0f} "
-          f"p95={np.percentile(depth, 95):.0f} max={depth.max()}")
-    chunks = np.where(depth > 0, (depth + RB.MM_CHUNK - 1) // RB.MM_CHUNK, 0)
-    print(f"mm chunks: total={chunks.sum()} (ideal {depth.sum()/RB.MM_CHUNK:.0f}),"
-          f" nonempty tiles={(depth>0).sum()}")
+    print(f"rows buffer: {r_cap}x16x128 f32 = "
+          f"{r_cap*16*128*4/1e6:.0f} MB; true rows {counts[2]} "
+          f"({counts[2]*16*128*4/1e6:.0f} MB)")
 
 
 if __name__ == "__main__":
