@@ -391,7 +391,15 @@ def build_packed_rows(src: jnp.ndarray, pair_key: jnp.ndarray,
 
     Same contract as build_subtile_rows, but returns rows128 f32
     [r_cap, 128] (packed lanes j = g*SUB_W + c, consumed by
-    tile_eval_packed) and rowptr in CHUNK_RP quanta."""
+    tile_eval_packed) and rowptr in CHUNK_RP quanta.
+
+    TPU gather-emitter gotchas this build engineers around (measured at
+    headline scale, see PARITY.md): a [70k, 16]-wide row gather costs
+    0.83 ms while the same gather at width 32 costs 0.03 ms (XLA picks a
+    pathological emitter exactly at width 16), and 1-D index gathers cost
+    ~0.4 ms per 70k indices while 8-wide row gathers are ~free — so the
+    row tables here are padded to 32 channels and the offsets/rowptr
+    lookups go through 8-wide broadcast tables."""
     assert r_cap % CHUNK_RP == 0
     n_bins = n_tiles * N_SUB
     bin_s = (pair_key >> SUB_SHIFT).astype(jnp.int32)
@@ -408,28 +416,34 @@ def build_packed_rows(src: jnp.ndarray, pair_key: jnp.ndarray,
     n_rows = rowptr[-1]
 
     p_eff = min(pair_cap, P)
-    src_pair = src[tri_s[:p_eff]]  # [p_eff, 16] one wide row gather
+    src32 = jnp.concatenate(
+        [src, jnp.zeros((src.shape[0], 32 - src.shape[1]), jnp.float32)],
+        axis=1) if src.shape[1] < 32 else src[:, :32]
+    src_pair = src32[tri_s[:p_eff]]  # [p_eff, 32] one wide row gather
     ids = (tri_s[:p_eff].astype(jnp.float32) if entry == "tri"
            else jnp.arange(p_eff, dtype=jnp.float32))
     src_pair = src_pair.at[:, CH_PAIR].set(ids)
 
-    # per-pair destination slot: (row within the aligned layout, subtile)
+    # per-pair destination slot: (row within the aligned layout, subtile).
+    # offsets/rowptr lookups as 8-wide row gathers (see docstring).
     i_p = jnp.arange(p_eff, dtype=jnp.int32)
     b_p = bin_s[:p_eff]
     safe_b = jnp.minimum(b_p, n_bins - 1)
     tile_p = safe_b // N_SUB
     g_p = safe_b % N_SUB
-    d_p = i_p - offsets[safe_b]                 # rank within bin
-    row_p = rowptr[:-1][tile_p] + d_p
+    offsets8 = jnp.broadcast_to(offsets[:, None], (n_bins + 1, 8))
+    rowptr8 = jnp.broadcast_to(rowptr[:, None], (n_tiles + 1, 8))
+    d_p = i_p - offsets8[safe_b][:, 0]          # rank within bin
+    row_p = rowptr8[tile_p][:, 0] + d_p
     slot = row_p * N_SUB + g_p
     n_slots = r_cap * N_SUB
     slot = jnp.where(b_p < n_bins, slot, n_slots)  # dead/fill -> dropped
 
     # inert base (G0 = +1 -> never inside; ZC = 2 fails the depth range)
-    inert = jnp.zeros((N_CHAN,), jnp.float32).at[CH_G[0]].set(1.0)
+    inert = jnp.zeros((32,), jnp.float32).at[CH_G[0]].set(1.0)
     inert = inert.at[CH_ZC].set(2.0)
-    base = jnp.broadcast_to(inert, (n_slots, N_CHAN))
+    base = jnp.broadcast_to(inert, (n_slots, 32))
     buf = base.at[slot].set(src_pair, mode="drop", unique_indices=True)
-    rows128 = buf.reshape(r_cap, N_SUB * N_CHAN)
+    rows128 = buf[:, :N_CHAN].reshape(r_cap, N_SUB * N_CHAN)
     rowptr_k = jnp.minimum(rowptr, r_cap)
     return rows128, rowptr_k, n_rows, n_pairs

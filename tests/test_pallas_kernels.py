@@ -91,3 +91,57 @@ def test_pt_megakernel_twin_statistical():
         acc_k += np.asarray(k_lo)
     # whole-image mean radiance within 3%
     assert abs(acc_a.mean() - acc_k.mean()) / acc_a.mean() < 0.03
+
+
+def test_packed_subtile_kernel_matches_expanded_twin():
+    """tile_eval_packed (packed [r_cap, 128] rows + MXU lane expansion)
+    must select the same winners as tile_eval_subtile (expanded
+    [r_cap, 16, 128] rows) on identical bins: same z, same tie-breaks."""
+    import jax
+    from ascii_renderer_tpu.ops import raster_subtile as RS
+
+    rng = np.random.default_rng(7)
+    n_tiles, tiles_x = 6, 3
+    n_bins = n_tiles * RS.N_SUB
+    V = 300
+    # random small triangles in global pixel space, as edge/depth planes
+    src = np.zeros((V + 1, 16), np.float32)
+    for v in range(V):
+        t = rng.integers(0, n_tiles)
+        ty, tx = divmod(t, tiles_x)
+        cx = tx * 128 + rng.uniform(4, 124)
+        cy = ty * 8 + rng.uniform(1, 7)
+        pts = np.stack([cx + rng.uniform(-6, 6, 3),
+                        cy + rng.uniform(-4, 4, 3)], axis=1)
+        if np.cross(pts[1] - pts[0], pts[2] - pts[0]) > 0:
+            pts = pts[::-1]
+        acs, bcs, gcs = [], [], []
+        for k in range(3):
+            (x1, y1), (x2, y2) = pts[(k + 1) % 3], pts[(k + 2) % 3]
+            acs.append(-(y2 - y1)); bcs.append(x2 - x1)
+            gcs.append((y2 - y1) * x1 - (x2 - x1) * y1)
+        z = rng.uniform(0.05, 0.95)
+        src[v, :12] = [acs[0], bcs[0], gcs[0], acs[1], bcs[1], gcs[1],
+                       acs[2], bcs[2], gcs[2], 0.0, 0.0, z]
+    srcj = jnp.asarray(src)
+
+    # random sorted pair keys over those triangles
+    pairs = []
+    for v in range(V):
+        for b in rng.choice(n_bins, size=rng.integers(1, 4), replace=False):
+            pairs.append((int(b) << RS.SUB_SHIFT) | v)
+    keys = jnp.asarray(np.sort(np.asarray(pairs, np.int64)).astype(np.int32))
+
+    r_cap = 512
+    rows_e, ptr_e, nr_e, np_e = RS.build_subtile_rows(
+        srcj, keys, tiles_x, n_tiles, r_cap, entry="tri")
+    z_e, e_e = RS.tile_eval_subtile(rows_e, ptr_e, tiles_x, n_tiles,
+                                    interpret=True)
+    rows_p, ptr_p, nr_p, np_p = RS.build_packed_rows(
+        srcj, keys, tiles_x, n_tiles, r_cap, entry="tri")
+    z_p, e_p = RS.tile_eval_packed(rows_p, ptr_p, tiles_x, n_tiles,
+                                   interpret=True)
+    assert int(np_e) == int(np_p)
+    np.testing.assert_array_equal(np.asarray(e_e), np.asarray(e_p))
+    np.testing.assert_allclose(np.asarray(z_e), np.asarray(z_p),
+                               rtol=1e-5, atol=1e-5)
