@@ -416,12 +416,11 @@ def compact_valid_ch(ch, v_cap: int):
     valid = ch["valid"]
     n2t = valid.shape[0]
     assert v_cap <= MAX_V_CAP, f"v_cap {v_cap} exceeds {MAX_V_CAP}"
-    cum = _cumsum_i32(valid)
-    n_valid = cum[-1]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
     ids = jnp.arange(n2t, dtype=jnp.int32)
-    dest = jnp.where(valid, cum - 1, v_cap + 1 + ids)  # all-unique targets
-    cidx = (jnp.full((v_cap,), n2t, jnp.int32)
-            .at[dest].set(ids, mode="drop", unique_indices=True))
+    key = jnp.where(valid, ids, n2t + ids)  # invalid sort after all valid
+    skey = jax.lax.sort(key)
+    cidx = jnp.where(skey[:v_cap] < n2t, skey[:v_cap], n2t)
     packed = jnp.stack([ch[k] for k in _COMPACT_KEYS], axis=-1)  # [2T, 13]
     packed = jnp.concatenate(
         [packed, jnp.zeros((1, len(_COMPACT_KEYS)), jnp.float32)], axis=0)
