@@ -423,27 +423,28 @@ def build_packed_rows(src: jnp.ndarray, pair_key: jnp.ndarray,
     ids = (tri_s[:p_eff].astype(jnp.float32) if entry == "tri"
            else jnp.arange(p_eff, dtype=jnp.float32))
     src_pair = src_pair.at[:, CH_PAIR].set(ids)
+    # inert dump row (G0 = +1 -> never inside; ZC = 2 fails depth range)
+    inert = jnp.zeros((1, 32), jnp.float32).at[0, CH_G[0]].set(1.0)
+    inert = inert.at[0, CH_ZC].set(2.0)
+    src_pair = jnp.concatenate([src_pair, inert], axis=0)
 
-    # per-pair destination slot: (row within the aligned layout, subtile).
-    # offsets/rowptr lookups as 8-wide row gathers (see docstring).
-    i_p = jnp.arange(p_eff, dtype=jnp.int32)
-    b_p = bin_s[:p_eff]
-    safe_b = jnp.minimum(b_p, n_bins - 1)
-    tile_p = safe_b // N_SUB
-    g_p = safe_b % N_SUB
-    offsets8 = jnp.broadcast_to(offsets[:, None], (n_bins + 1, 8))
-    rowptr8 = jnp.broadcast_to(rowptr[:, None], (n_tiles + 1, 8))
-    d_p = i_p - offsets8[safe_b][:, 0]          # rank within bin
-    row_p = rowptr8[tile_p][:, 0] + d_p
-    slot = row_p * N_SUB + g_p
-    n_slots = r_cap * N_SUB
-    slot = jnp.where(b_p < n_bins, slot, n_slots)  # dead/fill -> dropped
-
-    # inert base (G0 = +1 -> never inside; ZC = 2 fails the depth range)
-    inert = jnp.zeros((32,), jnp.float32).at[CH_G[0]].set(1.0)
-    inert = inert.at[CH_ZC].set(2.0)
-    base = jnp.broadcast_to(inert, (n_slots, 32))
-    buf = base.at[slot].set(src_pair, mode="drop", unique_indices=True)
-    rows128 = buf[:, :N_CHAN].reshape(r_cap, N_SUB * N_CHAN)
+    # slot -> pair inverse map, then ONE [r_cap*8, 32] row gather.
+    # t_r via scatter + MXU-blocked cumsum (searchsorted at this query
+    # scale lowers ~3.4x slower); offsets/depth lookups ride a 1-D
+    # leading-index 8-wide row gather, which is ~free (see docstring).
+    from ascii_renderer_tpu.backends.raster import _cumsum_i32
+    r_ids = jnp.arange(r_cap, dtype=jnp.int32)
+    marks = jnp.zeros((r_cap,), jnp.float32).at[rowptr[1:]].add(
+        1.0, mode="drop")
+    t_r = jnp.clip(_cumsum_i32(marks), 0, n_tiles - 1)
+    d_r = r_ids - rowptr[:-1][t_r]
+    off_rows = offsets[:n_bins].reshape(n_tiles, N_SUB)[t_r]  # [r_cap, 8]
+    dep_rows = depth[t_r]
+    live = ((d_r[:, None] < dep_rows) & (r_ids < n_rows)[:, None]
+            ).reshape(-1)
+    pidx = (off_rows + d_r[:, None]).reshape(-1)
+    pidx = jnp.where(live & (pidx < p_eff), pidx, p_eff)  # dead -> inert
+    g = src_pair[pidx]  # [r_cap*8, 32] one wide flat row gather
+    rows128 = g[:, :N_CHAN].reshape(r_cap, N_SUB * N_CHAN)
     rowptr_k = jnp.minimum(rowptr, r_cap)
     return rows128, rowptr_k, n_rows, n_pairs
