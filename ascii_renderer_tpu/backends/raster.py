@@ -118,7 +118,36 @@ def transform_clip_channels(positions: jnp.ndarray, mvp: jnp.ndarray):
     ch = {f"{c}{s}": cv_t[4 * i + j]
           for i, s in enumerate("abc")
           for j, c in enumerate("xyzw")}
+    return _clip_channels_core(ch)
 
+
+def positions_to_pos9(positions) -> jnp.ndarray:
+    """Static per-scene prep: soup positions f32 [V=3T, 3] -> channel-major
+    pos9 f32 [9, T] (rows xa ya za xb yb zb xc yc zc). Hoisting this
+    transpose out of the frame loop lets the vertex stage run as pure
+    fusable channel FMAs (no per-frame matmul or [T,12] relayout)."""
+    V = positions.shape[0]
+    return jnp.asarray(positions).reshape(V // 3, 3, 3).transpose(1, 2, 0) \
+        .reshape(9, V // 3)
+
+
+def transform_clip_channels9(pos9: jnp.ndarray, mvp: jnp.ndarray):
+    """transform_clip_channels on pre-transposed geometry (see
+    positions_to_pos9): 16 four-term FMA chains over contiguous [T]
+    channels replace the matmul + minor-axis transpose."""
+    ch = {}
+    for i, s in enumerate("abc"):
+        px, py, pz = pos9[3 * i], pos9[3 * i + 1], pos9[3 * i + 2]
+        for j, c in enumerate("xyzw"):
+            ch[f"{c}{s}"] = (mvp[j, 0] * px + mvp[j, 1] * py
+                             + mvp[j, 2] * pz + mvp[j, 3])
+    return _clip_channels_core(ch)
+
+
+def _clip_channels_core(ch):
+    """Shared near-clip channel math: per-slot clip channels x/y/z/w{a,b,c}
+    [T] -> the [2T] clipped-triangle channel dict (see
+    transform_clip_channels)."""
     d = {s: ch[f"z{s}"] + ch[f"w{s}"] for s in "abc"}
     ins = {s: d[s] >= 0.0 for s in "abc"}
     n_in = (ins["a"].astype(jnp.int32) + ins["b"].astype(jnp.int32)
@@ -1255,7 +1284,7 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
                      cam: Camera, rows: int, cols: int, pixel_aspect: float,
                      v_cap: int, big_cap: int = 64, kernel: str = "mm",
                      r_cap: int = 16384, pair_cap: int = 65536,
-                     tile_cap: int | None = None):
+                     tile_cap: int | None = None, pos9=None):
     """Compacted raster pipeline with capacity diagnostics.
 
     Returns (rgb f32 [rows, cols, 3], diag) with i32 device scalars. The
@@ -1272,7 +1301,8 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
     else:
         attrs = jnp.concatenate([normals, colors, positions], axis=1)
     mvp = camera_mvp(cam, rows, cols, pixel_aspect)
-    ch = transform_clip_channels(positions, mvp)
+    ch = (transform_clip_channels9(pos9, mvp) if pos9 is not None
+          else transform_clip_channels(positions, mvp))
     ch = setup_screen_channels(ch, rows, cols)
     cch, cidx, n_valid = compact_valid_ch(ch, v_cap)
     attr_slots = clip_attrs_compact_lists(attrs, ch, cidx)
@@ -1342,7 +1372,7 @@ def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
                 chunk: int = 64, method: str = "auto",
                 v_cap: int | None = None, big_cap: int = 64,
                 r_cap: int = 16384, pair_cap: int = 65536,
-                tile_cap: int | None = None) -> jnp.ndarray:
+                tile_cap: int | None = None, pos9=None) -> jnp.ndarray:
     """Triangle soup -> shaded RGB f32 [rows, cols, 3].
 
     method: 'scatter' (binned Pallas bin-walk, fast for many small tris),
@@ -1364,7 +1394,7 @@ def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
         rgb, _diag = render_soup_diag(
             positions, normals, colors, scene, cam, rows, cols, pixel_aspect,
             v_cap=v_cap, big_cap=big_cap, kernel=kern, r_cap=r_cap,
-            pair_cap=pair_cap, tile_cap=tile_cap)
+            pair_cap=pair_cap, tile_cap=tile_cap, pos9=pos9)
         return rgb
     if method == "fused":
         ch = transform_clip_channels(positions, mvp)
@@ -1412,6 +1442,7 @@ class RasterBackend:
         self.cfg = cfg
         self._scene: SceneData | None = None
         self._soup = None
+        self._pos9 = None
         self._fns = {}
         self._caps = None  # (v_cap, big_cap) once sized
 
@@ -1419,6 +1450,7 @@ class RasterBackend:
         self._scene = scene
         p, n, c = tessellate_scene(scene)
         self._soup = (jnp.asarray(p), jnp.asarray(n), jnp.asarray(c))
+        self._pos9 = positions_to_pos9(self._soup[0])
         self._fns = {}
         self._caps = None
 
@@ -1427,6 +1459,7 @@ class RasterBackend:
         self._scene = scene
         self._soup = (jnp.asarray(positions), jnp.asarray(normals),
                       jnp.asarray(colors))
+        self._pos9 = positions_to_pos9(self._soup[0])
         self._fns = {}
         self._caps = None
 
@@ -1466,7 +1499,7 @@ class RasterBackend:
             caps = self._caps or (n2t, 64)
             for _ in range(4):
                 rgb, diag = self._fn(rows, cols, pixel_aspect, caps)(
-                    *self._soup, self._scene, camera)
+                    *self._soup, self._scene, camera, pos9=self._pos9)
                 counts = (int(diag["n_valid"]), int(diag["n_big"]))
                 if all(c <= cap for c, cap in zip(counts, caps)):
                     break
@@ -1478,7 +1511,7 @@ class RasterBackend:
                               n_tiles)
         for _ in range(4):  # overflow retries (caps grow geometrically)
             rgb, diag = self._fn(rows, cols, pixel_aspect, caps)(
-                *self._soup, self._scene, camera)
+                *self._soup, self._scene, camera, pos9=self._pos9)
             counts = tuple(int(diag[k]) for k in
                            ("n_valid", "n_big", "n_rows", "n_pairs",
                             "n_tiles_nz"))
@@ -1489,6 +1522,6 @@ class RasterBackend:
         return Frame.from_float(rgb)
 
     def dispose(self):
-        self._scene = self._soup = None
+        self._scene = self._soup = self._pos9 = None
         self._fns = {}
         self._caps = None

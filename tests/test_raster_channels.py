@@ -224,3 +224,57 @@ def test_fused_shading_matches_scan():
     a = np.asarray(f_scan(*args))
     b = np.asarray(f_fused(*args))
     assert (np.abs(a - b).max(-1) > 1e-4).sum() == 0
+
+
+def test_transform_clip_channels9_matches_matmul_path():
+    """The channel-major vertex stage (pre-transposed pos9, pure FMA
+    chains) must agree with the matmul+transpose form on every channel
+    (sum order differs -> allclose, not bit-equal)."""
+    rng = np.random.default_rng(3)
+    T = 257
+    pos = rng.uniform(-3, 3, (3 * T, 3)).astype(np.float32)
+    from ascii_renderer_tpu.core.camera import Camera
+    cam = Camera.create(pos=(2.0, 1.5, 2.5), yaw=-2.3, pitch=-0.3)
+    mvp = R.camera_mvp(cam, 64, 128, 0.5)
+    a = R.transform_clip_channels(jnp.asarray(pos), mvp)
+    b = R.transform_clip_channels9(R.positions_to_pos9(pos), mvp)
+    assert set(a.keys()) == set(b.keys())
+    np.testing.assert_array_equal(np.asarray(a["valid"]),
+                                  np.asarray(b["valid"]))
+    for k in a:
+        av, bv = np.asarray(a[k]), np.asarray(b[k])
+        if av.dtype == bool:
+            np.testing.assert_array_equal(av, bv)
+        else:
+            # near-plane lerp params divide by (d_a - d_b): catastrophic
+            # cancellation amplifies the two paths' f32 sum-order noise,
+            # so channel tolerance is loose; the image-level test below
+            # pins the agreement that matters
+            np.testing.assert_allclose(av, bv, rtol=5e-3, atol=1e-3)
+
+
+def test_render_soup_pos9_matches_positions_path():
+    """The subtile pipeline with pre-transposed pos9 must produce the same
+    image as the positions path (vertex-stage parity, end to end)."""
+    rng = np.random.default_rng(5)
+    T = 3000
+    pos = rng.uniform(-2, 2, (3 * T, 3)).astype(np.float32)
+    nrm = rng.normal(size=(3 * T, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    col = rng.uniform(0.2, 1.0, (3 * T, 3)).astype(np.float32)
+    from ascii_renderer_tpu.scene.builder import SceneBuilder
+    from ascii_renderer_tpu.core.camera import Camera
+    scene = (SceneBuilder().set_env_light([0.2, 0.2, 0.25], 1.0)
+             .add_dir_light([-0.5, -0.7, -0.6], [1, 1, 1], 0.9).build())
+    cam = Camera.create(pos=(2.5, 1.5, 3.0), yaw=-2.3, pitch=-0.3)
+    args = (jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(col), scene, cam)
+    kw = dict(rows=48, cols=96, pixel_aspect=0.5, method="subtile",
+              v_cap=2 * T, big_cap=64, r_cap=8192, pair_cap=4 * 2 * T)
+    f_a = jax.jit(functools.partial(R.render_soup, **kw))
+    f_b = jax.jit(functools.partial(R.render_soup, **kw))
+    a = np.asarray(f_a(*args))
+    b = np.asarray(f_b(*args, pos9=R.positions_to_pos9(pos)))
+    # vertex sum-order noise can flip a winner on razor-thin edge ties:
+    # allow a handful of differing pixels, none large in aggregate
+    bad = (np.abs(a - b).max(-1) > 1e-3).sum()
+    assert bad <= 5, f"{bad} pixels differ between pos9 and positions paths"

@@ -94,9 +94,12 @@ def main():
         return jnp.sum(x.astype(jnp.float32))
 
     # ---- prefix bodies (mirror render_soup_diag's subtile branch) ----
+    pos9 = np.asarray(R.positions_to_pos9(p))
+    pos9 = jnp.asarray(pos9)
+
     def pre_vertex(p, cam):
         mvp = R.camera_mvp(cam, rows, cols, cfg.pixel_aspect)
-        ch = R.transform_clip_channels(p, mvp)
+        ch = R.transform_clip_channels9(pos9, mvp)
         return R.setup_screen_channels(ch, rows, cols)
 
     def pre_compact(p, cam):
