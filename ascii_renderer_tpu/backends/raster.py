@@ -739,7 +739,12 @@ def build_plane_table(ch, attr_slots) -> jnp.ndarray:
     dc = sum(gamma[k] * iw[k] for k in range(3)) * inv_area
     planes.append((da, db, dc))
 
-    table = jnp.stack([c for p in planes for c in p], axis=-1)
+    chans = [c for p in planes for c in p]
+    n = chans[0].shape[0]
+    if n % 512 == 0:  # MXU-transpose pack (see ops/pack.py)
+        from ascii_renderer_tpu.ops.pack import pack_channels
+        return pack_channels(chans)
+    table = jnp.stack(chans, axis=-1)
     pad = (-table.shape[1]) % 8
     if pad:
         table = jnp.concatenate(

@@ -1,0 +1,56 @@
+"""Channel-major -> row-major packing as a Pallas MXU transpose.
+
+TPU-native layout bridge: the raster pipeline computes everything as
+contiguous [N] channel arrays (lane-friendly), but row-gather consumers
+(the deferred-shade table, the bin-walk entry rows) need row-major
+[N, C]. XLA lowers ``jnp.stack(chs, axis=-1)`` to per-channel strided
+updates whose minor dim C << 128 wastes most of every vector store
+(measured ~0.8 ms for [49k, 24] at bunny scale). This kernel instead
+lets XLA fuse the channel producers into ONE efficient channel-major
+[C, N] materialization, then transposes 512-lane blocks on the MXU via
+an identity dot (f32-exact at HIGHEST precision).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+BLK = 512
+
+
+def _pack_kernel(cm_ref, out_ref):
+    x = cm_ref[...]  # [C, BLK]
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1))
+    # Y = I . X^T contraction: Y[n, c] = sum_k I[n, k] X[c, k] = X[c, n]
+    out_ref[...] = jax.lax.dot_general(
+        eye.astype(jnp.float32), x, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def pack_channels(channels, width: int | None = None,
+                  interpret: bool | None = None) -> jnp.ndarray:
+    """[C] f32 channel arrays (each [N], N % 512 == 0) -> row-major
+    [N, W] with W = width or C rounded up to 8; extra columns zero."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cm = jnp.stack(channels, axis=0)
+    c, n = cm.shape
+    w = width or -(-c // 8) * 8
+    assert w >= c and n % BLK == 0, (c, w, n)
+    if w > c:
+        cm = jnp.concatenate([cm, jnp.zeros((w - c, n), jnp.float32)],
+                             axis=0)
+    return pl.pallas_call(
+        _pack_kernel,
+        grid=(n // BLK,),
+        in_specs=[pl.BlockSpec((w, BLK), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((BLK, w), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, w), jnp.float32),
+        interpret=interpret,
+    )(cm)

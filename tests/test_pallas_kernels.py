@@ -145,3 +145,19 @@ def test_packed_subtile_kernel_matches_expanded_twin():
     np.testing.assert_array_equal(np.asarray(e_e), np.asarray(e_p))
     np.testing.assert_allclose(np.asarray(z_e), np.asarray(z_p),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pack_channels_matches_stack():
+    """ops/pack.pack_channels must equal jnp.stack(axis=-1) + zero pad,
+    bit-exactly (identity dot at HIGHEST precision)."""
+    from ascii_renderer_tpu.ops.pack import pack_channels
+
+    rng = np.random.default_rng(2)
+    for c, n in ((21, 1024), (13, 512), (8, 4096)):
+        chans = [jnp.asarray(rng.normal(size=n).astype(np.float32))
+                 for _ in range(c)]
+        got = np.asarray(pack_channels(chans, interpret=True))
+        w = -(-c // 8) * 8
+        want = np.zeros((n, w), np.float32)
+        want[:, :c] = np.stack([np.asarray(x) for x in chans], axis=-1)
+        np.testing.assert_array_equal(got, want)
