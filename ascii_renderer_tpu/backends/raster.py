@@ -227,6 +227,242 @@ def setup_screen_channels(ch, rows: int, cols: int):
     return ch
 
 
+# --------------------------------------------------------------------------
+# 2-D homogeneous setup (Olano-Greer): planes from the clip-matrix adjoint
+# --------------------------------------------------------------------------
+EPS_W = 1e-4  # near-guard for projections used ONLY by binning bboxes
+
+
+def setup_2dh(pos9: jnp.ndarray, attrs_t: jnp.ndarray, mvp: jnp.ndarray,
+              rows: int, cols: int):
+    """Triangle setup in 2-D homogeneous coordinates: every per-pixel
+    plane (edges, depth, attributes, perspective denominator) comes from
+    the adjoint of the per-triangle viewport-folded clip matrix
+    M = [[x'_a, x'_b, x'_c], [y'..], [w..]] — row i of M^{-1} gives the
+    affine screen function lambda_i / w(p), so coverage (all >= 0), depth,
+    and perspective-correct attribute interpolation need NO near-plane
+    clipping: the visible sheet is selected by the kernel's existing
+    z in [0,1] range test (z >= 0 IS the near clip), and triangles
+    behind the camera can never satisfy all three edge tests.
+
+    Replaces the branchless clip expansion + attribute lerp pipeline
+    (transform_clip_channels / clip_attrs_*) for the subtile path: the
+    domain stays [T] (no x2 clip split), attribute planes are exact for
+    clipped triangles too (interpolating planes are clip-invariant).
+
+    pos9 f32 [9, T] (positions_to_pos9); attrs_t f32 [3A, T] channel-major
+    per-slot attributes (soup_static_prep); returns a channel dict [T]:
+    e{k}{a,b,c} edge planes (inside <=> value <= 0, scale 1/|det|),
+    zx/zy/zc the exact screen-z plane, p{j}{a,b,c} attribute planes and
+    dna/dnb/dnc the denominator plane (common scale 1/det — the N/D ratio
+    cancels it), bx0/bx1/by0/by1 the binning bbox (near-crossing edges
+    contribute their eps-plane intersections, so crossers honestly span
+    to the screen border they bleed toward), and valid.
+
+    Ref semantics preserved: back-face cull = negative signed screen area
+    (det and area share sign for all-front tris: area2 = det * prod(1/w)),
+    near/far 0.05/100 via the z-range test, degenerate-area cull."""
+    A3, T = attrs_t.shape
+    A = A3 // 3
+    m = mvp
+    vs = {}
+    for i, s in enumerate("abc"):
+        px, py, pz = pos9[3 * i], pos9[3 * i + 1], pos9[3 * i + 2]
+        xc = m[0, 0] * px + m[0, 1] * py + m[0, 2] * pz + m[0, 3]
+        yc = m[1, 0] * px + m[1, 1] * py + m[1, 2] * pz + m[1, 3]
+        zc = m[2, 0] * px + m[2, 1] * py + m[2, 2] * pz + m[2, 3]
+        wc = m[3, 0] * px + m[3, 1] * py + m[3, 2] * pz + m[3, 3]
+        # viewport fold: sx = x'/w, sy = y'/w, sz = z''/w
+        vs[f"x{s}"] = (xc + wc) * (0.5 * cols)
+        vs[f"y{s}"] = (wc - yc) * (0.5 * rows)
+        vs[f"z{s}"] = (zc + wc) * 0.5
+        vs[f"w{s}"] = wc
+
+    def cross3(s1, s2):
+        x1, y1, w1 = vs[f"x{s1}"], vs[f"y{s1}"], vs[f"w{s1}"]
+        x2, y2, w2 = vs[f"x{s2}"], vs[f"y{s2}"], vs[f"w{s2}"]
+        return (y1 * w2 - w1 * y2, w1 * x2 - x1 * w2, x1 * y2 - y1 * x2)
+
+    e0 = cross3("b", "c")
+    e1 = cross3("c", "a")
+    e2 = cross3("a", "b")
+    det = vs["xa"] * e0[0] + vs["ya"] * e0[1] + vs["wa"] * e0[2]
+    det_safe = jnp.where(jnp.abs(det) < 1e-30, -1e-30, det)
+    ninv = 1.0 / det_safe          # negative for front faces
+    inv = -ninv                    # positive scale: keeps inside <=> <= 0
+
+    ch = {}
+    for k, e in enumerate((e0, e1, e2)):
+        ch[f"e{k}a"], ch[f"e{k}b"], ch[f"e{k}c"] = (
+            e[0] * inv, e[1] * inv, e[2] * inv)
+    for nm, j in (("zx", 0), ("zy", 1), ("zc", 2)):
+        ch[nm] = (vs["za"] * e0[j] + vs["zb"] * e1[j]
+                  + vs["zc"] * e2[j]) * ninv
+    for jj in range(A):
+        aa, ab, ac = attrs_t[jj], attrs_t[A + jj], attrs_t[2 * A + jj]
+        for c_i, sfx in enumerate("abc"):
+            ch[f"p{jj}{sfx}"] = (aa * e0[c_i] + ab * e1[c_i]
+                                 + ac * e2[c_i]) * ninv
+    for c_i, sfx in enumerate("abc"):
+        ch[f"dn{sfx}"] = (e0[c_i] + e1[c_i] + e2[c_i]) * ninv
+
+    # ---- binning bbox over projectable candidates --------------------
+    big = jnp.float32(1e9)
+    x0 = jnp.full((T,), big)
+    x1 = jnp.full((T,), -big)
+    y0 = jnp.full((T,), big)
+    y1 = jnp.full((T,), -big)
+
+    def fold(mask, xq, yq, x0, x1, y0, y1):
+        return (jnp.where(mask, jnp.minimum(x0, xq), x0),
+                jnp.where(mask, jnp.maximum(x1, xq), x1),
+                jnp.where(mask, jnp.minimum(y0, yq), y0),
+                jnp.where(mask, jnp.maximum(y1, yq), y1))
+
+    front = {}
+    for s in "abc":
+        w = vs[f"w{s}"]
+        front[s] = w > EPS_W
+        iw = 1.0 / jnp.where(front[s], w, 1.0)
+        x0, x1, y0, y1 = fold(front[s], vs[f"x{s}"] * iw, vs[f"y{s}"] * iw,
+                              x0, x1, y0, y1)
+    inv_eps = 1.0 / EPS_W
+    for s1, s2 in (("a", "b"), ("b", "c"), ("c", "a")):
+        w1, w2 = vs[f"w{s1}"], vs[f"w{s2}"]
+        crossing = front[s1] != front[s2]
+        t = (w1 - EPS_W) / jnp.where(crossing, w1 - w2, 1.0)
+        xq = (vs[f"x{s1}"]
+              + t * (vs[f"x{s2}"] - vs[f"x{s1}"])) * inv_eps
+        yq = (vs[f"y{s1}"]
+              + t * (vs[f"y{s2}"] - vs[f"y{s1}"])) * inv_eps
+        x0, x1, y0, y1 = fold(crossing, xq, yq, x0, x1, y0, y1)
+    ch["bx0"], ch["bx1"], ch["by0"], ch["by1"] = x0, x1, y0, y1
+
+    # ---- validity ----------------------------------------------------
+    all_front = front["a"] & front["b"] & front["c"]
+    iw3 = tuple(1.0 / jnp.where(front[s], vs[f"w{s}"], 1.0) for s in "abc")
+    a2h = det * iw3[0] * iw3[1] * iw3[2]
+    sz = tuple(vs[f"z{s}"] * iw3[i] for i, s in enumerate("abc"))
+    szmin = jnp.minimum(jnp.minimum(sz[0], sz[1]), sz[2])
+    szmax = jnp.maximum(jnp.maximum(sz[0], sz[1]), sz[2])
+    valid_front = ((a2h < 0.0) & (jnp.abs(a2h) > 1e-12)
+                   & (szmax >= 0.0) & (szmin <= 1.0))
+    valid_cross = det < -1e-20
+    ch["valid"] = jnp.where(all_front, valid_front, valid_cross)
+    return ch
+
+
+_COMPACT_KEYS_2DH = tuple(
+    [f"e{k}{s}" for k in range(3) for s in "abc"]
+    + ["zx", "zy", "zc"] + ["bx0", "bx1", "by0", "by1"])
+
+
+def _plane_keys_2dh(n_attrs: int):
+    return tuple([f"p{j}{s}" for j in range(n_attrs) for s in "abc"]
+                 + ["dna", "dnb", "dnc"])
+
+
+def _entry_planes_src_2dh(cch) -> jnp.ndarray:
+    """Kernel entry planes straight from the compacted 2DH channels
+    (already global-pixel-coordinate planes; same layout contract as
+    _entry_planes_src)."""
+    zero = jnp.zeros_like(cch["e0a"])
+    src = jnp.stack([
+        cch["e0a"], cch["e0b"], cch["e0c"],
+        cch["e1a"], cch["e1b"], cch["e1c"],
+        cch["e2a"], cch["e2b"], cch["e2c"],
+        cch["zx"], cch["zy"], cch["zc"],
+        zero, zero, zero, zero,
+    ], axis=-1)
+    dump = jnp.zeros((1, 16), jnp.float32).at[0, 2].set(1.0).at[0, 11].set(2.0)
+    return jnp.concatenate([src, dump], axis=0)
+
+
+def _subtile_pair_keys_bbox(cch, rows: int, cols: int, *, big_cap: int):
+    """_subtile_pair_keys over precomputed bbox channels (2DH path)."""
+    from ascii_renderer_tpu.ops import raster_subtile as RS
+
+    xmin, xmax = cch["bx0"], cch["bx1"]
+    ymin, ymax = cch["by0"], cch["by1"]
+    valid = cch["valid"]
+    T = xmin.shape[0]
+    assert T < RS.MAX_TRI, f"subtile sort key supports < {RS.MAX_TRI} tris"
+    tiles_y = -(-rows // TILE_H)
+    tiles_x = -(-cols // TILE_W)
+    n_tiles = tiles_y * tiles_x
+    sx_n = tiles_x * RS.N_SUB
+    n_bins = n_tiles * RS.N_SUB
+
+    sc0 = jnp.floor(xmin / RS.SUB_W).astype(jnp.int32)
+    sc1 = jnp.floor(xmax / RS.SUB_W).astype(jnp.int32)
+    ty0 = jnp.floor(ymin / TILE_H).astype(jnp.int32)
+    ty1 = jnp.floor(ymax / TILE_H).astype(jnp.int32)
+    # clamp BEFORE the span test so borderless-huge bboxes (near-plane
+    # crossers) classify big but index sanely
+    sc0c = jnp.clip(sc0, 0, sx_n - 1)
+    sc1c = jnp.clip(sc1, 0, sx_n - 1)
+    ty0c = jnp.clip(ty0, 0, tiles_y - 1)
+    ty1c = jnp.clip(ty1, 0, tiles_y - 1)
+    onscreen = (xmax > 0) & (xmin < cols) & (ymax > 0) & (ymin < rows)
+    fits = ((sc1 - sc0) < 2) & ((ty1 - ty0) < 2)
+    small = valid & onscreen & fits
+    bigt = valid & onscreen & jnp.logical_not(fits)
+
+    tri_ids = jnp.arange(T, dtype=jnp.int32)
+    key_parts = []
+    for k in range(4):
+        ty = ty0 + (k // 2)
+        sc = sc0 + (k % 2)
+        ok = (small & (ty >= 0) & (ty < tiles_y) & (sc >= 0) & (sc < sx_n)
+              & (ty <= ty1) & (sc <= sc1))
+        bins = jnp.where(ok, ty * sx_n + sc, n_bins)
+        key_parts.append((bins << RS.SUB_SHIFT) | tri_ids)
+
+    big_cap = min(big_cap, T)
+    scores, idxs = jax.lax.top_k(bigt.astype(jnp.int32), big_cap)
+    big_idx = jnp.where(scores > 0, idxs, T)
+
+    def padi(c, fill):
+        return jnp.concatenate([c, jnp.asarray([fill], c.dtype)])[big_idx]
+
+    bsc0 = padi(sc0c, 1)
+    bsc1 = padi(sc1c, 0)
+    bty0 = padi(ty0c, 1)
+    bty1 = padi(ty1c, 0)
+    bins_g = jnp.arange(n_bins, dtype=jnp.int32)
+    g_ty = bins_g // sx_n
+    g_sc = bins_g % sx_n
+    overlap = ((g_sc[None, :] >= bsc0[:, None])
+               & (g_sc[None, :] <= bsc1[:, None])
+               & (g_ty[None, :] >= bty0[:, None])
+               & (g_ty[None, :] <= bty1[:, None])
+               & (big_idx < T)[:, None])
+    bins_big = jnp.where(overlap, bins_g[None, :], n_bins)
+    tri_big = jnp.minimum(
+        jnp.broadcast_to(big_idx[:, None], (big_cap, n_bins)), T - 1
+    ).astype(jnp.int32)
+    key_parts.append(((bins_big << RS.SUB_SHIFT) | tri_big).reshape(-1))
+    return jax.lax.sort(jnp.concatenate(key_parts))
+
+
+def count_big_small_bbox(cch, rows: int, cols: int):
+    """Big/small classification counts from 2DH bbox channels (matches
+    _subtile_pair_keys_bbox's rules; XLA CSEs the shared math)."""
+    from ascii_renderer_tpu.ops import raster_subtile as RS
+
+    xmin, xmax = cch["bx0"], cch["bx1"]
+    ymin, ymax = cch["by0"], cch["by1"]
+    sc0 = jnp.floor(xmin / RS.SUB_W).astype(jnp.int32)
+    sc1 = jnp.floor(xmax / RS.SUB_W).astype(jnp.int32)
+    ty0 = jnp.floor(ymin / TILE_H).astype(jnp.int32)
+    ty1 = jnp.floor(ymax / TILE_H).astype(jnp.int32)
+    onscreen = (xmax > 0) & (xmin < cols) & (ymax > 0) & (ymin < rows)
+    fits = ((sc1 - sc0) < 2) & ((ty1 - ty0) < 2)
+    small = cch["valid"] & onscreen & fits
+    bigt = cch["valid"] & onscreen & jnp.logical_not(fits)
+    return small.sum().astype(jnp.int32), bigt.sum().astype(jnp.int32)
+
+
 def channels_to_setup(ch):
     """Adapter: channel dict -> the [T,3,...] setup dict the scan/oracle
     paths consume (materializes the small-lane layout; test use only)."""
@@ -424,7 +660,7 @@ _COMPACT_KEYS = ("sxa", "sxb", "sxc", "sya", "syb", "syc",
                  "sza", "szb", "szc", "iwa", "iwb", "iwc", "area2")
 
 
-def compact_valid_ch(ch, v_cap: int):
+def compact_valid_ch(ch, v_cap: int, keys: tuple = None):
     """Order-preserving compaction of the valid clipped triangles.
 
     The clip expansion + culling leaves ~70% of the [2T] channel slots dead
@@ -442,6 +678,7 @@ def compact_valid_ch(ch, v_cap: int):
     (see `render_soup_diag` / `suggest_caps`) and re-render with a larger
     cap; compaction preserves ascending original order, so winner selection
     and depth-tie behavior are bit-identical to the uncompacted path."""
+    keys = keys or _COMPACT_KEYS
     valid = ch["valid"]
     n2t = valid.shape[0]
     assert v_cap <= MAX_V_CAP, f"v_cap {v_cap} exceeds {MAX_V_CAP}"
@@ -449,17 +686,43 @@ def compact_valid_ch(ch, v_cap: int):
     ids = jnp.arange(n2t, dtype=jnp.int32)
     key = jnp.where(valid, ids, n2t + ids)  # invalid sort after all valid
     skey = jax.lax.sort(key)
+    if v_cap > n2t:  # [T]-domain callers may pass caps sized for [2T]
+        skey = jnp.concatenate(
+            [skey, jnp.full((v_cap - n2t,), n2t, jnp.int32)])
     cidx = jnp.where(skey[:v_cap] < n2t, skey[:v_cap], n2t)
-    packed = jnp.stack([ch[k] for k in _COMPACT_KEYS], axis=-1)  # [2T, 13]
+    packed = jnp.stack([ch[k] for k in keys], axis=-1)  # [N, C]
     packed = jnp.concatenate(
-        [packed, jnp.zeros((1, len(_COMPACT_KEYS)), jnp.float32)], axis=0)
+        [packed, jnp.zeros((1, len(keys)), jnp.float32)], axis=0)
     g = packed[cidx].T  # one wide row gather, then channel-major unpack
-    cch = {k: g[i] for i, k in enumerate(_COMPACT_KEYS)}
+    cch = {k: g[i] for i, k in enumerate(keys)}
     cch["valid"] = cidx < n2t
     return cch, cidx, n_valid
 
 
-def clip_attrs_compact_lists(attrs: jnp.ndarray, ch, cidx: jnp.ndarray):
+def soup_static_prep(positions, normals, colors, scene: SceneData):
+    """Static per-scene device tables for the compacted raster pipeline:
+    (pos9 f32 [9, T], attr32 f32 [T, 32], attrs_t f32 [3A, T]). attr32
+    rows hold the 3A per-vertex attributes (A = 6 without point lights,
+    9 with; see render_soup_diag) zero-padded to 32 columns — hoisting
+    the attrs concat + reshape out of the frame loop and giving the
+    per-frame attribute gather a pathology-free row width. attrs_t is the
+    channel-major form the 2DH setup consumes (row i*A+j = attribute j of
+    vertex slot i)."""
+    if scene.pt_pos.shape[0] == 0:
+        attrs = jnp.concatenate([jnp.asarray(normals),
+                                 jnp.asarray(colors)], axis=1)
+    else:
+        attrs = jnp.concatenate([jnp.asarray(normals), jnp.asarray(colors),
+                                 jnp.asarray(positions)], axis=1)
+    V, A = attrs.shape
+    a27 = attrs.reshape(V // 3, 3 * A)
+    attr32 = jnp.concatenate(
+        [a27, jnp.zeros((V // 3, 32 - 3 * A), jnp.float32)], axis=1)
+    return positions_to_pos9(positions), attr32, a27.T
+
+
+def clip_attrs_compact_lists(attrs: jnp.ndarray, ch, cidx: jnp.ndarray,
+                             attr32: jnp.ndarray | None = None):
     """clip_attrs_channel_lists, evaluated only at the compacted slots.
 
     attrs f32 [V=3T, A]; ch carries the per-source-triangle lerp records
@@ -469,7 +732,9 @@ def clip_attrs_compact_lists(attrs: jnp.ndarray, ch, cidx: jnp.ndarray):
     V, A = attrs.shape
     T = V // 3
     n2t = 2 * T
-    attr27 = attrs.reshape(T, 3 * A)  # row-major: v0 | v1 | v2 — a free view
+    # row-major: v0 | v1 | v2 — a free view (or the static pre-padded
+    # width-32 table from soup_static_prep when available)
+    attr27 = attrs.reshape(T, 3 * A) if attr32 is None else attr32
     info = jnp.stack([
         ch["rot"].astype(jnp.float32), ch["t_ab"], ch["t_ac"], ch["t_bc"],
         (ch["n_in"] == 1).astype(jnp.float32),
@@ -477,7 +742,7 @@ def clip_attrs_compact_lists(attrs: jnp.ndarray, ch, cidx: jnp.ndarray):
     ], axis=-1)  # [T, 6]
     src_tri = jnp.where(cidx < n2t, cidx % T, 0)
     is2 = cidx >= T  # dump slots land here too; their values are never read
-    ai = attr27[src_tri].T   # [27, v_cap]
+    ai = attr27[src_tri].T   # [27 or 32, v_cap]
     fo = info[src_tri].T     # [6, v_cap]
     rot, ta, tc, tb = fo[0], fo[1], fo[2], fo[3]
     one_in = fo[4] > 0.5
@@ -1138,7 +1403,8 @@ def visibility_subtile(cch, rows: int, cols: int, *, big_cap: int = 64,
 
 
 def visibility_subtile_tiles(cch, rows: int, cols: int, *, big_cap: int,
-                             r_cap: int, pair_cap: int):
+                             r_cap: int, pair_cap: int,
+                             two_dh: bool = False):
     """Tiled-form twin of visibility_subtile for the tile-compacted shade:
     returns (etile f32 [n_tiles, 8, 128] winning TRIANGLE ids (-1 = bg),
     nonempty bool [n_tiles], n_rows, n_pairs). Emitting tri ids (not pair
@@ -1151,8 +1417,12 @@ def visibility_subtile_tiles(cch, rows: int, cols: int, *, big_cap: int,
     tiles_y = -(-rows // TILE_H)
     tiles_x = -(-cols // TILE_W)
     n_tiles = tiles_y * tiles_x
-    keys = _subtile_pair_keys(cch, rows, cols, big_cap=big_cap)
-    src = _entry_planes_src(cch)
+    if two_dh:
+        keys = _subtile_pair_keys_bbox(cch, rows, cols, big_cap=big_cap)
+        src = _entry_planes_src_2dh(cch)
+    else:
+        keys = _subtile_pair_keys(cch, rows, cols, big_cap=big_cap)
+        src = _entry_planes_src(cch)
     rows128, rowptr, n_rows, n_pairs = RS.build_packed_rows(
         src, keys, tiles_x, n_tiles, r_cap, pair_cap, entry="tri")
     _ztile, etile = RS.tile_eval_packed(rows128, rowptr, tiles_x, n_tiles)
@@ -1289,7 +1559,8 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
                      cam: Camera, rows: int, cols: int, pixel_aspect: float,
                      v_cap: int, big_cap: int = 64, kernel: str = "mm",
                      r_cap: int = 16384, pair_cap: int = 65536,
-                     tile_cap: int | None = None, pos9=None):
+                     tile_cap: int | None = None, pos9=None, attr32=None,
+                     attrs_t=None):
     """Compacted raster pipeline with capacity diagnostics.
 
     Returns (rgb f32 [rows, cols, 3], diag) with i32 device scalars. The
@@ -1306,11 +1577,47 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
     else:
         attrs = jnp.concatenate([normals, colors, positions], axis=1)
     mvp = camera_mvp(cam, rows, cols, pixel_aspect)
+    if kernel == "subtile2":  # 2DH setup: no clip expansion, [T] domain
+        if pos9 is None:
+            pos9 = positions_to_pos9(positions)
+        A = attrs.shape[1]
+        if attrs_t is None:
+            attrs_t = attrs.reshape(-1, 3 * A).T
+        ach = setup_2dh(pos9, attrs_t, mvp, rows, cols)
+        ckeys = _COMPACT_KEYS_2DH + _plane_keys_2dh(A)
+        cch, cidx, n_valid = compact_valid_ch(ach, v_cap, keys=ckeys)
+        tiles_y = -(-rows // TILE_H)
+        tiles_x = -(-cols // TILE_W)
+        if tile_cap is None:
+            tile_cap = tiles_y * tiles_x
+        etile, nonempty, n_rows, n_pairs = visibility_subtile_tiles(
+            cch, rows, cols, big_cap=big_cap, r_cap=r_cap,
+            pair_cap=pair_cap, two_dh=True)
+        pkeys = _plane_keys_2dh(A)
+        if v_cap % 512 == 0:
+            from ascii_renderer_tpu.ops.pack import pack_channels
+            table = pack_channels([cch[k] for k in pkeys])
+        else:
+            table = jnp.stack([cch[k] for k in pkeys], axis=-1)
+            pad = (-table.shape[1]) % 8
+            if pad:
+                table = jnp.concatenate(
+                    [table, jnp.zeros((table.shape[0], pad), jnp.float32)],
+                    axis=-1)
+        table = jnp.concatenate(
+            [table, jnp.zeros((1, table.shape[1]), jnp.float32)], axis=0)
+        rgb = shade_tiles_compact(etile, nonempty, table, scene, rows,
+                                  cols, tile_cap=tile_cap, n_attrs=A)
+        _n_small, n_big = count_big_small_bbox(cch, rows, cols)
+        n_tiles_nz = nonempty.sum().astype(jnp.int32)
+        return rgb, {"n_valid": n_valid, "n_big": n_big,
+                     "n_rows": n_rows, "n_pairs": n_pairs,
+                     "n_tiles_nz": n_tiles_nz}
     ch = (transform_clip_channels9(pos9, mvp) if pos9 is not None
           else transform_clip_channels(positions, mvp))
     ch = setup_screen_channels(ch, rows, cols)
     cch, cidx, n_valid = compact_valid_ch(ch, v_cap)
-    attr_slots = clip_attrs_compact_lists(attrs, ch, cidx)
+    attr_slots = clip_attrs_compact_lists(attrs, ch, cidx, attr32=attr32)
     if kernel == "subtile":
         tiles_y = -(-rows // TILE_H)
         tiles_x = -(-cols // TILE_W)
@@ -1377,7 +1684,8 @@ def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
                 chunk: int = 64, method: str = "auto",
                 v_cap: int | None = None, big_cap: int = 64,
                 r_cap: int = 16384, pair_cap: int = 65536,
-                tile_cap: int | None = None, pos9=None) -> jnp.ndarray:
+                tile_cap: int | None = None, pos9=None,
+                attrs_t=None) -> jnp.ndarray:
     """Triangle soup -> shaded RGB f32 [rows, cols, 3].
 
     method: 'scatter' (binned Pallas bin-walk, fast for many small tris),
@@ -1392,14 +1700,15 @@ def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
         # fused-shading 232 ms (eager per-entry attribute interpolation
         # outweighs the deferred gathers) — keep the visibility buffer
         method = "scatter" if positions.shape[0] // 3 * 2 > 512 else "scan"
-    if (method in ("scatter", "scatter_mm", "scatter_loop", "subtile")
-            and v_cap is not None):
-        kern = {"scatter_loop": "loop", "subtile": "subtile"}.get(method,
-                                                                  "mm")
+    if (method in ("scatter", "scatter_mm", "scatter_loop", "subtile",
+                   "subtile2") and v_cap is not None):
+        kern = {"scatter_loop": "loop", "subtile": "subtile",
+                "subtile2": "subtile2"}.get(method, "mm")
         rgb, _diag = render_soup_diag(
             positions, normals, colors, scene, cam, rows, cols, pixel_aspect,
             v_cap=v_cap, big_cap=big_cap, kernel=kern, r_cap=r_cap,
-            pair_cap=pair_cap, tile_cap=tile_cap, pos9=pos9)
+            pair_cap=pair_cap, tile_cap=tile_cap, pos9=pos9,
+            attrs_t=attrs_t)
         return rgb
     if method == "fused":
         ch = transform_clip_channels(positions, mvp)
@@ -1448,6 +1757,7 @@ class RasterBackend:
         self._scene: SceneData | None = None
         self._soup = None
         self._pos9 = None
+        self._attrs_t = None
         self._fns = {}
         self._caps = None  # (v_cap, big_cap) once sized
 
@@ -1455,7 +1765,8 @@ class RasterBackend:
         self._scene = scene
         p, n, c = tessellate_scene(scene)
         self._soup = (jnp.asarray(p), jnp.asarray(n), jnp.asarray(c))
-        self._pos9 = positions_to_pos9(self._soup[0])
+        self._pos9, _a32, self._attrs_t = soup_static_prep(
+            *self._soup, scene)
         self._fns = {}
         self._caps = None
 
@@ -1464,7 +1775,8 @@ class RasterBackend:
         self._scene = scene
         self._soup = (jnp.asarray(positions), jnp.asarray(normals),
                       jnp.asarray(colors))
-        self._pos9 = positions_to_pos9(self._soup[0])
+        self._pos9, _a32, self._attrs_t = soup_static_prep(
+            *self._soup, scene)
         self._fns = {}
         self._caps = None
 
@@ -1484,7 +1796,7 @@ class RasterBackend:
             else:
                 fn = jax.jit(functools.partial(
                     render_soup_diag, rows=rows, cols=cols,
-                    pixel_aspect=pixel_aspect, kernel="subtile",
+                    pixel_aspect=pixel_aspect, kernel="subtile2",
                     v_cap=caps[0], big_cap=caps[1], r_cap=caps[2],
                     pair_cap=caps[3], tile_cap=caps[4]))
             self._fns[key] = fn
@@ -1516,7 +1828,8 @@ class RasterBackend:
                               n_tiles)
         for _ in range(4):  # overflow retries (caps grow geometrically)
             rgb, diag = self._fn(rows, cols, pixel_aspect, caps)(
-                *self._soup, self._scene, camera, pos9=self._pos9)
+                *self._soup, self._scene, camera, pos9=self._pos9,
+                attrs_t=self._attrs_t)
             counts = tuple(int(diag[k]) for k in
                            ("n_valid", "n_big", "n_rows", "n_pairs",
                             "n_tiles_nz"))
@@ -1527,6 +1840,6 @@ class RasterBackend:
         return Frame.from_float(rgb)
 
     def dispose(self):
-        self._scene = self._soup = self._pos9 = None
+        self._scene = self._soup = self._pos9 = self._attrs_t = None
         self._fns = {}
         self._caps = None

@@ -60,7 +60,7 @@ class FrameState:
 
 def _render_rgb_a(backend: str, scene: SceneData, cam: Camera, time_s,
                   key, cfg: Config, rows: int, cols: int, soup=None,
-                  raster_caps=None, pos9=None):
+                  raster_caps=None):
     """Dispatch to a backend's pure render function (static choice — swapping
     backends selects a different compiled program, gpu_renderer.js:68-80)."""
     if backend == "raytrace":
@@ -69,16 +69,21 @@ def _render_rgb_a(backend: str, scene: SceneData, cam: Camera, time_s,
         return rgb, None
     if backend == "raster":
         from ascii_renderer_tpu.backends.raster import render_soup
+        # soup is a closed-over constant here, so the static channel-major
+        # prep tables constant-fold at compile time — no per-frame cost
+        from ascii_renderer_tpu.backends.raster import soup_static_prep
+        pos9, _a32, attrs_t = soup_static_prep(*soup, scene)
         if raster_caps and len(raster_caps) == 5:
             rgb = render_soup(soup[0], soup[1], soup[2], scene, cam, rows,
-                              cols, cfg.pixel_aspect, method="subtile",
+                              cols, cfg.pixel_aspect, method="subtile2",
                               v_cap=raster_caps[0], big_cap=raster_caps[1],
                               r_cap=raster_caps[2], pair_cap=raster_caps[3],
-                              tile_cap=raster_caps[4], pos9=pos9)
+                              tile_cap=raster_caps[4], pos9=pos9,
+                              attrs_t=attrs_t)
         elif raster_caps:
             rgb = render_soup(soup[0], soup[1], soup[2], scene, cam, rows,
                               cols, cfg.pixel_aspect, v_cap=raster_caps[0],
-                              big_cap=raster_caps[1])
+                              big_cap=raster_caps[1], pos9=pos9)
         else:
             rgb = render_soup(soup[0], soup[1], soup[2], scene, cam, rows,
                               cols, cfg.pixel_aspect)
@@ -95,17 +100,10 @@ def _render_rgb_a(backend: str, scene: SceneData, cam: Camera, time_s,
     raise ValueError(f"unknown backend {backend!r}")
 
 
-def _soup_pos9(backend: str, soup):
-    """Hoist the static channel-major position transpose out of the frame
-    loop (computed eagerly once at step-build time, baked as a constant)."""
-    if backend == "raster" and soup is not None:
-        from ascii_renderer_tpu.backends.raster import positions_to_pos9
-        return positions_to_pos9(soup[0])
-    return None
 
 
 def _step_body(cfg: Config, backend: str, rows: int, cols: int, soup,
-               raster_caps, pos9, scene: SceneData, state: FrameState,
+               raster_caps, scene: SceneData, state: FrameState,
                inputs: CameraInputs, dt_s, fps):
     """One frame, unjitted: update_camera -> backend render -> UI char
     plane -> alpha-protocol composite -> glyph decision."""
@@ -116,7 +114,7 @@ def _step_body(cfg: Config, backend: str, rows: int, cols: int, soup,
 
     rgb, a = _render_rgb_a(backend, scene, cam, time_ms / 1000.0, key,
                            cfg, rows, cols, soup=soup,
-                           raster_caps=raster_caps, pos9=pos9)
+                           raster_caps=raster_caps)
     frame = Frame.from_float(rgb, a)
 
     ui_chars, ui_mask = ui_mod.ui_char_plane(
@@ -148,9 +146,8 @@ def make_frame_step(cfg: Config, backend: str | None = None,
     backend = backend or cfg.default_backend
     rows = rows or cfg.grid_height
     cols = cols or cfg.grid_width
-    pos9 = _soup_pos9(backend, soup)
     return jax.jit(functools.partial(_step_body, cfg, backend, rows, cols,
-                                     soup, raster_caps, pos9))
+                                     soup, raster_caps))
 
 
 def make_batched_frame_step(cfg: Config, backend: str | None = None,
@@ -171,9 +168,8 @@ def make_batched_frame_step(cfg: Config, backend: str | None = None,
     backend = backend or cfg.default_backend
     rows = rows or cfg.grid_height
     cols = cols or cfg.grid_width
-    pos9 = _soup_pos9(backend, soup)
     body = functools.partial(_step_body, cfg, backend, rows, cols, soup,
-                             raster_caps, pos9)
+                             raster_caps)
 
     def step_n(scene: SceneData, state: FrameState, inputs_seq, dt_seq, fps):
         def scan_body(st, xs):

@@ -60,14 +60,14 @@ def _raster_ascii_fn(cfg, rows, cols, caps=None):
     from ascii_renderer_tpu.core.frame import Frame
     from ascii_renderer_tpu.ascii.ascii_pass import glyph_decide
 
-    def run(p, n, c, scene, cam, pos9=None):
-        if caps and len(caps) == 5:  # subtile pipeline (large scenes)
+    def run(p, n, c, scene, cam, pos9=None, attrs_t=None):
+        if caps and len(caps) == 5:  # 2DH subtile pipeline (large scenes)
             v_cap, big_cap, r_cap, pair_cap, tile_cap = caps
             rgb = render_soup(p, n, c, scene, cam, rows, cols,
-                              cfg.pixel_aspect, method="subtile",
+                              cfg.pixel_aspect, method="subtile2",
                               v_cap=v_cap, big_cap=big_cap, r_cap=r_cap,
                               pair_cap=pair_cap, tile_cap=tile_cap,
-                              pos9=pos9)
+                              pos9=pos9, attrs_t=attrs_t)
         elif caps:  # compacted mm bin-walk (mid scale)
             rgb = render_soup(p, n, c, scene, cam, rows, cols,
                               cfg.pixel_aspect, v_cap=caps[0],
@@ -110,7 +110,7 @@ def _probe_caps(soup, scene, cam, rows, cols, pixel_aspect):
         return caps
     fn = jax.jit(functools.partial(
         R.render_soup_diag, rows=rows, cols=cols, pixel_aspect=pixel_aspect,
-        kernel="subtile", v_cap=n2t, big_cap=64,
+        kernel="subtile2", v_cap=n2t, big_cap=64,
         r_cap=R._round_up(n2t, 2048), pair_cap=4 * n2t))
     _, diag = fn(*soup, scene, cam)
     counts = tuple(int(diag[k]) for k in
@@ -233,12 +233,12 @@ def bench_config3(smoke, batch=0):
                 "mtris_s": tris / dt / 1e6, "p50_ms": dt * 1e3,
                 "batch": batch}
     fn = _raster_ascii_fn(cfg, rows, cols, caps)
-    from ascii_renderer_tpu.backends.raster import positions_to_pos9
-    pos9 = positions_to_pos9(soup[0])  # static per-scene prep, off-loop
+    from ascii_renderer_tpu.backends.raster import soup_static_prep
+    pos9, _a32, attrs_t = soup_static_prep(*soup, scene)  # off-loop prep
     # iters=64: the single end-of-loop host readback (~30 ms tunnel RTT,
     # absent on production hosts) must be amortized well below the device
     # frame time or the figure measures the tunnel
-    dt = _time_fn(fn, (*soup, scene, cam, pos9), warmup=2, iters=64)
+    dt = _time_fn(fn, (*soup, scene, cam, pos9, attrs_t), warmup=2, iters=64)
     tris = soup[0].shape[0] // 3
     return {"fps": 1.0 / dt, "tris": tris, "grid": f"{cols}x{rows}",
             "mtris_s": tris / dt / 1e6, "p50_ms": dt * 1e3}

@@ -278,3 +278,69 @@ def test_render_soup_pos9_matches_positions_path():
     # allow a handful of differing pixels, none large in aggregate
     bad = (np.abs(a - b).max(-1) > 1e-3).sum()
     assert bad <= 5, f"{bad} pixels differ between pos9 and positions paths"
+
+
+def _rand_scene():
+    from ascii_renderer_tpu.scene.builder import SceneBuilder
+    return (SceneBuilder().set_env_light([0.2, 0.2, 0.25], 1.0)
+            .add_dir_light([-0.5, -0.7, -0.6], [1, 1, 1], 0.9).build())
+
+
+def test_subtile2_2dh_matches_scan_oracle():
+    """The 2DH (Olano-Greer homogeneous) subtile pipeline must reproduce
+    the clip-expansion scan oracle pixel-for-pixel (within f32 edge-tie
+    noise) on a dense random soup — including big triangles."""
+    from ascii_renderer_tpu.core.camera import Camera
+    rng = np.random.default_rng(5)
+    scene = _rand_scene()
+    T = 3000
+    pos = rng.uniform(-2, 2, (3 * T, 3)).astype(np.float32)
+    nrm = rng.normal(size=(3 * T, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    col = rng.uniform(0.2, 1.0, (3 * T, 3)).astype(np.float32)
+    cam = Camera.create(pos=(2.5, 1.5, 3.0), yaw=-2.3, pitch=-0.3)
+    args = (jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(col), scene, cam)
+    f_scan = jax.jit(functools.partial(R.render_soup, rows=48, cols=96,
+                                       pixel_aspect=0.5, method="scan"))
+    f_2dh = jax.jit(functools.partial(
+        R.render_soup, rows=48, cols=96, pixel_aspect=0.5,
+        method="subtile2", v_cap=3072, big_cap=2048, r_cap=16384,
+        pair_cap=8 * T + 2048 * 48 * 8))
+    a = np.asarray(f_scan(*args))
+    b = np.asarray(f_2dh(*args))
+    bad = (np.abs(a - b).max(-1) > 2e-3).sum()
+    assert bad <= 6, f"{bad} pixels differ from the scan oracle"
+
+
+def test_subtile2_2dh_near_plane_crossers():
+    """Geometry straddling the near plane (floor + wall under/behind the
+    camera) renders identically to the scan oracle WITHOUT any clip
+    expansion: the kernel's z >= 0 range test is the near clip, and the
+    crossers' binning bboxes come from their eps-plane intersections."""
+    from ascii_renderer_tpu.core.camera import Camera
+    scene = _rand_scene()
+    s = 5.0
+    floor = [(-s, 0, -s), (s, 0, -s), (s, 0, s), (-s, 0, s)]
+    wall = [(-s, 0, -s), (-s, 4, -s), (s, 4, -s), (s, 0, -s)]
+
+    def quad_tris(q):
+        a, b, c, d = q
+        return [a, b, c, a, c, d]
+
+    pos = np.asarray(quad_tris(floor) + quad_tris(wall), np.float32)
+    nrm = np.zeros_like(pos)
+    nrm[:6] = (0, 1, 0)
+    nrm[6:] = (0, 0, 1)
+    col = np.tile(np.asarray([[0.7, 0.6, 0.5]], np.float32), (12, 1))
+    cam = Camera.create(pos=(0.0, 1.0, 2.0), yaw=-1.57, pitch=-0.5)
+    args = (jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(col), scene, cam)
+    f_scan = jax.jit(functools.partial(R.render_soup, rows=48, cols=96,
+                                       pixel_aspect=0.5, method="scan"))
+    f_2dh = jax.jit(functools.partial(
+        R.render_soup, rows=48, cols=96, pixel_aspect=0.5,
+        method="subtile2", v_cap=512, big_cap=16, r_cap=8192,
+        pair_cap=16 * 48 * 8 + 64))
+    a = np.asarray(f_scan(*args))
+    b = np.asarray(f_2dh(*args))
+    bad = (np.abs(a - b).max(-1) > 2e-3).sum()
+    assert bad <= 6, f"{bad} pixels differ (near-plane crossing scene)"

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Prefix-cumulative device timing of the headline raster pipeline.
+"""Prefix-cumulative device timing of the headline raster pipeline (2DH).
 
 Times jitted PREFIXES of the real fused frame program, each reduced to one
 f32 scalar (single host round-trip; see PARITY.md measurement gotchas).
@@ -54,6 +54,7 @@ def main():
     from ascii_renderer_tpu.core.camera import Camera
     from ascii_renderer_tpu.backends import raster as R
     from ascii_renderer_tpu.ops import raster_subtile as RS
+    from ascii_renderer_tpu.ops.pack import pack_channels
     from ascii_renderer_tpu.core.frame import Frame
     from ascii_renderer_tpu.ascii.ascii_pass import glyph_decide
     import functools
@@ -70,19 +71,20 @@ def main():
                         yaw=float(np.arctan2(-cam_pos[2], -cam_pos[0])),
                         pitch=-0.3)
     p, n, c = jnp.asarray(p), jnp.asarray(n), jnp.asarray(c)
-    if scene.pt_pos.shape[0] == 0:
-        attrs_full = jnp.concatenate([n, c], axis=1)
-    else:
-        attrs_full = jnp.concatenate([n, c, p], axis=1)
+    pos9, _a32, attrs_t = R.soup_static_prep(p, n, c, scene)
+    pos9 = jnp.asarray(np.asarray(pos9))
+    attrs_t = jnp.asarray(np.asarray(attrs_t))
+    A = attrs_t.shape[0] // 3
     tiles_y = -(-rows // R.TILE_H)
     tiles_x = -(-cols // R.TILE_W)
     n_tiles = tiles_y * tiles_x
 
-    n2t = p.shape[0] // 3 * 2
+    T = p.shape[0] // 3
     probe = jax.jit(functools.partial(
         R.render_soup_diag, rows=rows, cols=cols,
-        pixel_aspect=cfg.pixel_aspect, kernel="subtile", v_cap=n2t,
-        big_cap=64, r_cap=R._round_up(n2t, 2048), pair_cap=4 * n2t))
+        pixel_aspect=cfg.pixel_aspect, kernel="subtile2",
+        v_cap=-(-T // 4096) * 4096, big_cap=64,
+        r_cap=R._round_up(2 * T, 2048), pair_cap=8 * T, pos9=pos9))
     _, diag = probe(p, n, c, scene, cam)
     counts = tuple(int(diag[k]) for k in
                    ("n_valid", "n_big", "n_rows", "n_pairs", "n_tiles_nz"))
@@ -93,59 +95,51 @@ def main():
     def sm(x):
         return jnp.sum(x.astype(jnp.float32))
 
-    # ---- prefix bodies (mirror render_soup_diag's subtile branch) ----
-    pos9 = np.asarray(R.positions_to_pos9(p))
-    pos9 = jnp.asarray(pos9)
+    ckeys = R._COMPACT_KEYS_2DH + R._plane_keys_2dh(A)
+    pkeys = R._plane_keys_2dh(A)
 
-    def pre_vertex(p, cam):
+    # ---- prefix bodies (mirror render_soup_diag's subtile2 branch) ----
+    def pre_setup(cam):
         mvp = R.camera_mvp(cam, rows, cols, cfg.pixel_aspect)
-        ch = R.transform_clip_channels9(pos9, mvp)
-        return R.setup_screen_channels(ch, rows, cols)
+        return R.setup_2dh(pos9, attrs_t, mvp, rows, cols)
 
-    def pre_compact(p, cam):
-        ch = pre_vertex(p, cam)
-        return ch, R.compact_valid_ch(ch, v_cap)
+    def pre_compact(cam):
+        ach = pre_setup(cam)
+        return R.compact_valid_ch(ach, v_cap, keys=ckeys)
 
-    def pre_attrs(p, cam, attrs):
-        ch, (cch, cidx, n_valid) = pre_compact(p, cam)
-        slots = R.clip_attrs_compact_lists(attrs, ch, cidx)
-        return cch, slots
+    def pre_keys(cam):
+        cch, cidx, n_valid = pre_compact(cam)
+        keys = R._subtile_pair_keys_bbox(cch, rows, cols, big_cap=big_cap)
+        return cch, keys
 
-    def pre_keys(p, cam, attrs):
-        cch, slots = pre_attrs(p, cam, attrs)
-        keys = R._subtile_pair_keys(cch, rows, cols, big_cap=big_cap)
-        return cch, slots, keys
-
-    def pre_rows(p, cam, attrs):
-        cch, slots, keys = pre_keys(p, cam, attrs)
-        src = R._entry_planes_src(cch)
+    def pre_rows(cam):
+        cch, keys = pre_keys(cam)
+        src = R._entry_planes_src_2dh(cch)
         built = RS.build_packed_rows(src, keys, tiles_x, n_tiles, r_cap,
                                      pair_cap, entry="tri")
-        return cch, slots, built
+        return cch, built
 
-    def pre_kernel(p, cam, attrs):
-        cch, slots, (rows128, rowptr, n_rows, n_pairs) = pre_rows(
-            p, cam, attrs)
+    def pre_kernel(cam):
+        cch, (rows128, rowptr, n_rows, n_pairs) = pre_rows(cam)
         z, e = RS.tile_eval_packed(rows128, rowptr, tiles_x, n_tiles)
-        return cch, slots, rowptr, e
+        return cch, rowptr, e
 
-    def pre_table(p, cam, attrs):
-        cch, slots, rowptr, e = pre_kernel(p, cam, attrs)
-        table = R.build_plane_table(cch, slots)
+    def pre_table(cam):
+        cch, rowptr, e = pre_kernel(cam)
+        table = pack_channels([cch[k] for k in pkeys])
         table = jnp.concatenate(
             [table, jnp.zeros((1, table.shape[1]), jnp.float32)], axis=0)
-        return cch, slots, rowptr, e, table
+        return cch, rowptr, e, table
 
-    def pre_shade(p, cam, attrs, scene):
-        cch, slots, rowptr, e, table = pre_table(p, cam, attrs)
+    def pre_shade(cam, scene):
+        cch, rowptr, e, table = pre_table(cam)
         nonempty = rowptr[1:] > rowptr[:-1]
         rgb = R.shade_tiles_compact(e, nonempty, table, scene, rows, cols,
-                                    tile_cap=tile_cap,
-                                    n_attrs=len(slots[0]))
+                                    tile_cap=tile_cap, n_attrs=A)
         return rgb
 
-    def pre_glyph(p, cam, attrs, scene):
-        rgb = pre_shade(p, cam, attrs, scene)
+    def pre_glyph(cam, scene):
+        rgb = pre_shade(cam, scene)
         frame = Frame.from_float(rgb)
         chars, _t = glyph_decide(
             frame, ramp=cfg.ascii_ramp, mode_on=cfg.ascii_mode_filter,
@@ -153,37 +147,28 @@ def main():
             grayscale=cfg.use_grayscale)
         return chars
 
-    wkeys = None  # order weight, defined per-shape below
-
     def red_keys(keys):
         w = jnp.arange(keys.shape[0], dtype=jnp.float32) % 7.0
         return jnp.sum(keys.astype(jnp.float32) * w)
 
     prefixes = [
-        ("vertex+setup ", jax.jit(lambda p, cam: sm(pre_vertex(p, cam)["sxa"])
-                                  + sm(pre_vertex(p, cam)["valid"]))),
-        ("+compact     ", jax.jit(lambda p, cam: sm(
-            pre_compact(p, cam)[1][0]["sxa"]))),
-        ("+attr lists  ", jax.jit(lambda p, cam, a: sum(
-            sm(ch) for s in pre_attrs(p, cam, a)[1] for ch in s))),
-        ("+keys sort   ", jax.jit(lambda p, cam, a: red_keys(
-            pre_keys(p, cam, a)[2]))),
-        ("+packed rows ", jax.jit(lambda p, cam, a: sm(
-            pre_rows(p, cam, a)[2][0]))),
-        ("+kernel      ", jax.jit(lambda p, cam, a: sm(
-            pre_kernel(p, cam, a)[3]))),
-        ("+plane table ", jax.jit(lambda p, cam, a: sm(
-            pre_table(p, cam, a)[4]) + sm(pre_table(p, cam, a)[3]))),
-        ("+shade       ", jax.jit(lambda p, cam, a, s: sm(
-            pre_shade(p, cam, a, s)))),
-        ("+glyph (FULL)", jax.jit(lambda p, cam, a, s: sm(
-            pre_glyph(p, cam, a, s)))),
+        ("2dh setup    ", jax.jit(lambda cam: sm(pre_setup(cam)["e0a"])
+                                  + sm(pre_setup(cam)["valid"]))),
+        ("+compact     ", jax.jit(lambda cam: sm(pre_compact(cam)[0]["e0a"])
+                                  + sm(pre_compact(cam)[0]["p0a"]))),
+        ("+keys sort   ", jax.jit(lambda cam: red_keys(pre_keys(cam)[1]))),
+        ("+packed rows ", jax.jit(lambda cam: sm(pre_rows(cam)[1][0]))),
+        ("+kernel      ", jax.jit(lambda cam: sm(pre_kernel(cam)[2]))),
+        ("+plane table ", jax.jit(lambda cam: sm(pre_table(cam)[3])
+                                  + sm(pre_table(cam)[2]))),
+        ("+shade       ", jax.jit(lambda cam, s: sm(pre_shade(cam, s)))),
+        ("+glyph (FULL)", jax.jit(lambda cam, s: sm(pre_glyph(cam, s)))),
     ]
 
     prev = 0.0
     for name, fn in prefixes:
         nargs = fn.__wrapped__.__code__.co_argcount
-        a = (p, cam, attrs_full, scene)[:nargs]
+        a = (cam, scene)[:nargs]
         dt = _time_scalar(fn, a, warmup=2, iters=args.iters)
         print(f"{name}: {dt*1e3:8.3f} ms   (+{(dt-prev)*1e3:7.3f})")
         prev = dt
