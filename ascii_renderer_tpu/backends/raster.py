@@ -352,30 +352,9 @@ def setup_2dh(pos9: jnp.ndarray, attrs_t: jnp.ndarray, mvp: jnp.ndarray,
     return ch
 
 
-_COMPACT_KEYS_2DH = tuple(
-    [f"e{k}{s}" for k in range(3) for s in "abc"]
-    + ["zx", "zy", "zc"] + ["bx0", "bx1", "by0", "by1"])
-
-
 def _plane_keys_2dh(n_attrs: int):
     return tuple([f"p{j}{s}" for j in range(n_attrs) for s in "abc"]
                  + ["dna", "dnb", "dnc"])
-
-
-def _entry_planes_src_2dh(cch) -> jnp.ndarray:
-    """Kernel entry planes straight from the compacted 2DH channels
-    (already global-pixel-coordinate planes; same layout contract as
-    _entry_planes_src)."""
-    zero = jnp.zeros_like(cch["e0a"])
-    src = jnp.stack([
-        cch["e0a"], cch["e0b"], cch["e0c"],
-        cch["e1a"], cch["e1b"], cch["e1c"],
-        cch["e2a"], cch["e2b"], cch["e2c"],
-        cch["zx"], cch["zy"], cch["zc"],
-        zero, zero, zero, zero,
-    ], axis=-1)
-    dump = jnp.zeros((1, 16), jnp.float32).at[0, 2].set(1.0).at[0, 11].set(2.0)
-    return jnp.concatenate([src, dump], axis=0)
 
 
 def _subtile_pair_keys_bbox(cch, rows: int, cols: int, *, big_cap: int):
@@ -1403,8 +1382,7 @@ def visibility_subtile(cch, rows: int, cols: int, *, big_cap: int = 64,
 
 
 def visibility_subtile_tiles(cch, rows: int, cols: int, *, big_cap: int,
-                             r_cap: int, pair_cap: int,
-                             two_dh: bool = False):
+                             r_cap: int, pair_cap: int):
     """Tiled-form twin of visibility_subtile for the tile-compacted shade:
     returns (etile f32 [n_tiles, 8, 128] winning TRIANGLE ids (-1 = bg),
     nonempty bool [n_tiles], n_rows, n_pairs). Emitting tri ids (not pair
@@ -1417,12 +1395,8 @@ def visibility_subtile_tiles(cch, rows: int, cols: int, *, big_cap: int,
     tiles_y = -(-rows // TILE_H)
     tiles_x = -(-cols // TILE_W)
     n_tiles = tiles_y * tiles_x
-    if two_dh:
-        keys = _subtile_pair_keys_bbox(cch, rows, cols, big_cap=big_cap)
-        src = _entry_planes_src_2dh(cch)
-    else:
-        keys = _subtile_pair_keys(cch, rows, cols, big_cap=big_cap)
-        src = _entry_planes_src(cch)
+    keys = _subtile_pair_keys(cch, rows, cols, big_cap=big_cap)
+    src = _entry_planes_src(cch)
     rows128, rowptr, n_rows, n_pairs = RS.build_packed_rows(
         src, keys, tiles_x, n_tiles, r_cap, pair_cap, entry="tri")
     _ztile, etile = RS.tile_eval_packed(rows128, rowptr, tiles_x, n_tiles)
@@ -1578,37 +1552,48 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
         attrs = jnp.concatenate([normals, colors, positions], axis=1)
     mvp = camera_mvp(cam, rows, cols, pixel_aspect)
     if kernel == "subtile2":  # 2DH setup: no clip expansion, [T] domain
+        # No compaction either: T < 2^18 fits the pair-key id budget
+        # directly, invalid triangles simply emit no pairs, and the sort
+        # order over original ids equals the compacted order (compaction
+        # preserved ascending ids) — so the whole valid-sort + 37-channel
+        # gather stage is deleted. v_cap is accepted but unused here.
+        from ascii_renderer_tpu.ops import raster_subtile as RS
+        from ascii_renderer_tpu.ops.pack import pack_channels
+
         if pos9 is None:
             pos9 = positions_to_pos9(positions)
         A = attrs.shape[1]
         if attrs_t is None:
             attrs_t = attrs.reshape(-1, 3 * A).T
         ach = setup_2dh(pos9, attrs_t, mvp, rows, cols)
-        ckeys = _COMPACT_KEYS_2DH + _plane_keys_2dh(A)
-        cch, cidx, n_valid = compact_valid_ch(ach, v_cap, keys=ckeys)
+        n_valid = jnp.sum(ach["valid"].astype(jnp.int32))
         tiles_y = -(-rows // TILE_H)
         tiles_x = -(-cols // TILE_W)
+        n_tiles = tiles_y * tiles_x
         if tile_cap is None:
-            tile_cap = tiles_y * tiles_x
-        etile, nonempty, n_rows, n_pairs = visibility_subtile_tiles(
-            cch, rows, cols, big_cap=big_cap, r_cap=r_cap,
-            pair_cap=pair_cap, two_dh=True)
-        pkeys = _plane_keys_2dh(A)
-        if v_cap % 512 == 0:
-            from ascii_renderer_tpu.ops.pack import pack_channels
-            table = pack_channels([cch[k] for k in pkeys])
-        else:
-            table = jnp.stack([cch[k] for k in pkeys], axis=-1)
-            pad = (-table.shape[1]) % 8
-            if pad:
-                table = jnp.concatenate(
-                    [table, jnp.zeros((table.shape[0], pad), jnp.float32)],
-                    axis=-1)
-        table = jnp.concatenate(
-            [table, jnp.zeros((1, table.shape[1]), jnp.float32)], axis=0)
+            tile_cap = n_tiles
+        keys = _subtile_pair_keys_bbox(ach, rows, cols, big_cap=big_cap)
+        # ONE row-major pack serves both consumers by slicing: cols 0..11
+        # kernel entry planes (12..15 are don't-care lanes: CH_PAIR is
+        # overwritten per pair and the expand matrix zeroes 13..15), cols
+        # 12..12+3A+2 the shade plane table.
+        src_ch = [ach[k] for k in
+                  ("e0a", "e0b", "e0c", "e1a", "e1b", "e1c",
+                   "e2a", "e2b", "e2c", "zx", "zy", "zc")]
+        plane_ch = [ach[k] for k in _plane_keys_2dh(A)]
+        g40 = pack_channels(src_ch + plane_ch, width=40)
+        rows128, rowptr, n_rows, n_pairs = RS.build_packed_rows(
+            g40[:, :32], keys, tiles_x, n_tiles, r_cap, pair_cap,
+            entry="tri")
+        _ztile, etile = RS.tile_eval_packed(rows128, rowptr, tiles_x,
+                                            n_tiles)
+        nonempty = rowptr[1:] > rowptr[:-1]
+        # bg hits index the last row; _shade_rows selects 0 for non-hits,
+        # so its content is irrelevant (no appended bg row needed)
+        table = g40[:, 12:12 + 3 * A + 3]
         rgb = shade_tiles_compact(etile, nonempty, table, scene, rows,
                                   cols, tile_cap=tile_cap, n_attrs=A)
-        _n_small, n_big = count_big_small_bbox(cch, rows, cols)
+        _n_small, n_big = count_big_small_bbox(ach, rows, cols)
         n_tiles_nz = nonempty.sum().astype(jnp.int32)
         return rgb, {"n_valid": n_valid, "n_big": n_big,
                      "n_rows": n_rows, "n_pairs": n_pairs,

@@ -35,22 +35,28 @@ def _pack_kernel(cm_ref, out_ref):
 
 def pack_channels(channels, width: int | None = None,
                   interpret: bool | None = None) -> jnp.ndarray:
-    """[C] f32 channel arrays (each [N], N % 512 == 0) -> row-major
-    [N, W] with W = width or C rounded up to 8; extra columns zero."""
+    """[C] f32 channel arrays (each [N]) -> row-major [N, W] with
+    W = width or C rounded up to 8; extra columns zero. N is padded to a
+    512 multiple internally (the pad rows are dropped from the output)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     cm = jnp.stack(channels, axis=0)
     c, n = cm.shape
     w = width or -(-c // 8) * 8
-    assert w >= c and n % BLK == 0, (c, w, n)
+    assert w >= c, (c, w)
     if w > c:
         cm = jnp.concatenate([cm, jnp.zeros((w - c, n), jnp.float32)],
                              axis=0)
-    return pl.pallas_call(
+    n_pad = -(-n // BLK) * BLK
+    if n_pad > n:
+        cm = jnp.concatenate([cm, jnp.zeros((w, n_pad - n), jnp.float32)],
+                             axis=1)
+    out = pl.pallas_call(
         _pack_kernel,
-        grid=(n // BLK,),
+        grid=(n_pad // BLK,),
         in_specs=[pl.BlockSpec((w, BLK), lambda i: (0, i))],
         out_specs=pl.BlockSpec((BLK, w), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, w), jnp.float32),
         interpret=interpret,
     )(cm)
+    return out[:n] if n_pad > n else out

@@ -95,45 +95,41 @@ def main():
     def sm(x):
         return jnp.sum(x.astype(jnp.float32))
 
-    ckeys = R._COMPACT_KEYS_2DH + R._plane_keys_2dh(A)
     pkeys = R._plane_keys_2dh(A)
+    src_names = ("e0a", "e0b", "e0c", "e1a", "e1b", "e1c",
+                 "e2a", "e2b", "e2c", "zx", "zy", "zc")
 
     # ---- prefix bodies (mirror render_soup_diag's subtile2 branch) ----
     def pre_setup(cam):
         mvp = R.camera_mvp(cam, rows, cols, cfg.pixel_aspect)
         return R.setup_2dh(pos9, attrs_t, mvp, rows, cols)
 
-    def pre_compact(cam):
-        ach = pre_setup(cam)
-        return R.compact_valid_ch(ach, v_cap, keys=ckeys)
-
     def pre_keys(cam):
-        cch, cidx, n_valid = pre_compact(cam)
-        keys = R._subtile_pair_keys_bbox(cch, rows, cols, big_cap=big_cap)
-        return cch, keys
+        ach = pre_setup(cam)
+        keys = R._subtile_pair_keys_bbox(ach, rows, cols, big_cap=big_cap)
+        return ach, keys
+
+    def pre_pack(cam):
+        ach, keys = pre_keys(cam)
+        g40 = pack_channels([ach[k] for k in src_names]
+                            + [ach[k] for k in pkeys], width=40)
+        return ach, keys, g40
 
     def pre_rows(cam):
-        cch, keys = pre_keys(cam)
-        src = R._entry_planes_src_2dh(cch)
-        built = RS.build_packed_rows(src, keys, tiles_x, n_tiles, r_cap,
-                                     pair_cap, entry="tri")
-        return cch, built
+        ach, keys, g40 = pre_pack(cam)
+        built = RS.build_packed_rows(g40[:, :32], keys, tiles_x, n_tiles,
+                                     r_cap, pair_cap, entry="tri")
+        return g40, built
 
     def pre_kernel(cam):
-        cch, (rows128, rowptr, n_rows, n_pairs) = pre_rows(cam)
+        g40, (rows128, rowptr, n_rows, n_pairs) = pre_rows(cam)
         z, e = RS.tile_eval_packed(rows128, rowptr, tiles_x, n_tiles)
-        return cch, rowptr, e
-
-    def pre_table(cam):
-        cch, rowptr, e = pre_kernel(cam)
-        table = pack_channels([cch[k] for k in pkeys])
-        table = jnp.concatenate(
-            [table, jnp.zeros((1, table.shape[1]), jnp.float32)], axis=0)
-        return cch, rowptr, e, table
+        return g40, rowptr, e
 
     def pre_shade(cam, scene):
-        cch, rowptr, e, table = pre_table(cam)
+        g40, rowptr, e = pre_kernel(cam)
         nonempty = rowptr[1:] > rowptr[:-1]
+        table = g40[:, 12:12 + 3 * A + 3]
         rgb = R.shade_tiles_compact(e, nonempty, table, scene, rows, cols,
                                     tile_cap=tile_cap, n_attrs=A)
         return rgb
@@ -154,13 +150,10 @@ def main():
     prefixes = [
         ("2dh setup    ", jax.jit(lambda cam: sm(pre_setup(cam)["e0a"])
                                   + sm(pre_setup(cam)["valid"]))),
-        ("+compact     ", jax.jit(lambda cam: sm(pre_compact(cam)[0]["e0a"])
-                                  + sm(pre_compact(cam)[0]["p0a"]))),
         ("+keys sort   ", jax.jit(lambda cam: red_keys(pre_keys(cam)[1]))),
+        ("+pack40      ", jax.jit(lambda cam: sm(pre_pack(cam)[2]))),
         ("+packed rows ", jax.jit(lambda cam: sm(pre_rows(cam)[1][0]))),
         ("+kernel      ", jax.jit(lambda cam: sm(pre_kernel(cam)[2]))),
-        ("+plane table ", jax.jit(lambda cam: sm(pre_table(cam)[3])
-                                  + sm(pre_table(cam)[2]))),
         ("+shade       ", jax.jit(lambda cam, s: sm(pre_shade(cam, s)))),
         ("+glyph (FULL)", jax.jit(lambda cam, s: sm(pre_glyph(cam, s)))),
     ]
