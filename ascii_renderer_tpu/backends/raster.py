@@ -1574,23 +1574,27 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
             tile_cap = n_tiles
         keys = _subtile_pair_keys_bbox(ach, rows, cols, big_cap=big_cap)
         # ONE row-major pack serves both consumers by slicing: cols 0..11
-        # kernel entry planes (12..15 are don't-care lanes: CH_PAIR is
-        # overwritten per pair and the expand matrix zeroes 13..15), cols
-        # 12..12+3A+2 the shade plane table.
+        # kernel entry planes, col 12 the triangle id (an iota channel —
+        # baking it here saves build_packed_rows a full [pair_cap, 32]
+        # set-column copy pass), 13..15 don't-care (the expand matrix
+        # zeroes them), cols 16..16+3A+2 the shade plane table.
+        T_ = ach["e0a"].shape[0]
         src_ch = [ach[k] for k in
                   ("e0a", "e0b", "e0c", "e1a", "e1b", "e1c",
                    "e2a", "e2b", "e2c", "zx", "zy", "zc")]
+        ids_ch = [jnp.arange(T_, dtype=jnp.float32), jnp.zeros((T_,)),
+                  jnp.zeros((T_,)), jnp.zeros((T_,))]
         plane_ch = [ach[k] for k in _plane_keys_2dh(A)]
-        g40 = pack_channels(src_ch + plane_ch, width=40)
-        rows128, rowptr, n_rows, n_pairs = RS.build_packed_rows(
-            g40[:, :32], keys, tiles_x, n_tiles, r_cap, pair_cap,
-            entry="tri")
-        _ztile, etile = RS.tile_eval_packed(rows128, rowptr, tiles_x,
-                                            n_tiles)
+        g40 = pack_channels(src_ch + ids_ch + plane_ch, width=40)
+        rows128, rowptr, depth, n_rows, n_pairs = \
+            RS.build_packed_rows_pre_id(g40[:, :32], keys, tiles_x,
+                                        n_tiles, r_cap, pair_cap)
+        _ztile, etile = RS.tile_eval_packed_d(rows128, rowptr, depth,
+                                              tiles_x, n_tiles)
         nonempty = rowptr[1:] > rowptr[:-1]
         # bg hits index the last row; _shade_rows selects 0 for non-hits,
         # so its content is irrelevant (no appended bg row needed)
-        table = g40[:, 12:12 + 3 * A + 3]
+        table = g40[:, 16:16 + 3 * A + 3]
         rgb = shade_tiles_compact(etile, nonempty, table, scene, rows,
                                   cols, tile_cap=tile_cap, n_attrs=A)
         _n_small, n_big = count_big_small_bbox(ach, rows, cols)

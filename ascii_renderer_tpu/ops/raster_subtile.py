@@ -380,6 +380,171 @@ def tile_eval_packed(rows128: jnp.ndarray, rowptr: jnp.ndarray,
     )(rowptr, rows128, expand_matrix())
 
 
+def build_packed_rows_pre_id(src32: jnp.ndarray, pair_key: jnp.ndarray,
+                             tiles_x: int, n_tiles: int, r_cap: int,
+                             pair_cap: int = 1 << 30):
+    """Lean packed-rows build for sources with the entry id PRE-BAKED in
+    channel CH_PAIR (src32 f32 [T, 32], e.g. a pack_channels slice with
+    an iota channel at col 12). Compared to build_packed_rows this skips
+    the [pair_cap, 32] set-column copy, the inert-row concat (consumers
+    must run the kernel's per-bin depth mask: tile_eval_packed_d), and
+    searches bin offsets over the LIVE SORTED PREFIX only (bin_s[:p_eff])
+    — live pairs sort first, so offsets clamp at p_eff exactly when pairs
+    overflow pair_cap, which the exact n_pairs (full-array single query)
+    reports for the caller's retry.
+
+    Returns (rows128 f32 [r_cap, 128], rowptr, depth i32 [n_tiles*8],
+    n_rows, n_pairs). Dead/padding slots hold arbitrary live-pair rows;
+    the depth-masked kernel never selects them."""
+    assert r_cap % CHUNK_RP == 0
+    n_bins = n_tiles * N_SUB
+    bin_s = (pair_key >> SUB_SHIFT).astype(jnp.int32)
+    tri_s = (pair_key & (MAX_TRI - 1)).astype(jnp.int32)
+    P = pair_key.shape[0]
+    p_eff = min(pair_cap, P)
+    offsets = jnp.searchsorted(
+        bin_s[:p_eff], jnp.arange(n_bins + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    n_pairs = jnp.searchsorted(
+        bin_s, jnp.asarray(n_bins, jnp.int32)).astype(jnp.int32)
+    depth = (offsets[1:] - offsets[:-1]).reshape(n_tiles, N_SUB)
+    d_tile = depth.max(axis=1)
+    d_pad = ((d_tile + CHUNK_RP - 1) // CHUNK_RP) * CHUNK_RP
+    rowptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(d_pad).astype(jnp.int32)])
+    n_rows = rowptr[-1]
+
+    src_pair = src32[tri_s[:p_eff]]  # [p_eff, 32]; ids already in place
+
+    from ascii_renderer_tpu.backends.raster import _cumsum_i32
+    r_ids = jnp.arange(r_cap, dtype=jnp.int32)
+    marks = jnp.zeros((r_cap,), jnp.float32).at[rowptr[1:]].add(
+        1.0, mode="drop")
+    t_r = jnp.clip(_cumsum_i32(marks), 0, n_tiles - 1)
+    d_r = r_ids - rowptr[:-1][t_r]
+    off_rows = offsets[:n_bins].reshape(n_tiles, N_SUB)[t_r]  # [r_cap, 8]
+    pidx = jnp.clip((off_rows + d_r[:, None]).reshape(-1), 0, p_eff - 1)
+    g = src_pair[pidx]  # [r_cap*8, 32] one wide flat row gather
+    rows128 = g[:, :N_CHAN].reshape(r_cap, N_SUB * N_CHAN)
+    rowptr_k = jnp.minimum(rowptr, r_cap)
+    return rows128, rowptr_k, depth.reshape(-1), n_rows, n_pairs
+
+
+def _kernel_packed_d(rowptr_ref, depth_ref, data_hbm, m_ref, z_ref, e_ref,
+                     buf, sem, *, tiles_x: int, r_cap: int):
+    """_kernel_packed plus a per-bin depth mask: entry slot d of lane
+    group g is live iff d < depth[tile*8 + g] — dead/padding slots in the
+    aligned layout hold arbitrary pair rows and die here instead of via a
+    prep-side inert fill (saves the prep two full-array copy passes)."""
+    t = pl.program_id(0)
+    r0 = rowptr_ref[t]
+    r1 = rowptr_ref[t + 1]
+    n_chunks = (r1 - r0) // CHUNK_RP
+
+    ty = (t // tiles_x).astype(jnp.float32)
+    tx = (t % tiles_x).astype(jnp.float32)
+    bx = tx * TILE_W
+    vv = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+          .astype(jnp.float32) + ty * TILE_H + 0.5)
+    # depth of each lane's bin, as an [8, 128] i32 pattern (built once)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) // SUB_W
+    dlane = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+    for g in range(N_SUB):
+        dlane = jnp.where(grp == g, depth_ref[t * N_SUB + g], dlane)
+
+    max_start = r_cap - CHUNK_RP
+
+    def copy_in(c, slot):
+        start = jnp.minimum(r0 + c * CHUNK_RP, max_start)
+        return pltpu.make_async_copy(
+            data_hbm.at[pl.ds(start, CHUNK_RP)], buf.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        copy_in(0, 0).start()
+
+    def chunk_body(c, carry):
+        zb, eb = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            copy_in(c + 1, 1 - slot).start()
+
+        copy_in(c, slot).wait()
+
+        y = jax.lax.dot_general(
+            buf[slot], m_ref[...], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        p4 = y[:, 0:4 * TILE_W] + bx * y[:, 4 * TILE_W:8 * TILE_W]
+        d0 = c * CHUNK_RP
+
+        for r in range(CHUNK_RP):
+            def wplane(w):
+                pb = jnp.broadcast_to(
+                    p4[r, w * TILE_W:(w + 1) * TILE_W][None, :],
+                    (TILE_H, TILE_W))
+                bb = jnp.broadcast_to(
+                    y[r, (8 + w) * TILE_W:(9 + w) * TILE_W][None, :],
+                    (TILE_H, TILE_W))
+                return pb + bb * vv
+
+            w0, w1, w2, z = wplane(0), wplane(1), wplane(2), wplane(3)
+            ok = ((w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0)
+                  & (z >= 0.0) & (z <= 1.0) & (d0 + r < dlane))
+            zm = jnp.where(ok, z, jnp.inf)
+            ide = jnp.broadcast_to(
+                y[r, 12 * TILE_W:13 * TILE_W][None, :], (TILE_H, TILE_W))
+            better = zm < zb
+            zb = jnp.where(better, zm, zb)
+            eb = jnp.where(better, ide, eb)
+        return zb, eb
+
+    z0 = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
+    e0 = jnp.full((TILE_H, TILE_W), -1.0, jnp.float32)
+    zb, eb = jax.lax.fori_loop(0, n_chunks, chunk_body, (z0, e0))
+    z_ref[0, ...] = zb
+    e_ref[0, ...] = eb
+
+
+def tile_eval_packed_d(rows128: jnp.ndarray, rowptr: jnp.ndarray,
+                       depth: jnp.ndarray, tiles_x: int, n_tiles: int,
+                       interpret: bool | None = None):
+    """tile_eval_packed with the per-bin depth mask (pairs with
+    build_packed_rows_pre_id). depth i32 [n_tiles*8]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    import functools
+    r_cap = rows128.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((TILE_W, N_EXP * TILE_W), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK_RP, TILE_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_packed_d, tiles_x=tiles_x, r_cap=r_cap),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W),
+                                        jnp.float32)),
+        interpret=interpret,
+    )(rowptr, depth, rows128, expand_matrix())
+
+
 def build_packed_rows(src: jnp.ndarray, pair_key: jnp.ndarray,
                       tiles_x: int, n_tiles: int, r_cap: int,
                       pair_cap: int = 1 << 30, entry: str = "tri"):

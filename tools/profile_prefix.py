@@ -111,25 +111,29 @@ def main():
 
     def pre_pack(cam):
         ach, keys = pre_keys(cam)
-        g40 = pack_channels([ach[k] for k in src_names]
+        T_ = ach["e0a"].shape[0]
+        ids_ch = [jnp.arange(T_, dtype=jnp.float32), jnp.zeros((T_,)),
+                  jnp.zeros((T_,)), jnp.zeros((T_,))]
+        g40 = pack_channels([ach[k] for k in src_names] + ids_ch
                             + [ach[k] for k in pkeys], width=40)
         return ach, keys, g40
 
     def pre_rows(cam):
         ach, keys, g40 = pre_pack(cam)
-        built = RS.build_packed_rows(g40[:, :32], keys, tiles_x, n_tiles,
-                                     r_cap, pair_cap, entry="tri")
+        built = RS.build_packed_rows_pre_id(g40[:, :32], keys, tiles_x,
+                                            n_tiles, r_cap, pair_cap)
         return g40, built
 
     def pre_kernel(cam):
-        g40, (rows128, rowptr, n_rows, n_pairs) = pre_rows(cam)
-        z, e = RS.tile_eval_packed(rows128, rowptr, tiles_x, n_tiles)
+        g40, (rows128, rowptr, depth, n_rows, n_pairs) = pre_rows(cam)
+        z, e = RS.tile_eval_packed_d(rows128, rowptr, depth, tiles_x,
+                                     n_tiles)
         return g40, rowptr, e
 
     def pre_shade(cam, scene):
         g40, rowptr, e = pre_kernel(cam)
         nonempty = rowptr[1:] > rowptr[:-1]
-        table = g40[:, 12:12 + 3 * A + 3]
+        table = g40[:, 16:16 + 3 * A + 3]
         rgb = R.shade_tiles_compact(e, nonempty, table, scene, rows, cols,
                                     tile_cap=tile_cap, n_attrs=A)
         return rgb
