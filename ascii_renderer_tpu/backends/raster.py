@@ -397,30 +397,37 @@ def _subtile_pair_keys_bbox(cch, rows: int, cols: int, *, big_cap: int):
         bins = jnp.where(ok, ty * sx_n + sc, n_bins)
         key_parts.append((bins << RS.SUB_SHIFT) | tri_ids)
 
+    # big_cap == 0 is a static specialization for scenes the probe showed
+    # have no big tris (e.g. the bunny headline): the big key part — 20%
+    # of the sort input — and the overlap matrix vanish from the program.
+    # A big tri appearing later overflows diag n_big and the caller
+    # recompiles with a real cap (the standard retry path).
     big_cap = min(big_cap, T)
-    scores, idxs = jax.lax.top_k(bigt.astype(jnp.int32), big_cap)
-    big_idx = jnp.where(scores > 0, idxs, T)
+    if big_cap > 0:
+        scores, idxs = jax.lax.top_k(bigt.astype(jnp.int32), big_cap)
+        big_idx = jnp.where(scores > 0, idxs, T)
 
-    def padi(c, fill):
-        return jnp.concatenate([c, jnp.asarray([fill], c.dtype)])[big_idx]
+        def padi(c, fill):
+            return jnp.concatenate([c, jnp.asarray([fill], c.dtype)]
+                                   )[big_idx]
 
-    bsc0 = padi(sc0c, 1)
-    bsc1 = padi(sc1c, 0)
-    bty0 = padi(ty0c, 1)
-    bty1 = padi(ty1c, 0)
-    bins_g = jnp.arange(n_bins, dtype=jnp.int32)
-    g_ty = bins_g // sx_n
-    g_sc = bins_g % sx_n
-    overlap = ((g_sc[None, :] >= bsc0[:, None])
-               & (g_sc[None, :] <= bsc1[:, None])
-               & (g_ty[None, :] >= bty0[:, None])
-               & (g_ty[None, :] <= bty1[:, None])
-               & (big_idx < T)[:, None])
-    bins_big = jnp.where(overlap, bins_g[None, :], n_bins)
-    tri_big = jnp.minimum(
-        jnp.broadcast_to(big_idx[:, None], (big_cap, n_bins)), T - 1
-    ).astype(jnp.int32)
-    key_parts.append(((bins_big << RS.SUB_SHIFT) | tri_big).reshape(-1))
+        bsc0 = padi(sc0c, 1)
+        bsc1 = padi(sc1c, 0)
+        bty0 = padi(ty0c, 1)
+        bty1 = padi(ty1c, 0)
+        bins_g = jnp.arange(n_bins, dtype=jnp.int32)
+        g_ty = bins_g // sx_n
+        g_sc = bins_g % sx_n
+        overlap = ((g_sc[None, :] >= bsc0[:, None])
+                   & (g_sc[None, :] <= bsc1[:, None])
+                   & (g_ty[None, :] >= bty0[:, None])
+                   & (g_ty[None, :] <= bty1[:, None])
+                   & (big_idx < T)[:, None])
+        bins_big = jnp.where(overlap, bins_g[None, :], n_bins)
+        tri_big = jnp.minimum(
+            jnp.broadcast_to(big_idx[:, None], (big_cap, n_bins)), T - 1
+        ).astype(jnp.int32)
+        key_parts.append(((bins_big << RS.SUB_SHIFT) | tri_big).reshape(-1))
     return jax.lax.sort(jnp.concatenate(key_parts))
 
 
@@ -1661,8 +1668,12 @@ def suggest_caps_subtile(n_valid: int, n_big: int, n_rows: int,
 
     max_sub_v = RS.MAX_TRI - 4096
     v_cap = min(max_sub_v, _round_up(int(n_valid * 1.15) + 512, 4096))
-    big_cap = max(16, _round_up(int(n_big * 1.5) + 8, 16))
-    r_cap = _round_up(int(n_rows * 1.15) + 256, max(RS.CHUNK_R, 2048))
+    # n_big == 0 -> static big_cap = 0: the big key part drops out of the
+    # compiled program entirely (see _subtile_pair_keys_bbox); the retry
+    # loop re-caps if a big tri ever appears
+    big_cap = 0 if n_big == 0 else max(16, _round_up(int(n_big * 1.5) + 8,
+                                                     16))
+    r_cap = _round_up(int(n_rows * 1.08) + 256, max(RS.CHUNK_R, 1024))
     pair_cap = _round_up(int(n_pairs * 1.15) + 512, 4096)
     tile_cap = _round_up(int(n_tiles_nz * 1.3) + 16, 64)
     return v_cap, big_cap, r_cap, pair_cap, tile_cap
