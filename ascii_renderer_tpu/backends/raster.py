@@ -1675,7 +1675,7 @@ def suggest_caps_subtile(n_valid: int, n_big: int, n_rows: int,
                                                      16))
     r_cap = _round_up(int(n_rows * 1.08) + 256, max(RS.CHUNK_R, 1024))
     pair_cap = _round_up(int(n_pairs * 1.15) + 512, 4096)
-    tile_cap = _round_up(int(n_tiles_nz * 1.3) + 16, 64)
+    tile_cap = _round_up(int(n_tiles_nz * 1.15) + 8, 32)
     return v_cap, big_cap, r_cap, pair_cap, tile_cap
 
 
