@@ -96,5 +96,32 @@ def make_train_step(mesh: Mesh, faces, rows: int, cols: int, *,
     return jax.jit(step)
 
 
+def make_train_steps(mesh: Mesh, faces, rows: int, cols: int, *,
+                     n_steps: int, optimizer=None, pixel_aspect: float = 1.0,
+                     sigma: float = 1e-2, gamma: float = 1e-2,
+                     ramp_len: int = 10):
+    """Multi-step trainer: lax.scan n_steps optimizer steps inside ONE
+    device dispatch (same semantics as calling make_train_step's step
+    n_steps times on fixed cameras/targets — verified by test). At the
+    bench's 36x96 scale a single step is host-dispatch-bound; scanning
+    amortizes that overhead the way any production train loop would.
+
+      steps(state, cameras, targets) -> (state', losses f32 [n_steps])
+    """
+    optimizer = optimizer or optax.adam(1e-2)
+    one = make_train_step(mesh, faces, rows, cols, optimizer=optimizer,
+                          pixel_aspect=pixel_aspect, sigma=sigma,
+                          gamma=gamma, ramp_len=ramp_len)
+
+    def steps(state: TrainState, cameras: Camera, targets):
+        def body(st, _):
+            st2, loss = one(st, cameras, targets)
+            return st2, loss
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    return jax.jit(steps)
+
+
 def make_targets_sharding(mesh: Mesh):
     return NamedSharding(mesh, P("dp", "sp"))

@@ -303,17 +303,20 @@ def bench_config5(smoke):
         jnp.asarray(v), gt, jnp.asarray(f), c, rows, cols))(cams)
     opt = optax.adam(5e-2)
     state = T.init_train_state(v, np.full_like(v, 0.5), opt)
-    step = T.make_train_step(mesh, jnp.asarray(f), rows, cols, optimizer=opt)
+    n_scan = 4 if smoke else 32
+    steps = T.make_train_steps(mesh, jnp.asarray(f), rows, cols,
+                               n_steps=n_scan, optimizer=opt)
 
     def one(state):
-        s, l = step(state, cams, targets)
-        return s, l
+        s, losses = steps(state, cams, targets)
+        return s, losses
 
-    # iters=20: the end-of-loop readback (~30 ms tunnel RTT) would add
-    # ~6 ms to a ~45 ms step at iters=5
-    dt = _time_fn(one, (state,), warmup=2, iters=20)
+    # n_scan optimizer steps per dispatch (lax.scan): a single 36x96 soft
+    # raster step is host-dispatch-bound; this measures the train loop the
+    # way it would actually run
+    dt = _time_fn(one, (state,), warmup=2, iters=8) / n_scan
     return {"steps_per_s": 1.0 / dt, "grid": f"{cols}x{rows}",
-            "devices": dp}
+            "devices": dp, "steps_per_dispatch": n_scan}
 
 
 def main(argv=None):

@@ -45,3 +45,39 @@ def test_orbit_cameras_look_at_center():
         to_c = np.asarray([1.0, 2.0, 3.0]) - pos[i]
         to_c /= np.linalg.norm(to_c)
         np.testing.assert_allclose(look, to_c, atol=1e-5)
+
+
+def test_scanned_train_steps_match_repeated_single_steps():
+    """make_train_steps (N optimizer steps per dispatch via lax.scan) must
+    produce the same trajectory as N single make_train_step calls."""
+    import optax
+    from ascii_renderer_tpu.geom import meshes
+    from ascii_renderer_tpu.parallel import train as T
+    from ascii_renderer_tpu.diff.soft_raster import soft_render
+
+    rows, cols = 16, 32
+    v, f = meshes.uv_sphere(6, 8)
+    mesh = make_mesh((len(jax.devices()), 1), ("dp", "sp"))
+    dp = mesh.shape["dp"]
+    cams = orbit_cameras(dp, center=(0, 0, 0), radius=2.5, height=0.0)
+    gt = jnp.broadcast_to(jnp.asarray([0.9, 0.2, 0.1]), v.shape)
+    targets = jax.vmap(lambda c: soft_render(
+        jnp.asarray(v), gt, jnp.asarray(f), c, rows, cols))(cams)
+    opt = optax.adam(5e-2)
+    fj = jnp.asarray(f)
+
+    s1 = T.init_train_state(v, np.full_like(v, 0.5), opt)
+    step = T.make_train_step(mesh, fj, rows, cols, optimizer=opt)
+    singles = []
+    for _ in range(3):
+        s1, l = step(s1, cams, targets)
+        singles.append(float(l))
+
+    s2 = T.init_train_state(v, np.full_like(v, 0.5), opt)
+    steps3 = T.make_train_steps(mesh, fj, rows, cols, n_steps=3,
+                                optimizer=opt)
+    s2, losses = steps3(s2, cams, targets)
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(singles),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2.verts), np.asarray(s1.verts),
+                               rtol=1e-5, atol=1e-6)
