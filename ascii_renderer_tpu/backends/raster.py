@@ -358,12 +358,20 @@ def _plane_keys_2dh(n_attrs: int):
 
 
 def _subtile_pair_keys_bbox(cch, rows: int, cols: int, *, big_cap: int):
-    """_subtile_pair_keys over precomputed bbox channels (2DH path)."""
+    """Sorted (bin << SUB_SHIFT | tri) pair keys from precomputed bbox
+    channels (2DH path)."""
+    return _pair_keys_core(cch["bx0"], cch["bx1"], cch["by0"], cch["by1"],
+                           cch["valid"], rows, cols, big_cap=big_cap)
+
+
+def _pair_keys_core(xmin, xmax, ymin, ymax, valid, rows: int, cols: int,
+                    *, big_cap: int):
+    """Shared key-emission core: bbox + valid [T] -> sorted pair keys.
+    Small tris (bbox within a 2x2 tile-row x subtile-col window) emit up
+    to 4 candidate keys; big tris one key per overlapped bin via a
+    [big_cap, n_bins] overlap matrix."""
     from ascii_renderer_tpu.ops import raster_subtile as RS
 
-    xmin, xmax = cch["bx0"], cch["bx1"]
-    ymin, ymax = cch["by0"], cch["by1"]
-    valid = cch["valid"]
     T = xmin.shape[0]
     assert T < RS.MAX_TRI, f"subtile sort key supports < {RS.MAX_TRI} tris"
     tiles_y = -(-rows // TILE_H)
@@ -646,7 +654,7 @@ _COMPACT_KEYS = ("sxa", "sxb", "sxc", "sya", "syb", "syc",
                  "sza", "szb", "szc", "iwa", "iwb", "iwc", "area2")
 
 
-def compact_valid_ch(ch, v_cap: int, keys: tuple = None):
+def compact_valid_ch(ch, v_cap: int):
     """Order-preserving compaction of the valid clipped triangles.
 
     The clip expansion + culling leaves ~70% of the [2T] channel slots dead
@@ -664,7 +672,7 @@ def compact_valid_ch(ch, v_cap: int, keys: tuple = None):
     (see `render_soup_diag` / `suggest_caps`) and re-render with a larger
     cap; compaction preserves ascending original order, so winner selection
     and depth-tie behavior are bit-identical to the uncompacted path."""
-    keys = keys or _COMPACT_KEYS
+    keys = _COMPACT_KEYS
     valid = ch["valid"]
     n2t = valid.shape[0]
     assert v_cap <= MAX_V_CAP, f"v_cap {v_cap} exceeds {MAX_V_CAP}"
@@ -686,14 +694,11 @@ def compact_valid_ch(ch, v_cap: int, keys: tuple = None):
 
 
 def soup_static_prep(positions, normals, colors, scene: SceneData):
-    """Static per-scene device tables for the compacted raster pipeline:
-    (pos9 f32 [9, T], attr32 f32 [T, 32], attrs_t f32 [3A, T]). attr32
-    rows hold the 3A per-vertex attributes (A = 6 without point lights,
-    9 with; see render_soup_diag) zero-padded to 32 columns — hoisting
-    the attrs concat + reshape out of the frame loop and giving the
-    per-frame attribute gather a pathology-free row width. attrs_t is the
-    channel-major form the 2DH setup consumes (row i*A+j = attribute j of
-    vertex slot i)."""
+    """Static per-scene device tables for the raster pipeline:
+    (pos9 f32 [9, T], attrs_t f32 [3A, T]) — channel-major positions and
+    per-slot attributes (A = 6 without point lights, 9 with; see
+    render_soup_diag), hoisting the concat/reshape/transpose out of the
+    frame loop for the 2DH setup."""
     if scene.pt_pos.shape[0] == 0:
         attrs = jnp.concatenate([jnp.asarray(normals),
                                  jnp.asarray(colors)], axis=1)
@@ -701,14 +706,10 @@ def soup_static_prep(positions, normals, colors, scene: SceneData):
         attrs = jnp.concatenate([jnp.asarray(normals), jnp.asarray(colors),
                                  jnp.asarray(positions)], axis=1)
     V, A = attrs.shape
-    a27 = attrs.reshape(V // 3, 3 * A)
-    attr32 = jnp.concatenate(
-        [a27, jnp.zeros((V // 3, 32 - 3 * A), jnp.float32)], axis=1)
-    return positions_to_pos9(positions), attr32, a27.T
+    return positions_to_pos9(positions), attrs.reshape(V // 3, 3 * A).T
 
 
-def clip_attrs_compact_lists(attrs: jnp.ndarray, ch, cidx: jnp.ndarray,
-                             attr32: jnp.ndarray | None = None):
+def clip_attrs_compact_lists(attrs: jnp.ndarray, ch, cidx: jnp.ndarray):
     """clip_attrs_channel_lists, evaluated only at the compacted slots.
 
     attrs f32 [V=3T, A]; ch carries the per-source-triangle lerp records
@@ -718,9 +719,7 @@ def clip_attrs_compact_lists(attrs: jnp.ndarray, ch, cidx: jnp.ndarray,
     V, A = attrs.shape
     T = V // 3
     n2t = 2 * T
-    # row-major: v0 | v1 | v2 — a free view (or the static pre-padded
-    # width-32 table from soup_static_prep when available)
-    attr27 = attrs.reshape(T, 3 * A) if attr32 is None else attr32
+    attr27 = attrs.reshape(T, 3 * A)  # row-major: v0 | v1 | v2 — a free view
     info = jnp.stack([
         ch["rot"].astype(jnp.float32), ch["t_ab"], ch["t_ac"], ch["t_bc"],
         (ch["n_in"] == 1).astype(jnp.float32),
@@ -728,7 +727,7 @@ def clip_attrs_compact_lists(attrs: jnp.ndarray, ch, cidx: jnp.ndarray,
     ], axis=-1)  # [T, 6]
     src_tri = jnp.where(cidx < n2t, cidx % T, 0)
     is2 = cidx >= T  # dump slots land here too; their values are never read
-    ai = attr27[src_tri].T   # [27 or 32, v_cap]
+    ai = attr27[src_tri].T   # [27, v_cap]
     fo = info[src_tri].T     # [6, v_cap]
     rot, ta, tc, tb = fo[0], fo[1], fo[2], fo[3]
     one_in = fo[4] > 0.5
@@ -1298,60 +1297,12 @@ def _subtile_pair_keys(cch, rows: int, cols: int, *, big_cap: int):
 
     xa, xb, xc = cch["sxa"], cch["sxb"], cch["sxc"]
     ya, yb, yc = cch["sya"], cch["syb"], cch["syc"]
-    valid = cch["valid"]
-    T = xa.shape[0]
-    assert T < RS.MAX_TRI, f"subtile sort key supports < {RS.MAX_TRI} tris"
-    tiles_y = -(-rows // TILE_H)
-    tiles_x = -(-cols // TILE_W)
-    n_tiles = tiles_y * tiles_x
-    sx_n = tiles_x * RS.N_SUB  # subtile columns across the padded screen
-    n_bins = n_tiles * RS.N_SUB
-
     xmin = jnp.minimum(jnp.minimum(xa, xb), xc)
     xmax = jnp.maximum(jnp.maximum(xa, xb), xc)
     ymin = jnp.minimum(jnp.minimum(ya, yb), yc)
     ymax = jnp.maximum(jnp.maximum(ya, yb), yc)
-    sc0 = jnp.floor(xmin / RS.SUB_W).astype(jnp.int32)
-    sc1 = jnp.floor(xmax / RS.SUB_W).astype(jnp.int32)
-    ty0 = jnp.floor(ymin / TILE_H).astype(jnp.int32)
-    ty1 = jnp.floor(ymax / TILE_H).astype(jnp.int32)
-    onscreen = (xmax > 0) & (xmin < cols) & (ymax > 0) & (ymin < rows)
-    fits = ((sc1 - sc0) < 2) & ((ty1 - ty0) < 2)
-    small = valid & onscreen & fits
-    big = valid & onscreen & jnp.logical_not(fits)
-
-    tri_ids = jnp.arange(T, dtype=jnp.int32)
-    key_parts = []
-    for k in range(4):
-        ty = ty0 + (k // 2)
-        sc = sc0 + (k % 2)
-        ok = (small & (ty >= 0) & (ty < tiles_y) & (sc >= 0) & (sc < sx_n)
-              & (ty <= ty1) & (sc <= sc1))
-        bins = jnp.where(ok, ty * sx_n + sc, n_bins)
-        key_parts.append((bins << RS.SUB_SHIFT) | tri_ids)
-
-    scores, idxs = jax.lax.top_k(big.astype(jnp.int32), big_cap)
-    big_idx = jnp.where(scores > 0, idxs, T)
-
-    def padi(c, fill):
-        return jnp.concatenate([c, jnp.asarray([fill], c.dtype)])[big_idx]
-
-    bsc0 = padi(sc0, 1)
-    bsc1 = padi(sc1, 0)
-    bty0 = padi(ty0, 1)
-    bty1 = padi(ty1, 0)
-    bins_g = jnp.arange(n_bins, dtype=jnp.int32)
-    g_ty = bins_g // sx_n
-    g_sc = bins_g % sx_n
-    overlap = ((g_sc[None, :] >= bsc0[:, None]) & (g_sc[None, :] <= bsc1[:, None])
-               & (g_ty[None, :] >= bty0[:, None]) & (g_ty[None, :] <= bty1[:, None])
-               & (big_idx < T)[:, None])
-    bins_big = jnp.where(overlap, bins_g[None, :], n_bins)
-    tri_big = jnp.minimum(
-        jnp.broadcast_to(big_idx[:, None], (big_cap, n_bins)), T - 1
-    ).astype(jnp.int32)
-    key_parts.append(((bins_big << RS.SUB_SHIFT) | tri_big).reshape(-1))
-    return jax.lax.sort(jnp.concatenate(key_parts))
+    return _pair_keys_core(xmin, xmax, ymin, ymax, cch["valid"], rows, cols,
+                           big_cap=big_cap)
 
 
 def visibility_subtile(cch, rows: int, cols: int, *, big_cap: int = 64,
@@ -1540,7 +1491,7 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
                      cam: Camera, rows: int, cols: int, pixel_aspect: float,
                      v_cap: int, big_cap: int = 64, kernel: str = "mm",
                      r_cap: int = 16384, pair_cap: int = 65536,
-                     tile_cap: int | None = None, pos9=None, attr32=None,
+                     tile_cap: int | None = None, pos9=None,
                      attrs_t=None):
     """Compacted raster pipeline with capacity diagnostics.
 
@@ -1592,7 +1543,9 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
         ids_ch = [jnp.arange(T_, dtype=jnp.float32), jnp.zeros((T_,)),
                   jnp.zeros((T_,)), jnp.zeros((T_,))]
         plane_ch = [ach[k] for k in _plane_keys_2dh(A)]
-        g40 = pack_channels(src_ch + ids_ch + plane_ch, width=40)
+        # width 40 at A=6 (no point lights), 48 at A=9 (world-pos planes)
+        g40 = pack_channels(src_ch + ids_ch + plane_ch,
+                            width=-(-(16 + 3 * A + 3) // 8) * 8)
         rows128, rowptr, depth, n_rows, n_pairs = \
             RS.build_packed_rows_pre_id(g40[:, :32], keys, tiles_x,
                                         n_tiles, r_cap, pair_cap)
@@ -1613,7 +1566,7 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
           else transform_clip_channels(positions, mvp))
     ch = setup_screen_channels(ch, rows, cols)
     cch, cidx, n_valid = compact_valid_ch(ch, v_cap)
-    attr_slots = clip_attrs_compact_lists(attrs, ch, cidx, attr32=attr32)
+    attr_slots = clip_attrs_compact_lists(attrs, ch, cidx)
     if kernel == "subtile":
         tiles_y = -(-rows // TILE_H)
         tiles_x = -(-cols // TILE_W)
@@ -1765,8 +1718,7 @@ class RasterBackend:
         self._scene = scene
         p, n, c = tessellate_scene(scene)
         self._soup = (jnp.asarray(p), jnp.asarray(n), jnp.asarray(c))
-        self._pos9, _a32, self._attrs_t = soup_static_prep(
-            *self._soup, scene)
+        self._pos9, self._attrs_t = soup_static_prep(*self._soup, scene)
         self._fns = {}
         self._caps = None
 
@@ -1775,8 +1727,7 @@ class RasterBackend:
         self._scene = scene
         self._soup = (jnp.asarray(positions), jnp.asarray(normals),
                       jnp.asarray(colors))
-        self._pos9, _a32, self._attrs_t = soup_static_prep(
-            *self._soup, scene)
+        self._pos9, self._attrs_t = soup_static_prep(*self._soup, scene)
         self._fns = {}
         self._caps = None
 
@@ -1821,7 +1772,10 @@ class RasterBackend:
                 if all(c <= cap for c, cap in zip(counts, caps)):
                     break
                 caps = suggest_caps(*counts)
-            self._caps = suggest_caps(*counts)
+            # adopt lean suggested caps after the first (safe-cap) frame,
+            # then hold them while they fit — re-deriving every frame
+            # would recompile across quantum boundaries as counts drift
+            self._caps = caps if self._caps else suggest_caps(*counts)
             return Frame.from_float(rgb)
         n_tiles = (-(-rows // TILE_H)) * (-(-cols // TILE_W))
         caps = self._caps or (n2t, 64, _round_up(n2t, 2048), 4 * n2t,
@@ -1833,10 +1787,16 @@ class RasterBackend:
             counts = tuple(int(diag[k]) for k in
                            ("n_valid", "n_big", "n_rows", "n_pairs",
                             "n_tiles_nz"))
-            if all(c <= cap for c, cap in zip(counts, caps)):
+            # skip v_cap (index 0): the 2DH subtile2 pipeline has no
+            # compaction, so n_valid drifting past it costs nothing —
+            # retrying on it would recompile a byte-identical program
+            if all(c <= cap for c, cap in zip(counts[1:], caps[1:])):
                 break
             caps = suggest_caps_subtile(*counts)
-        self._caps = suggest_caps_subtile(*counts)
+        # adopt lean suggested caps after the first (safe-cap) frame, then
+        # hold them while they fit — re-deriving every frame would
+        # recompile across quantum boundaries as counts drift
+        self._caps = caps if self._caps else suggest_caps_subtile(*counts)
         return Frame.from_float(rgb)
 
     def dispose(self):

@@ -72,7 +72,7 @@ def _render_rgb_a(backend: str, scene: SceneData, cam: Camera, time_s,
         # soup is a closed-over constant here, so the static channel-major
         # prep tables constant-fold at compile time — no per-frame cost
         from ascii_renderer_tpu.backends.raster import soup_static_prep
-        pos9, _a32, attrs_t = soup_static_prep(*soup, scene)
+        pos9, attrs_t = soup_static_prep(*soup, scene)
         if raster_caps and len(raster_caps) == 5:
             rgb = render_soup(soup[0], soup[1], soup[2], scene, cam, rows,
                               cols, cfg.pixel_aspect, method="subtile2",

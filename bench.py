@@ -231,7 +231,7 @@ def bench_config3(smoke, batch=0):
                                    (0.8, 0.78, 0.75), (2.4, 1.4, 2.8), -0.3)
     caps = _probe_caps(soup, scene, cam, rows, cols, cfg.pixel_aspect)
     tris = soup[0].shape[0] // 3
-    pos9, _a32, attrs_t = R.soup_static_prep(*soup, scene)  # off-loop prep
+    pos9, attrs_t = R.soup_static_prep(*soup, scene)  # off-loop prep
 
     # ---- single-dispatch figure ----
     fn1 = _raster_ascii_fn(cfg, rows, cols, caps)

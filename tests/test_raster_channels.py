@@ -344,3 +344,32 @@ def test_subtile2_2dh_near_plane_crossers():
     b = np.asarray(f_2dh(*args))
     bad = (np.abs(a - b).max(-1) > 2e-3).sum()
     assert bad <= 6, f"{bad} pixels differ (near-plane crossing scene)"
+
+
+def test_subtile2_2dh_point_light_scene():
+    """Scenes with point lights carry A=9 attributes (world-pos planes);
+    the 2DH pack must widen to 48 channels and match the scan oracle
+    (regression: width-40 pack asserted on A=9)."""
+    from ascii_renderer_tpu.scene.builder import SceneBuilder
+    from ascii_renderer_tpu.core.camera import Camera
+    rng = np.random.default_rng(9)
+    scene = (SceneBuilder().set_env_light([0.15, 0.15, 0.2], 1.0)
+             .add_point_light([1.0, 2.0, 1.0], [1.0, 0.9, 0.8], 1.0)
+             .build())
+    T = 2000
+    pos = rng.uniform(-2, 2, (3 * T, 3)).astype(np.float32)
+    nrm = rng.normal(size=(3 * T, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    col = rng.uniform(0.2, 1.0, (3 * T, 3)).astype(np.float32)
+    cam = Camera.create(pos=(2.5, 1.5, 3.0), yaw=-2.3, pitch=-0.3)
+    args = (jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(col), scene, cam)
+    f_scan = jax.jit(functools.partial(R.render_soup, rows=48, cols=96,
+                                       pixel_aspect=0.5, method="scan"))
+    f_2dh = jax.jit(functools.partial(
+        R.render_soup, rows=48, cols=96, pixel_aspect=0.5,
+        method="subtile2", v_cap=2048, big_cap=1024, r_cap=16384,
+        pair_cap=8 * T + 1024 * 48 * 8))
+    a = np.asarray(f_scan(*args))
+    b = np.asarray(f_2dh(*args))
+    bad = (np.abs(a - b).max(-1) > 2e-3).sum()
+    assert bad <= 6, f"{bad} pixels differ (point-light A=9 scene)"

@@ -71,7 +71,7 @@ def main():
                         yaw=float(np.arctan2(-cam_pos[2], -cam_pos[0])),
                         pitch=-0.3)
     p, n, c = jnp.asarray(p), jnp.asarray(n), jnp.asarray(c)
-    pos9, _a32, attrs_t = R.soup_static_prep(p, n, c, scene)
+    pos9, attrs_t = R.soup_static_prep(p, n, c, scene)
     pos9 = jnp.asarray(np.asarray(pos9))
     attrs_t = jnp.asarray(np.asarray(attrs_t))
     A = attrs_t.shape[0] // 3
