@@ -150,7 +150,9 @@ def bench_config0(smoke):
 
     sb = create_demo_scene()
     sb.set_atlas(demo_atlas())
-    scene = sb.build()
+    # min_pad=1: exact primitive counts — the brute-force streams pay per
+    # padded entry, and the bench scene is fixed (no recompile concern)
+    scene = sb.build(min_pad=1)
     spp = 8 if smoke else 64
     use_kernel = jax.default_backend() == "tpu"
     fn = jax.jit(functools.partial(
@@ -301,7 +303,7 @@ def bench_config4(smoke):
     cfg = Config(pixel_aspect=0.5)
     views = 32 if smoke else 1024
     rows, cols = (12, 32) if smoke else (36, 96)
-    scene = create_rt_demo_scene().build()
+    scene = create_rt_demo_scene().build(min_pad=1)  # exact prim counts
     mesh = make_mesh((len(jax.devices()),), ("views",))
     cams = orbit_cameras(views, center=(0, 1.0, 1.0), radius=6.0)
 
