@@ -208,7 +208,10 @@ def demo_setup(cfg: Config | None = None, backend: str | None = None,
             sb.set_env_light([0.25, 0.27, 0.3], 1.0)
     else:
         sb = builder
-    scene = sb.build()
+    # exact primitive counts: the demo scene is fixed for the session, and
+    # the tracer streams pay per PADDED entry (~30% fewer entry rows than
+    # the default min_pad=8)
+    scene = sb.build(min_pad=1)
     soup = None
     if backend == "raster":
         from ascii_renderer_tpu.geom.tessellate import tessellate_scene
