@@ -248,7 +248,7 @@ def build_subtile_rows(src: jnp.ndarray, pair_key: jnp.ndarray,
 #   baked into the matmul. One [CHUNK_RP, 128] x [128, 1664] MXU op per
 #   chunk replaces 16x the DMA traffic.
 
-CHUNK_RP = 16       # packed rows per DMA slab: 16 x 128 f32 = 8 KB
+CHUNK_RP = 32      # packed rows per DMA slab: 32 x 128 f32 = 16 KB
 N_EXP = 13          # expanded blocks: 4x P, 4x a, 4x b, id
 
 
