@@ -47,8 +47,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug", action="store_true",
                    help="also dump the raw RGB cell grid stats (the ?debug "
                         "preview analog)")
-    p.add_argument("--mode", choices=["offline", "interactive", "image", "term"],
+    p.add_argument("--mode",
+                   choices=["offline", "interactive", "image", "term",
+                            "pixels"],
                    default="offline")
+    p.add_argument("--progressive", action="store_true",
+                   help="progressive path tracing: accumulate sample "
+                        "batches across frames while the camera is still "
+                        "(the reference's dormant adaptive pipeline, "
+                        "js/render/renderer.js:101-210, revived)")
     p.add_argument("--out", default=None, help="output file (text or png)")
     p.add_argument("--fps", type=float, default=None, help="target fps cap")
     p.add_argument("--scene", default=None,
@@ -162,6 +169,103 @@ def run_offline(args) -> int:
         print(f"[debug] cell grid {rgb.shape} mean={rgb.mean():.1f} "
               f"max={rgb.max()} overrides={int(((np.asarray(frame.a)>=2)&(np.asarray(frame.a)<=254)).sum())}",
               file=sys.stderr)
+    return 0
+
+
+def run_progressive(args) -> int:
+    """Progressive path-traced refinement in the app shell (VERDICT r2:
+    the revived adaptive/accumulation capability, SURVEY §2 row 21, was
+    library-only — the exact 'dead code' failure mode the reference had).
+
+    Accumulates one spp batch per step via ProgressivePathTracer (Welford
+    stats, 95% CI convergence, camera-move reset), stopping when every
+    pixel converged or --frames batches ran. --debug prints per-step
+    converged-pixel percentages (the adaptive mask readout)."""
+    import jax.numpy as jnp
+
+    cfg = config_from_args(args)
+    sb = _builder_from_args(args)
+    if sb is None:
+        from ascii_renderer_tpu.scene.demo import create_demo_scene
+        from ascii_renderer_tpu.atlas.io import demo_atlas
+        sb = create_demo_scene()
+        sb.set_atlas(demo_atlas())
+    scene = sb.build(min_pad=1)
+    from ascii_renderer_tpu.sim.accum import ProgressivePathTracer
+    from ascii_renderer_tpu.core.frame import Frame
+    from ascii_renderer_tpu.ascii.ascii_pass import glyph_decide
+
+    tracer = ProgressivePathTracer(cfg, scene)
+    n_max = args.frames if args.frames > 1 else cfg.adaptive.max_samples
+    display = act = a = None
+    t0 = time.perf_counter()
+    for i in range(n_max):
+        display, a, act = tracer.step(scene.camera)
+        if args.debug:
+            conv = 100.0 * (1.0 - float(np.asarray(act).mean()))
+            print(f"[progressive] batch {i + 1}: {conv:.1f}% converged",
+                  file=sys.stderr)
+        if tracer.done:
+            break
+    dt = time.perf_counter() - t0
+    frame = Frame.from_float(display, a)
+    chars, _tint = glyph_decide(
+        frame, ramp=cfg.ascii_ramp, mode_on=cfg.ascii_mode_filter,
+        mode_radius=cfg.mode_radius, mode_thresh=cfg.ascii_mode_thresh,
+        grayscale=cfg.use_grayscale)
+    text = "\n".join(chars_to_strings(chars))
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+    else:
+        print(text)
+    conv = 100.0 * (1.0 - float(np.asarray(act).mean()))
+    spb = cfg.path_tracer.samples_per_batch
+    print(f"[progressive] {i + 1} batches x {spb} spp in {dt:.2f}s, "
+          f"{conv:.1f}% of pixels converged "
+          f"(tol {cfg.adaptive.max_tolerance:.0%}, "
+          f"cap {cfg.adaptive.max_samples} batches)", file=sys.stderr)
+    return 0
+
+
+def run_pixels(args) -> int:
+    """Frame-rate glyph-BITMAP presentation: the reference draws the
+    full-resolution glyph canvas every frame (js/ascii_pass.js:257-302);
+    this mode drives the same capability in a loop — render -> glyph
+    decision -> on-device pixel expansion -> raw RGB24 frame stream to
+    --out (default frames.rgb), with the rate measured. Dispatch-ahead
+    double buffering keeps the readback off the critical path."""
+    cfg = config_from_args(args)
+    cfg, scene, state, step = demo_setup(cfg,
+                                         builder=_builder_from_args(args))
+    from ascii_renderer_tpu.ascii.ascii_pass import AsciiPass
+
+    p = AsciiPass(cfg)
+    ins = CameraInputs.from_keys(())
+    fps_val = float(cfg.target_fps)
+    out_path = args.out or "frames.rgb"
+    n = max(1, args.frames)
+    pending = None
+    wrote = 0
+    t0 = time.perf_counter()
+    with open(out_path, "wb") as f:
+        for _ in range(n):
+            state, chars, tint, _frame = step(scene, state, ins, 1.0 / 60.0,
+                                              fps_val)
+            px = p._expand(chars, tint, p.atlas)
+            if pending is not None:
+                f.write(np.asarray(pending).tobytes())
+                wrote += 1
+            pending = px
+            fps_val = wrote / max(time.perf_counter() - t0, 1e-6)
+        f.write(np.asarray(pending).tobytes())
+        wrote += 1
+    dt = (time.perf_counter() - t0) / n
+    h, w = int(pending.shape[0]), int(pending.shape[1])
+    nc = int(pending.shape[2])
+    print(f"wrote {wrote} raw frames ({w}x{h} px, {nc} ch) to {out_path} "
+          f"at {1.0 / dt:.1f} FPS (cell grid {cfg.grid_width}x"
+          f"{cfg.grid_height})")
     return 0
 
 
@@ -356,6 +460,10 @@ def main(argv=None) -> int:
         return run_term(args)
     if args.mode == "image":
         return run_image(args)
+    if args.mode == "pixels":
+        return run_pixels(args)
+    if args.progressive:
+        return run_progressive(args)
     return run_offline(args)
 
 

@@ -166,6 +166,26 @@ class AtlasImage:
         return img
 
 
+def demo_atlas_wide(width: int = 32, height: int = 16) -> np.ndarray:
+    """A non-square (32x16 by default) demo atlas — the shape class of the
+    reference's ``atlas3.bin`` (32x16 per js/main.js:226-232 conventions).
+    Checked in as ``assets/atlas_wide_32x16.bin`` so the loader's
+    non-square path has a real fixture end-to-end (original artwork)."""
+    img = AtlasImage(width, height)
+    art = r"""
+ ><(((*>  ~~~
+   ~~  ><(((*>
+""".strip("\n")
+    img.stamp(1, 5, art, rgb=(120, 200, 240))
+    for x in range(width):  # sea floor: solid texels
+        img.set_pixel(x, height - 1, (180, 150, 90))
+        img.set_pixel(x, height - 2, (60, 90, 160))
+    for y in range(0, 3):  # sky band
+        img.set_pixel(0, y, (40, 60, 120))
+        img.set_pixel(width - 1, y, (40, 60, 120))
+    return img.arr
+
+
 def demo_atlas(width: int = 32, height: int = 32) -> np.ndarray:
     """A self-authored 32x32 demo ASCII-art atlas (fills the role of the
     reference's atlas.bin poster texture, original artwork)."""

@@ -1404,6 +1404,28 @@ def shade_tiles_compact(etile, nonempty, ptable, scene: SceneData,
     return img[:rows, :cols]
 
 
+def shade_groups(e, xl, yl, table, scene: SceneData, n_attrs: int):
+    """Deferred shading over grouped kernel output (subtile3 path): every
+    group is nonempty by construction (groups cover only nonempty bins in
+    depth order), so there is no tile compaction step — the group layout
+    IS the compaction. e f32 [grp_cap, 8, 128] winner tri ids (-1 = bg);
+    xl/yl f32 [grp_cap, 128] pixel-origin lanes (see ops/raster_group);
+    table [N, W] per-triangle shade planes. Returns rgb f32
+    [grp_cap, 8, 128, 3]."""
+    grp_cap = e.shape[0]
+    idx = e.reshape(-1).astype(jnp.int32)
+    hit = idx >= 0
+    g = table[jnp.where(hit, idx, 0)]  # non-hit rows are zeroed after
+    px = jnp.broadcast_to(xl[:, None, :],
+                          (grp_cap, TILE_H, TILE_W)).reshape(-1)
+    py = jnp.broadcast_to(
+        yl[:, None, :] + (jnp.arange(TILE_H, dtype=jnp.float32)
+                          + 0.5)[None, :, None],
+        (grp_cap, TILE_H, TILE_W)).reshape(-1)
+    rgb = _shade_rows(g, hit, px, py, scene, n_attrs)
+    return rgb.reshape(grp_cap, TILE_H, TILE_W, 3)
+
+
 def visibility_binned(setup, rows: int, cols: int, slots: int = 256,
                       tile_window: int = 2, big_cap: int = 64,
                       slot_chunk: int = 16):
@@ -1509,6 +1531,46 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
     else:
         attrs = jnp.concatenate([normals, colors, positions], axis=1)
     mvp = camera_mvp(cam, rows, cols, pixel_aspect)
+    if kernel == "subtile3":
+        # Fused-setup + depth-sorted grouped walk (the round-3 headline
+        # path): setup_2dh as ONE Pallas kernel emitting the packed
+        # channel block directly, bins grouped by depth instead of by
+        # tile (ops/raster_group) so aligned-layout slack ~ chunk padding
+        # only, and shading runs on the group layout (= the nonempty
+        # compaction) before one scatter-free bin-gather image assembly.
+        # tile_cap is reinterpreted as BIN capacity (grp_cap = cap // 8).
+        from ascii_renderer_tpu.ops import raster_group as RG
+        from ascii_renderer_tpu.ops.setup2dh import setup_2dh_fused
+        from ascii_renderer_tpu.ops.pack import pack_channels
+
+        if pos9 is None:
+            pos9 = positions_to_pos9(positions)
+        A = attrs.shape[1]
+        if attrs_t is None:
+            attrs_t = attrs.reshape(-1, 3 * A).T
+        tiles_y = -(-rows // TILE_H)
+        tiles_x = -(-cols // TILE_W)
+        n_tiles = tiles_y * tiles_x
+        if tile_cap is None:
+            tile_cap = n_tiles * 8
+        grp_cap = max(1, tile_cap // 8)
+        cm, bbox = setup_2dh_fused(pos9, attrs_t, mvp, rows, cols)
+        n_valid = jnp.sum(bbox["valid"].astype(jnp.int32))
+        keys = _subtile_pair_keys_bbox(bbox, rows, cols, big_cap=big_cap)
+        g40 = pack_channels(cm, width=-(-cm.shape[0] // 8) * 8)
+        (rows128, rowptr, gdepth, xl, yl, gbins, n_rows, n_pairs,
+         n_used) = RG.build_packed_rows_grouped(
+            g40[:, :32], keys, tiles_x, n_tiles, r_cap, pair_cap, grp_cap)
+        _z, e = RG.tile_eval_grouped(rows128, rowptr, gdepth, xl, yl,
+                                     grp_cap)
+        table = g40[:, 16:16 + 3 * A + 3]
+        rgbg = shade_groups(e, xl, yl, table, scene, A)
+        rgb = RG.assemble_group_image(rgbg, gbins, n_tiles, tiles_y,
+                                      tiles_x, rows, cols, 0.0)
+        _n_small, n_big = count_big_small_bbox(bbox, rows, cols)
+        return rgb, {"n_valid": n_valid, "n_big": n_big,
+                     "n_rows": n_rows, "n_pairs": n_pairs,
+                     "n_tiles_nz": n_used}
     if kernel == "subtile2":  # 2DH setup: no clip expansion, [T] domain
         # No compaction either: T < 2^18 fits the pair-key id budget
         # directly, invalid triangles simply emit no pairs, and the sort
@@ -1632,6 +1694,24 @@ def suggest_caps_subtile(n_valid: int, n_big: int, n_rows: int,
     return v_cap, big_cap, r_cap, pair_cap, tile_cap
 
 
+def suggest_caps_grouped(n_valid: int, n_big: int, n_rows: int,
+                         n_pairs: int, n_used: int):
+    """Adaptive capacities for the grouped (subtile3) pipeline:
+    (v_cap, big_cap, r_cap, pair_cap, bin_cap). v_cap is informational
+    only (no compaction); bin_cap (= grp_cap * 8) bounds how many
+    nonempty bins the depth-sorted grouping covers; r_cap stays a
+    CHUNK_RG multiple."""
+    from ascii_renderer_tpu.ops import raster_group as RG
+
+    v_cap = _round_up(int(n_valid) + 1, 4096)
+    big_cap = 0 if n_big == 0 else max(16, _round_up(int(n_big * 1.5) + 8,
+                                                     16))
+    r_cap = _round_up(int(n_rows * 1.15) + 256, max(RG.CHUNK_RG, 1024))
+    pair_cap = _round_up(int(n_pairs * 1.15) + 512, 4096)
+    bin_cap = _round_up(int(n_used * 1.2) + 16, 64)
+    return v_cap, big_cap, r_cap, pair_cap, bin_cap
+
+
 def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
                 rows: int, cols: int, pixel_aspect: float,
                 chunk: int = 64, method: str = "auto",
@@ -1654,9 +1734,10 @@ def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
         # outweighs the deferred gathers) — keep the visibility buffer
         method = "scatter" if positions.shape[0] // 3 * 2 > 512 else "scan"
     if (method in ("scatter", "scatter_mm", "scatter_loop", "subtile",
-                   "subtile2") and v_cap is not None):
+                   "subtile2", "subtile3") and v_cap is not None):
         kern = {"scatter_loop": "loop", "subtile": "subtile",
-                "subtile2": "subtile2"}.get(method, "mm")
+                "subtile2": "subtile2", "subtile3": "subtile3"}.get(
+                    method, "mm")
         rgb, _diag = render_soup_diag(
             positions, normals, colors, scene, cam, rows, cols, pixel_aspect,
             v_cap=v_cap, big_cap=big_cap, kernel=kern, r_cap=r_cap,
@@ -1747,7 +1828,7 @@ class RasterBackend:
             else:
                 fn = jax.jit(functools.partial(
                     render_soup_diag, rows=rows, cols=cols,
-                    pixel_aspect=pixel_aspect, kernel="subtile2",
+                    pixel_aspect=pixel_aspect, kernel="subtile3",
                     v_cap=caps[0], big_cap=caps[1], r_cap=caps[2],
                     pair_cap=caps[3], tile_cap=caps[4]))
             self._fns[key] = fn
@@ -1779,7 +1860,7 @@ class RasterBackend:
             return Frame.from_float(rgb)
         n_tiles = (-(-rows // TILE_H)) * (-(-cols // TILE_W))
         caps = self._caps or (n2t, 64, _round_up(n2t, 2048), 4 * n2t,
-                              n_tiles)
+                              n_tiles * 8)
         for _ in range(4):  # overflow retries (caps grow geometrically)
             rgb, diag = self._fn(rows, cols, pixel_aspect, caps)(
                 *self._soup, self._scene, camera, pos9=self._pos9,
@@ -1787,16 +1868,16 @@ class RasterBackend:
             counts = tuple(int(diag[k]) for k in
                            ("n_valid", "n_big", "n_rows", "n_pairs",
                             "n_tiles_nz"))
-            # skip v_cap (index 0): the 2DH subtile2 pipeline has no
-            # compaction, so n_valid drifting past it costs nothing —
-            # retrying on it would recompile a byte-identical program
+            # skip v_cap (index 0): the 2DH pipelines have no compaction,
+            # so n_valid drifting past it costs nothing — retrying on it
+            # would recompile a byte-identical program
             if all(c <= cap for c, cap in zip(counts[1:], caps[1:])):
                 break
-            caps = suggest_caps_subtile(*counts)
+            caps = suggest_caps_grouped(*counts)
         # adopt lean suggested caps after the first (safe-cap) frame, then
         # hold them while they fit — re-deriving every frame would
         # recompile across quantum boundaries as counts drift
-        self._caps = caps if self._caps else suggest_caps_subtile(*counts)
+        self._caps = caps if self._caps else suggest_caps_grouped(*counts)
         return Frame.from_float(rgb)
 
     def dispose(self):

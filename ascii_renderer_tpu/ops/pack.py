@@ -35,12 +35,14 @@ def _pack_kernel(cm_ref, out_ref):
 
 def pack_channels(channels, width: int | None = None,
                   interpret: bool | None = None) -> jnp.ndarray:
-    """[C] f32 channel arrays (each [N]) -> row-major [N, W] with
-    W = width or C rounded up to 8; extra columns zero. N is padded to a
-    512 multiple internally (the pad rows are dropped from the output)."""
+    """[C] f32 channel arrays (each [N]) — or one pre-stacked [C, N]
+    array — -> row-major [N, W] with W = width or C rounded up to 8;
+    extra columns zero. N is padded to a 512 multiple internally (the pad
+    rows are dropped from the output)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    cm = jnp.stack(channels, axis=0)
+    cm = (channels if isinstance(channels, jnp.ndarray)
+          else jnp.stack(channels, axis=0))
     c, n = cm.shape
     w = width or -(-c // 8) * 8
     assert w >= c, (c, w)

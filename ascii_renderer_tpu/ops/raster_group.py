@@ -1,0 +1,298 @@
+"""Depth-sorted bin-group walk: the successor to the per-tile packed walk.
+
+The packed subtile walk (ops/raster_subtile.py) rides the tile structure:
+each screen tile's 8 subtile bins advance in lockstep, so every tile pays
+rows = max(depth of its 8 bins), and on real meshes the aligned layout
+carries ~2.4x slot slack (bunny headline: 140k slots for 58k pairs).
+
+Here the 8 bins that share a vector op are NOT a tile's subtiles — they
+are ANY 8 nonempty bins of similar depth. All n_tiles*8 bins are sorted
+by depth (descending, stable by bin id so spatial locality survives among
+equals) and grouped 8 at a time; within a group the max/mean depth ratio
+is ~1, so slots ~= pairs + chunk padding. The price is that a lane group's
+pixel window is no longer derivable from the grid index: the kernel takes
+per-group pixel-origin lanes (xl/yl) and the image is assembled from
+per-bin [8, 16] blocks by one scatter at the end (the shade stage was
+already gather/scatter shaped — see backends/raster.shade_groups).
+
+Layout (built by build_packed_rows_grouped, walked by tile_eval_grouped):
+
+  rows128 f32 [r_cap, 128]: row r, lanes 16g..16g+15 hold the channels of
+  the r-th entry of GROUP-slot g's bin (same channel layout as
+  raster_subtile: A0 B0 G0 A1 B1 G1 A2 B2 G2 ZX ZY ZC id - - -).
+  rowptr i32 [grp_cap+1] CHUNK_RP-multiple group row ranges.
+  gdepth i32 [grp_cap*8] true per-bin depths (kernel liveness mask).
+  xl/yl f32 [grp_cap, 128]: lane l of group i covers pixel column
+  xl[i, l] - 0.5 (already includes the +0.5 center) and rows yl[i, l] + s
+  + 0.5, s = sublane; i.e. xl = bin_x0 + (l % 16) + 0.5, yl = bin_y0.
+
+Tie-breaking is bit-identical to the other kernels: bins are sorted by
+triangle id and the depth merge is strict less-than.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ascii_renderer_tpu.ops.raster_subtile import (
+    CH_A, CH_B, CH_G, CH_PAIR, CH_ZC, CH_ZX, CH_ZY, MAX_TRI, N_CHAN, N_SUB,
+    SUB_SHIFT, SUB_W, TILE_H, TILE_W)
+
+CHUNK_RG = 32      # rows per DMA slab (16 KB)
+N_EXP = 13         # expanded blocks: 4x C, 4x A, 4x B, id
+
+
+def expand_matrix_g() -> jnp.ndarray:
+    """Packed->expanded selection matrix for the grouped walk: unlike
+    raster_subtile.expand_matrix, no lane position is baked in (pixel x
+    comes from the xl input), so blocks are pure coefficient broadcasts:
+      k = 0..3   C_w   (w = w0, w1, w2, z)
+      k = 4..7   A_w
+      k = 8..11  B_w
+      k = 12     entry id
+    and the kernel computes w_w = C_w + A_w * xl + B_w * (yl + s + .5)."""
+    import numpy as np
+    m = np.zeros((TILE_W, N_EXP * TILE_W), np.float32)
+    w_src = [(CH_A[0], CH_B[0], CH_G[0]), (CH_A[1], CH_B[1], CH_G[1]),
+             (CH_A[2], CH_B[2], CH_G[2]), (CH_ZX, CH_ZY, CH_ZC)]
+    for l in range(TILE_W):
+        g = l // SUB_W
+        for w, (ca, cb, cc) in enumerate(w_src):
+            m[g * SUB_W + cc, (0 + w) * TILE_W + l] = 1.0
+            m[g * SUB_W + ca, (4 + w) * TILE_W + l] = 1.0
+            m[g * SUB_W + cb, (8 + w) * TILE_W + l] = 1.0
+        m[g * SUB_W + CH_PAIR, 12 * TILE_W + l] = 1.0
+    return jnp.asarray(m)
+
+
+def _kernel_grouped(rowptr_ref, depth_ref, data_hbm, m_ref, xl_ref, yl_ref,
+                    z_ref, e_ref, buf, sem, *, r_cap: int):
+    """Grouped bin walk: double-buffered DMA + MXU lane expansion, with
+    per-bin depth liveness and per-group pixel origins."""
+    t = pl.program_id(0)
+    r0 = rowptr_ref[t]
+    r1 = rowptr_ref[t + 1]
+    n_chunks = (r1 - r0) // CHUNK_RG
+
+    xlv = xl_ref[0]  # [1, 128]
+    ylv = yl_ref[0]
+    xl = jnp.broadcast_to(xlv, (TILE_H, TILE_W))
+    vv = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+          .astype(jnp.float32) + 0.5
+          + jnp.broadcast_to(ylv, (TILE_H, TILE_W)))
+    # x folded chunk-wide over the 4 w-blocks: [1, 512]
+    x4 = jnp.concatenate([xlv] * 4, axis=1)
+    # per-lane bin depth (liveness mask)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) // SUB_W
+    dlane = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+    for g in range(N_SUB):
+        dlane = jnp.where(grp == g, depth_ref[t * N_SUB + g], dlane)
+
+    max_start = r_cap - CHUNK_RG
+
+    def copy_in(c, slot):
+        start = jnp.minimum(r0 + c * CHUNK_RG, max_start)
+        return pltpu.make_async_copy(
+            data_hbm.at[pl.ds(start, CHUNK_RG)], buf.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        copy_in(0, 0).start()
+
+    def chunk_body(c, carry):
+        zb, eb = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            copy_in(c + 1, 1 - slot).start()
+
+        copy_in(c, slot).wait()
+
+        y = jax.lax.dot_general(
+            buf[slot], m_ref[...], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # [CHUNK_RG, 13*128]
+        # fold the per-lane x: P_w = C_w + A_w * xl
+        p4 = y[:, 0:4 * TILE_W] + x4 * y[:, 4 * TILE_W:8 * TILE_W]
+        d0 = c * CHUNK_RG
+
+        for r in range(CHUNK_RG):  # static unroll
+            def wplane(w):
+                pb = jnp.broadcast_to(
+                    p4[r, w * TILE_W:(w + 1) * TILE_W][None, :],
+                    (TILE_H, TILE_W))
+                bb = jnp.broadcast_to(
+                    y[r, (8 + w) * TILE_W:(9 + w) * TILE_W][None, :],
+                    (TILE_H, TILE_W))
+                return pb + bb * vv
+
+            w0, w1, w2, z = wplane(0), wplane(1), wplane(2), wplane(3)
+            ok = ((w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0)
+                  & (z >= 0.0) & (z <= 1.0) & (d0 + r < dlane))
+            zm = jnp.where(ok, z, jnp.inf)
+            ide = jnp.broadcast_to(
+                y[r, 12 * TILE_W:13 * TILE_W][None, :], (TILE_H, TILE_W))
+            better = zm < zb  # strict: earlier (smaller tri id) wins ties
+            zb = jnp.where(better, zm, zb)
+            eb = jnp.where(better, ide, eb)
+        return zb, eb
+
+    z0 = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
+    e0 = jnp.full((TILE_H, TILE_W), -1.0, jnp.float32)
+    zb, eb = jax.lax.fori_loop(0, n_chunks, chunk_body, (z0, e0))
+    z_ref[0, ...] = zb
+    e_ref[0, ...] = eb
+
+
+def tile_eval_grouped(rows128: jnp.ndarray, rowptr: jnp.ndarray,
+                      gdepth: jnp.ndarray, xl: jnp.ndarray, yl: jnp.ndarray,
+                      grp_cap: int, interpret: bool | None = None):
+    """rows128 f32 [r_cap, 128] grouped-packed layout -> (z, entry id) f32
+    [grp_cap, 8, 128] per GROUP (lane group g = bin gbins[i*8+g]);
+    -1 = background. See module docstring for rowptr/gdepth/xl/yl."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    r_cap = rows128.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grp_cap,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((TILE_W, N_EXP * TILE_W), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_W), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_W), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK_RG, TILE_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_grouped, r_cap=r_cap),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((grp_cap, TILE_H, TILE_W),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((grp_cap, TILE_H, TILE_W),
+                                        jnp.float32)),
+        interpret=interpret,
+    )(rowptr, gdepth, rows128, expand_matrix_g(),
+      xl[:, None, :], yl[:, None, :])
+
+
+def build_packed_rows_grouped(src32: jnp.ndarray, pair_key: jnp.ndarray,
+                              tiles_x: int, n_tiles: int, r_cap: int,
+                              pair_cap: int, grp_cap: int):
+    """Sorted pair keys -> depth-sorted grouped row layout.
+
+    src32 f32 [T, 32] with the entry id pre-baked at CH_PAIR (a
+    pack_channels slice, as in build_packed_rows_pre_id). Returns
+    (rows128 [r_cap, 128], rowptr [grp_cap+1], gdepth [grp_cap*8],
+    xl [grp_cap, 128], yl [grp_cap, 128], gbins [grp_cap*8],
+    n_rows, n_pairs, n_used):
+      n_used  = number of nonempty bins; bins beyond grp_cap*8 (in depth
+                order: the SHALLOWEST) are dropped -> caller must retry
+                with a bigger bin cap when n_used > grp_cap*8;
+      n_rows  = true grouped row count (vs r_cap);
+      n_pairs = true pair count (vs pair_cap)."""
+    assert r_cap % CHUNK_RG == 0
+    n_bins = n_tiles * N_SUB
+    assert n_bins <= (1 << 13), "bin id must fit 13 bits for the depth sort"
+    bin_s = (pair_key >> SUB_SHIFT).astype(jnp.int32)
+    tri_s = (pair_key & (MAX_TRI - 1)).astype(jnp.int32)
+    P = pair_key.shape[0]
+    p_eff = min(pair_cap, P)
+    offsets = jnp.searchsorted(
+        bin_s[:p_eff], jnp.arange(n_bins + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    n_pairs = jnp.searchsorted(
+        bin_s, jnp.asarray(n_bins, jnp.int32)).astype(jnp.int32)
+    depth_bins = offsets[1:] - offsets[:-1]           # [n_bins]
+    n_used = jnp.sum((depth_bins > 0).astype(jnp.int32))
+
+    # depth-descending stable order (ties keep bin id ascending)
+    negd, binperm = jax.lax.sort(
+        (-depth_bins, jnp.arange(n_bins, dtype=jnp.int32)), num_keys=1)
+    nsel = grp_cap * N_SUB
+    if nsel > n_bins:  # more group slots than bins: sentinel-pad (depth 0,
+        pad = nsel - n_bins  # bin id n_bins -> dropped by the assembly)
+        binperm = jnp.concatenate(
+            [binperm, jnp.full((pad,), n_bins, jnp.int32)])
+        negd = jnp.concatenate([negd, jnp.zeros((pad,), jnp.int32)])
+    gbins = binperm[:nsel]
+    gdepth = -negd[:nsel]
+    gmax = gdepth[0::N_SUB]                           # head of each group
+    d_pad = ((gmax + CHUNK_RG - 1) // CHUNK_RG) * CHUNK_RG
+    rowptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(d_pad).astype(jnp.int32)])
+    n_rows = rowptr[-1]
+
+    src_pair = src32[tri_s[:p_eff]]                   # [p_eff, 32]
+
+    from ascii_renderer_tpu.backends.raster import _cumsum_i32
+    r_ids = jnp.arange(r_cap, dtype=jnp.int32)
+    marks = jnp.zeros((r_cap,), jnp.float32).at[rowptr[1:]].add(
+        1.0, mode="drop")
+    t_r = jnp.clip(_cumsum_i32(marks), 0, grp_cap - 1)
+    d_r = r_ids - rowptr[:-1][t_r]
+    goffsets = offsets[:n_bins][gbins].reshape(grp_cap, N_SUB)
+    off_rows = goffsets[t_r]                          # [r_cap, 8]
+    pidx = jnp.clip((off_rows + d_r[:, None]).reshape(-1), 0, p_eff - 1)
+    g = src_pair[pidx]                                # [r_cap*8, 32]
+    rows128 = g[:, :N_CHAN].reshape(r_cap, N_SUB * N_CHAN)
+
+    # pixel origins per group lane (sentinel slots clamp to the last bin —
+    # their depth is 0, so the kernel never lights their lanes)
+    safe_bins = jnp.minimum(gbins, n_bins - 1)
+    tile = safe_bins // N_SUB
+    sub = safe_bins % N_SUB
+    x0 = ((tile % tiles_x) * TILE_W + sub * SUB_W).astype(jnp.float32)
+    y0 = ((tile // tiles_x) * TILE_H).astype(jnp.float32)
+    lane_in = (jnp.arange(SUB_W, dtype=jnp.float32) + 0.5)
+    xl = (jnp.repeat(x0.reshape(grp_cap, N_SUB), SUB_W, axis=1)
+          + jnp.tile(lane_in, N_SUB)[None, :])
+    yl = jnp.repeat(y0.reshape(grp_cap, N_SUB), SUB_W, axis=1)
+
+    rowptr_k = jnp.minimum(rowptr, r_cap)
+    return (rows128, rowptr_k, gdepth, xl, yl, gbins,
+            n_rows, n_pairs, n_used)
+
+
+def assemble_group_image(vals: jnp.ndarray, gbins: jnp.ndarray,
+                         n_tiles: int, tiles_y: int, tiles_x: int,
+                         rows: int, cols: int, fill: float) -> jnp.ndarray:
+    """Grouped per-pixel values [grp_cap, 8, 128(, C)] -> image
+    [rows, cols(, C)]. Bins not covered by any group (empty or overflow)
+    take `fill`. One [n_bins]-row gather + two reshuffles."""
+    n_bins = n_tiles * N_SUB
+    grp_cap = vals.shape[0]
+    has_c = vals.ndim == 4
+    C = vals.shape[3] if has_c else 1
+    v = vals if has_c else vals[..., None]
+    # (g, h, sub, w, C) -> bin-major rows [grp_cap*8, 8*16*C]
+    flat = (v.reshape(grp_cap, TILE_H, N_SUB, SUB_W, C)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(grp_cap * N_SUB, TILE_H * SUB_W * C))
+    bg = jnp.full((1, TILE_H * SUB_W * C), fill, vals.dtype)
+    flat = jnp.concatenate([flat, bg], axis=0)
+    inv = jnp.full((n_bins,), grp_cap * N_SUB, jnp.int32)
+    inv = inv.at[gbins].set(jnp.arange(grp_cap * N_SUB, dtype=jnp.int32),
+                            mode="drop")
+    img_bins = flat[inv]                              # [n_bins, 8*16*C]
+    img = (img_bins.reshape(tiles_y, tiles_x, N_SUB, TILE_H, SUB_W, C)
+           .transpose(0, 3, 1, 2, 4, 5)
+           .reshape(tiles_y * TILE_H, tiles_x * TILE_W, C))
+    img = img[:rows, :cols]
+    return img if has_c else img[..., 0]

@@ -75,7 +75,7 @@ def _render_rgb_a(backend: str, scene: SceneData, cam: Camera, time_s,
         pos9, attrs_t = soup_static_prep(*soup, scene)
         if raster_caps and len(raster_caps) == 5:
             rgb = render_soup(soup[0], soup[1], soup[2], scene, cam, rows,
-                              cols, cfg.pixel_aspect, method="subtile2",
+                              cols, cfg.pixel_aspect, method="subtile3",
                               v_cap=raster_caps[0], big_cap=raster_caps[1],
                               r_cap=raster_caps[2], pair_cap=raster_caps[3],
                               tile_cap=raster_caps[4], pos9=pos9,

@@ -1,0 +1,175 @@
+"""Tests for the round-3 headline raster path: the fused Pallas 2DH setup
+(ops/setup2dh) and the depth-sorted grouped bin walk (ops/raster_group,
+kernel="subtile3"). Oracle strategy per SURVEY §4: every new kernel gets
+a pure-jnp twin / the scan-oracle comparison the older generations use."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ascii_renderer_tpu.backends import raster as R
+from ascii_renderer_tpu.core.camera import Camera
+from ascii_renderer_tpu.scene.builder import SceneBuilder
+
+
+def _rand_scene():
+    return (SceneBuilder().set_env_light([0.2, 0.2, 0.25], 1.0)
+            .add_dir_light([-0.5, -0.7, -0.6], [1, 1, 1], 0.9).build())
+
+
+def _rand_soup(T, seed=5):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(-2, 2, (3 * T, 3)).astype(np.float32)
+    nrm = rng.normal(size=(3 * T, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    col = rng.uniform(0.2, 1.0, (3 * T, 3)).astype(np.float32)
+    return pos, nrm, col
+
+
+def test_fused_setup_matches_xla_setup():
+    """setup_2dh_fused must reproduce every setup_2dh output channel on
+    valid triangles (the kernel is the same math in VMEM; on TPU it was
+    measured bit-identical, here interpret mode allows tiny FMA noise)."""
+    from ascii_renderer_tpu.ops.setup2dh import setup_2dh_fused
+
+    T = 700
+    pos, nrm, col = _rand_soup(T)
+    attrs = np.concatenate([nrm, col], axis=1)
+    pos9 = R.positions_to_pos9(jnp.asarray(pos))
+    attrs_t = jnp.asarray(attrs.reshape(T, 18).T)
+    cam = Camera.create(pos=(2.5, 1.5, 3.0), yaw=-2.3, pitch=-0.3)
+    mvp = R.camera_mvp(cam, 48, 96, 0.5)
+    ach = R.setup_2dh(pos9, attrs_t, mvp, 48, 96)
+    cm, bbox = setup_2dh_fused(pos9, attrs_t, mvp, 48, 96)
+    cm = np.asarray(cm)[:, :T]
+    ok = np.asarray(ach["valid"])
+    assert np.array_equal(np.asarray(bbox["valid"])[:T], ok)
+    names = ("e0a", "e0b", "e0c", "e1a", "e1b", "e1c", "e2a", "e2b",
+             "e2c", "zx", "zy", "zc")
+    for i, nm in enumerate(names):
+        a = np.asarray(ach[nm])[ok]
+        np.testing.assert_allclose(cm[i][ok], a, rtol=5e-4, atol=1e-5,
+                                   err_msg=nm)
+    for j, nm in enumerate(R._plane_keys_2dh(6)):
+        a = np.asarray(ach[nm])[ok]
+        np.testing.assert_allclose(cm[16 + j][ok], a, rtol=5e-4,
+                                   atol=1e-5, err_msg=nm)
+    for k, nm in enumerate(("bx0", "bx1", "by0", "by1")):
+        a = np.asarray(ach[nm])[ok]
+        b = np.asarray(bbox[nm])[:T][ok]
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-2, err_msg=nm)
+    # id iota channel + pad-slot validity
+    assert np.allclose(cm[12], np.arange(T))
+    assert not np.asarray(bbox["valid"])[T:].any()
+
+
+def _check_vs_scan(pos, nrm, col, scene, cam, big_cap, rows=48, cols=96,
+                   max_bad=6):
+    T = pos.shape[0] // 3
+    args = (jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(col), scene,
+            cam)
+    f_scan = jax.jit(functools.partial(R.render_soup, rows=rows, cols=cols,
+                                       pixel_aspect=0.5, method="scan"))
+    f_3 = jax.jit(functools.partial(
+        R.render_soup, rows=rows, cols=cols, pixel_aspect=0.5,
+        method="subtile3", v_cap=4096, big_cap=big_cap, r_cap=32 * 512,
+        pair_cap=8 * T + big_cap * 48 * 8 + 4096,
+        tile_cap=(-(-rows // 8)) * (-(-cols // 128)) * 8))
+    a = np.asarray(f_scan(*args))
+    b = np.asarray(f_3(*args))
+    bad = (np.abs(a - b).max(-1) > 2e-3).sum()
+    assert bad <= max_bad, f"{bad} pixels differ from the scan oracle"
+
+
+def test_subtile3_matches_scan_oracle():
+    pos, nrm, col = _rand_soup(3000)
+    cam = Camera.create(pos=(2.5, 1.5, 3.0), yaw=-2.3, pitch=-0.3)
+    _check_vs_scan(pos, nrm, col, _rand_scene(), cam, big_cap=2048)
+
+
+def test_subtile3_near_plane_crossers():
+    s = 5.0
+    floor = [(-s, 0, -s), (s, 0, -s), (s, 0, s), (-s, 0, s)]
+    wall = [(-s, 0, -s), (-s, 4, -s), (s, 4, -s), (s, 0, -s)]
+
+    def qt(q):
+        a, b, c, d = q
+        return [a, b, c, a, c, d]
+
+    pos = np.asarray(qt(floor) + qt(wall), np.float32)
+    nrm = np.zeros_like(pos)
+    nrm[:6] = (0, 1, 0)
+    nrm[6:] = (0, 0, 1)
+    col = np.tile(np.asarray([[0.7, 0.6, 0.5]], np.float32), (12, 1))
+    cam = Camera.create(pos=(0.0, 1.0, 2.0), yaw=-1.57, pitch=-0.5)
+    _check_vs_scan(pos, nrm, col, _rand_scene(), cam, big_cap=16)
+
+
+def test_subtile3_point_light_scene():
+    scene = (SceneBuilder().set_env_light([0.15, 0.15, 0.2], 1.0)
+             .add_point_light([1.0, 2.0, 1.0], [1.0, 0.9, 0.8], 1.0)
+             .build())
+    pos, nrm, col = _rand_soup(2000, seed=9)
+    cam = Camera.create(pos=(2.5, 1.5, 3.0), yaw=-2.3, pitch=-0.3)
+    _check_vs_scan(pos, nrm, col, scene, cam, big_cap=1024)
+
+
+def test_subtile3_overflow_detected_and_retry_exact():
+    """Undersized grouped caps must be detected via diag (n_used over the
+    bin cap / n_rows / n_pairs) and the retried render must match the
+    generously-capped one (no silent drops)."""
+    pos, nrm, col = _rand_soup(1200, seed=3)
+    scene = _rand_scene()
+    cam = Camera.create(pos=(2.5, 1.5, 3.0), yaw=-2.3, pitch=-0.3)
+    args = (jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(col), scene,
+            cam)
+    kw = dict(rows=48, cols=96, pixel_aspect=0.5, kernel="subtile3",
+              v_cap=4096, big_cap=512)
+    tiny = jax.jit(functools.partial(
+        R.render_soup_diag, r_cap=64, pair_cap=4096, tile_cap=8, **kw))
+    _rgb_t, diag = tiny(*args)
+    counts = tuple(int(diag[k]) for k in
+                   ("n_valid", "n_big", "n_rows", "n_pairs", "n_tiles_nz"))
+    assert counts[2] > 64 or counts[3] > 4096 or counts[4] > 8
+    caps = R.suggest_caps_grouped(*counts)
+    assert caps[2] >= counts[2] and caps[3] >= counts[3]
+    assert caps[4] >= counts[4]
+    retry = jax.jit(functools.partial(
+        R.render_soup_diag, r_cap=caps[2], pair_cap=caps[3],
+        tile_cap=caps[4], **kw))
+    big = jax.jit(functools.partial(
+        R.render_soup_diag, r_cap=32 * 512, pair_cap=1 << 17,
+        tile_cap=48, **kw))
+    a, d2 = retry(*args)
+    b, _ = big(*args)
+    assert all(int(d2[k]) <= c for k, c in
+               zip(("n_rows", "n_pairs", "n_tiles_nz"),
+                   (caps[2], caps[3], caps[4])))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_assemble_group_image_roundtrip():
+    """assemble_group_image must place every bin's 8x16 block at its
+    (tile, subtile) screen location and background-fill uncovered bins."""
+    from ascii_renderer_tpu.ops import raster_group as RG
+
+    tiles_y, tiles_x = 3, 1
+    n_tiles = tiles_y * tiles_x
+    n_bins = n_tiles * 8
+    grp_cap = 2
+    rng = np.random.default_rng(0)
+    gbins = rng.permutation(n_bins)[:grp_cap * 8].astype(np.int32)
+    vals = rng.normal(size=(grp_cap, 8, 128)).astype(np.float32)
+    img = np.asarray(RG.assemble_group_image(
+        jnp.asarray(vals), jnp.asarray(gbins), n_tiles, tiles_y, tiles_x,
+        24, 128, fill=-7.0))
+    expect = np.full((24, 128), -7.0, np.float32)
+    for slot, b in enumerate(gbins):
+        t, s = b // 8, b % 8
+        ty, tx = t // tiles_x, t % tiles_x
+        g, lane = slot // 8, slot % 8
+        expect[ty * 8:(ty + 1) * 8, tx * 128 + s * 16:tx * 128 + (s + 1) * 16] = \
+            vals[g, :, lane * 16:(lane + 1) * 16]
+    np.testing.assert_array_equal(img, expect)
