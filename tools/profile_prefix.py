@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Prefix-cumulative device timing of the headline raster pipeline (2DH).
+"""Prefix-cumulative device timing of the headline raster pipeline.
 
 Times jitted PREFIXES of the real fused frame program, each reduced to one
 f32 scalar (single host round-trip; see PARITY.md measurement gotchas).
@@ -9,6 +9,7 @@ XLA fusion across the stage boundary, unlike per-stage standalone timing.
 Sort-prefix reductions are order-weighted so the sort can't be DCE'd.
 
 Usage: python tools/profile_prefix.py [--rows 540 --cols 960 --tris 69000]
+       [--gen subtile3|subtile2]   (default subtile3, the live generation)
 """
 
 from __future__ import annotations
@@ -40,6 +41,8 @@ def main():
     ap.add_argument("--cols", type=int, default=960)
     ap.add_argument("--tris", type=int, default=69000)
     ap.add_argument("--iters", type=int, default=48)
+    ap.add_argument("--gen", choices=["subtile3", "subtile2"],
+                    default="subtile3")
     args = ap.parse_args()
 
     import jax
@@ -82,13 +85,15 @@ def main():
     T = p.shape[0] // 3
     probe = jax.jit(functools.partial(
         R.render_soup_diag, rows=rows, cols=cols,
-        pixel_aspect=cfg.pixel_aspect, kernel="subtile2",
+        pixel_aspect=cfg.pixel_aspect, kernel=args.gen,
         v_cap=-(-T // 4096) * 4096, big_cap=64,
         r_cap=R._round_up(2 * T, 2048), pair_cap=8 * T, pos9=pos9))
     _, diag = probe(p, n, c, scene, cam)
     counts = tuple(int(diag[k]) for k in
                    ("n_valid", "n_big", "n_rows", "n_pairs", "n_tiles_nz"))
-    v_cap, big_cap, r_cap, pair_cap, tile_cap = R.suggest_caps_subtile(*counts)
+    suggest = (R.suggest_caps_grouped if args.gen == "subtile3"
+               else R.suggest_caps_subtile)
+    v_cap, big_cap, r_cap, pair_cap, tile_cap = suggest(*counts)
     print(f"counts={counts} caps={(v_cap, big_cap, r_cap, pair_cap, tile_cap)}",
           file=sys.stderr)
 
@@ -98,6 +103,85 @@ def main():
     pkeys = R._plane_keys_2dh(A)
     src_names = ("e0a", "e0b", "e0c", "e1a", "e1b", "e1c",
                  "e2a", "e2b", "e2c", "zx", "zy", "zc")
+
+    if args.gen == "subtile3":
+        from ascii_renderer_tpu.ops import raster_group as RG
+        from ascii_renderer_tpu.ops.setup2dh import setup_2dh_fused
+
+        grp_cap = max(1, tile_cap // 8)
+
+        def pre_setup3(cam):
+            mvp = R.camera_mvp(cam, rows, cols, cfg.pixel_aspect)
+            return setup_2dh_fused(pos9, attrs_t, mvp, rows, cols)
+
+        def pre_keys3(cam):
+            cm, bbox = pre_setup3(cam)
+            keys = R._subtile_pair_keys_bbox(bbox, rows, cols,
+                                             big_cap=big_cap)
+            return cm, keys
+
+        def pre_pack3(cam):
+            cm, keys = pre_keys3(cam)
+            g40 = pack_channels(cm, width=-(-cm.shape[0] // 8) * 8)
+            return g40, keys
+
+        def pre_rows3(cam):
+            g40, keys = pre_pack3(cam)
+            built = RG.build_packed_rows_grouped(
+                g40[:, :32], keys, tiles_x, n_tiles, r_cap, pair_cap,
+                grp_cap)
+            return g40, built
+
+        def pre_kernel3(cam):
+            g40, built = pre_rows3(cam)
+            rows128, rowptr, gdepth, xl, yl, gbins, *_ = built
+            z, e = RG.tile_eval_grouped(rows128, rowptr, gdepth, xl, yl,
+                                        grp_cap)
+            return g40, e, xl, yl, gbins
+
+        def pre_shade3(cam, scene):
+            g40, e, xl, yl, gbins = pre_kernel3(cam)
+            table = g40[:, 16:16 + 3 * A + 3]
+            rgbg = R.shade_groups(e, xl, yl, table, scene, A)
+            return RG.assemble_group_image(rgbg, gbins, n_tiles, tiles_y,
+                                           tiles_x, rows, cols, 0.0)
+
+        def pre_glyph3(cam, scene):
+            rgb = pre_shade3(cam, scene)
+            frame = Frame.from_float(rgb)
+            chars, _t = glyph_decide(
+                frame, ramp=cfg.ascii_ramp, mode_on=cfg.ascii_mode_filter,
+                mode_radius=cfg.mode_radius,
+                mode_thresh=cfg.ascii_mode_thresh,
+                grayscale=cfg.use_grayscale)
+            return chars
+
+        def red_keys(keys):
+            w = jnp.arange(keys.shape[0], dtype=jnp.float32) % 7.0
+            return jnp.sum(keys.astype(jnp.float32) * w)
+
+        def sm(x):
+            return jnp.sum(x.astype(jnp.float32))
+
+        prefixes = [
+            ("fused setup  ", jax.jit(lambda cam: sm(pre_setup3(cam)[0])
+                                      + sm(pre_setup3(cam)[1]["valid"]))),
+            ("+keys sort   ", jax.jit(lambda cam: red_keys(
+                pre_keys3(cam)[1]))),
+            ("+pack40      ", jax.jit(lambda cam: sm(pre_pack3(cam)[0]))),
+            ("+grouped rows", jax.jit(lambda cam: sm(pre_rows3(cam)[1][0]))),
+            ("+kernel      ", jax.jit(lambda cam: sm(pre_kernel3(cam)[1]))),
+            ("+shade       ", jax.jit(lambda cam, s: sm(pre_shade3(cam, s)))),
+            ("+glyph (FULL)", jax.jit(lambda cam, s: sm(pre_glyph3(cam, s)))),
+        ]
+        prev = 0.0
+        for name, fn in prefixes:
+            nargs = fn.__wrapped__.__code__.co_argcount
+            a = (cam, scene)[:nargs]
+            dt = _time_scalar(fn, a, warmup=2, iters=args.iters)
+            print(f"{name}: {dt*1e3:8.3f} ms   (+{(dt-prev)*1e3:7.3f})")
+            prev = dt
+        return
 
     # ---- prefix bodies (mirror render_soup_diag's subtile2 branch) ----
     def pre_setup(cam):
