@@ -266,11 +266,16 @@ def _next_direction(n: V3, rd: V3, is_spec, key):
 
 
 def trace_eye_paths(scene: SceneData, ro, rd, key, light_center, light_radius,
-                    *, bounces: int, light_color, nee: bool):
+                    *, bounces: int, light_color, nee: bool,
+                    with_stats: bool = False):
     """traceEyePath (pathtrace_shader.js:107-183), vectorized over rays.
 
     ro/rd: f32 [..., 3]. Returns (Lo [..., 3], override_byte [...] i32,
-    primary_fetched [...] bool)."""
+    primary_fetched [...] bool). with_stats=True appends a 4th element:
+    {"segments": f32, "shadow_rays": f32} — the TRUE ray counts this
+    wavefront traced (eye-path segments = rays alive at each bounce's
+    intersect; shadow rays = alive diffuse lanes at the NEE test), for
+    honest Mrays/s accounting in the bench."""
     shp = rd.shape[:-1]
     R = 1
     for s in shp:
@@ -290,10 +295,14 @@ def trace_eye_paths(scene: SceneData, ro, rd, key, light_center, light_radius,
     override = jnp.zeros((R,), jnp.int32)
     primary_fetched = jnp.zeros((R,), bool)
 
+    seg_count = jnp.zeros((), jnp.float32)
+    shadow_count = jnp.zeros((), jnp.float32)
     for j in range(bounces):
         kj = jax.random.fold_in(key, j)
         k_bounce, k_nee, k_rr = jax.random.split(kj, 3)
 
+        if with_stats:
+            seg_count = seg_count + alive.sum().astype(jnp.float32)
         h = _intersect(ro, rd, pk, light_center, light_radius)
         miss = alive & jnp.logical_not(h["hit"])
         env = environment_ch(rd)
@@ -336,6 +345,9 @@ def trace_eye_paths(scene: SceneData, ro, rd, key, light_center, light_radius,
         T = (T * albedo).where(absorb, T)
 
         hitpos = h["pos"]
+        if with_stats and nee and j < bounces - 1:
+            shadow_count = shadow_count + (
+                alive & jnp.logical_not(is_spec)).sum().astype(jnp.float32)
         if nee and j < bounces - 1:
             lpos = _sample_light_point(k_nee, light_center, light_radius,
                                        (R,))
@@ -374,6 +386,9 @@ def trace_eye_paths(scene: SceneData, ro, rd, key, light_center, light_radius,
             T = (T * inv_p).where(alive, T)
 
     Lo_arr = Lo.stack().reshape(shp + (3,))
+    if with_stats:
+        return (Lo_arr, override.reshape(shp), primary_fetched.reshape(shp),
+                {"segments": seg_count, "shadow_rays": shadow_count})
     return Lo_arr, override.reshape(shp), primary_fetched.reshape(shp)
 
 def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,

@@ -1531,7 +1531,7 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
     else:
         attrs = jnp.concatenate([normals, colors, positions], axis=1)
     mvp = camera_mvp(cam, rows, cols, pixel_aspect)
-    if kernel == "subtile3":
+    if kernel in ("subtile3", "subtile4"):
         # Fused-setup + depth-sorted grouped walk (the round-3 headline
         # path): setup_2dh as ONE Pallas kernel emitting the packed
         # channel block directly, bins grouped by depth instead of by
@@ -1558,11 +1558,19 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
         n_valid = jnp.sum(bbox["valid"].astype(jnp.int32))
         keys = _subtile_pair_keys_bbox(bbox, rows, cols, big_cap=big_cap)
         g40 = pack_channels(cm, width=-(-cm.shape[0] // 8) * 8)
-        (rows128, rowptr, gdepth, xl, yl, gbins, n_rows, n_pairs,
-         n_used) = RG.build_packed_rows_grouped(
-            g40[:, :32], keys, tiles_x, n_tiles, r_cap, pair_cap, grp_cap)
-        _z, e = RG.tile_eval_grouped(rows128, rowptr, gdepth, xl, yl,
-                                     grp_cap)
+        if kernel == "subtile4":  # direct-DMA walk: no aligned layout
+            (src_pair, goff, gdepth, gchunks, xl, yl, gbins, n_rows,
+             n_pairs, n_used) = RG.build_groups_direct(
+                g40[:, :32], keys, tiles_x, n_tiles, pair_cap, grp_cap)
+            _z, e = RG.tile_eval_direct(src_pair, goff, gdepth, gchunks,
+                                        xl, yl, grp_cap)
+        else:
+            (rows128, rowptr, gdepth, xl, yl, gbins, n_rows, n_pairs,
+             n_used) = RG.build_packed_rows_grouped(
+                g40[:, :32], keys, tiles_x, n_tiles, r_cap, pair_cap,
+                grp_cap)
+            _z, e = RG.tile_eval_grouped(rows128, rowptr, gdepth, xl, yl,
+                                         grp_cap)
         table = g40[:, 16:16 + 3 * A + 3]
         rgbg = shade_groups(e, xl, yl, table, scene, A)
         rgb = RG.assemble_group_image(rgbg, gbins, n_tiles, tiles_y,
@@ -1734,10 +1742,11 @@ def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
         # outweighs the deferred gathers) — keep the visibility buffer
         method = "scatter" if positions.shape[0] // 3 * 2 > 512 else "scan"
     if (method in ("scatter", "scatter_mm", "scatter_loop", "subtile",
-                   "subtile2", "subtile3") and v_cap is not None):
+                   "subtile2", "subtile3", "subtile4")
+            and v_cap is not None):
         kern = {"scatter_loop": "loop", "subtile": "subtile",
-                "subtile2": "subtile2", "subtile3": "subtile3"}.get(
-                    method, "mm")
+                "subtile2": "subtile2", "subtile3": "subtile3",
+                "subtile4": "subtile4"}.get(method, "mm")
         rgb, _diag = render_soup_diag(
             positions, normals, colors, scene, cam, rows, cols, pixel_aspect,
             v_cap=v_cap, big_cap=big_cap, kernel=kern, r_cap=r_cap,

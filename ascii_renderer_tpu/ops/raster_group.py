@@ -192,6 +192,211 @@ def tile_eval_grouped(rows128: jnp.ndarray, rowptr: jnp.ndarray,
       xl[:, None, :], yl[:, None, :])
 
 
+def expand_matrix_g256() -> jnp.ndarray:
+    """expand_matrix_g for the direct-DMA kernel: input lanes are the
+    concatenation of the 8 bins' 32-channel source rows (lane g*32 + c =
+    channel c of group-slot g's entry), not the packed 16-channel lanes."""
+    import numpy as np
+    m = np.zeros((2 * TILE_W, N_EXP * TILE_W), np.float32)
+    w_src = [(CH_A[0], CH_B[0], CH_G[0]), (CH_A[1], CH_B[1], CH_G[1]),
+             (CH_A[2], CH_B[2], CH_G[2]), (CH_ZX, CH_ZY, CH_ZC)]
+    for l in range(TILE_W):
+        g = l // SUB_W
+        for w, (ca, cb, cc) in enumerate(w_src):
+            m[g * 32 + cc, (0 + w) * TILE_W + l] = 1.0
+            m[g * 32 + ca, (4 + w) * TILE_W + l] = 1.0
+            m[g * 32 + cb, (8 + w) * TILE_W + l] = 1.0
+        m[g * 32 + CH_PAIR, 12 * TILE_W + l] = 1.0
+    return jnp.asarray(m)
+
+
+def _kernel_direct(goff_ref, gdepth_ref, gchunks_ref, data_hbm, m_ref,
+                   xl_ref, yl_ref, z_ref, e_ref, buf, sem, *, p_max: int):
+    """Grouped bin walk with PER-BIN DIRECT DMA: instead of walking a
+    prep-materialized aligned layout, each lane group's bin entries are
+    copied straight from the pair-ordered source table — 8 contiguous
+    [CHUNK_RG, 32] slabs per chunk, double-buffered. This deletes the
+    prep's slot inverse map and [r_cap*8, 32] slot gather (the two
+    largest rows-build costs) and the rows128 HBM round trip."""
+    t = pl.program_id(0)
+    n_chunks = gchunks_ref[t]
+
+    xlv = xl_ref[0]
+    ylv = yl_ref[0]
+    vv = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+          .astype(jnp.float32) + 0.5
+          + jnp.broadcast_to(ylv, (TILE_H, TILE_W)))
+    x4 = jnp.concatenate([xlv] * 4, axis=1)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) // SUB_W
+    dlane = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+    for g in range(N_SUB):
+        dlane = jnp.where(grp == g, gdepth_ref[t * N_SUB + g], dlane)
+
+    def copy_in(c, slot, g):
+        start = jnp.minimum(goff_ref[t * N_SUB + g] + c * CHUNK_RG, p_max)
+        return pltpu.make_async_copy(
+            data_hbm.at[pl.ds(start, CHUNK_RG)], buf.at[slot, g],
+            sem.at[slot, g])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        for g in range(N_SUB):
+            copy_in(0, 0, g).start()
+
+    def chunk_body(c, carry):
+        zb, eb = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            for g in range(N_SUB):
+                copy_in(c + 1, 1 - slot, g).start()
+
+        for g in range(N_SUB):
+            copy_in(c, slot, g).wait()
+
+        x = jnp.concatenate([buf[slot, g] for g in range(N_SUB)], axis=1)
+        y = jax.lax.dot_general(
+            x, m_ref[...], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # [CHUNK_RG, 13*128]
+        p4 = y[:, 0:4 * TILE_W] + x4 * y[:, 4 * TILE_W:8 * TILE_W]
+        d0 = c * CHUNK_RG
+
+        for r in range(CHUNK_RG):  # static unroll
+            def wplane(w):
+                pb = jnp.broadcast_to(
+                    p4[r, w * TILE_W:(w + 1) * TILE_W][None, :],
+                    (TILE_H, TILE_W))
+                bb = jnp.broadcast_to(
+                    y[r, (8 + w) * TILE_W:(9 + w) * TILE_W][None, :],
+                    (TILE_H, TILE_W))
+                return pb + bb * vv
+
+            w0, w1, w2, z = wplane(0), wplane(1), wplane(2), wplane(3)
+            ok = ((w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0)
+                  & (z >= 0.0) & (z <= 1.0) & (d0 + r < dlane))
+            zm = jnp.where(ok, z, jnp.inf)
+            ide = jnp.broadcast_to(
+                y[r, 12 * TILE_W:13 * TILE_W][None, :], (TILE_H, TILE_W))
+            better = zm < zb
+            zb = jnp.where(better, zm, zb)
+            eb = jnp.where(better, ide, eb)
+        return zb, eb
+
+    z0 = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
+    e0 = jnp.full((TILE_H, TILE_W), -1.0, jnp.float32)
+    zb, eb = jax.lax.fori_loop(0, n_chunks, chunk_body, (z0, e0))
+    z_ref[0, ...] = zb
+    e_ref[0, ...] = eb
+
+
+def tile_eval_direct(src_pair: jnp.ndarray, goff: jnp.ndarray,
+                     gdepth: jnp.ndarray, gchunks: jnp.ndarray,
+                     xl: jnp.ndarray, yl: jnp.ndarray, grp_cap: int,
+                     interpret: bool | None = None):
+    """Direct-DMA grouped walk. src_pair f32 [P_pad, 32] pair-ordered
+    entry rows (P_pad must leave >= CHUNK_RG rows of slack past the last
+    live pair: reads are clamped to start <= P_pad - CHUNK_RG); goff i32
+    [grp_cap*8] per-bin start offsets into src_pair; gdepth i32
+    [grp_cap*8] true per-bin depths; gchunks i32 [grp_cap] chunk counts
+    (ceil(group max depth / CHUNK_RG)). Returns (z, e) [grp_cap, 8, 128]
+    — bit-identical to tile_eval_grouped on the same grouping."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    p_max = src_pair.shape[0] - CHUNK_RG
+    assert p_max >= 0
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(grp_cap,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((2 * TILE_W, N_EXP * TILE_W), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_W), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_W), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2, N_SUB, CHUNK_RG, 32), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, N_SUB)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_direct, p_max=p_max),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((grp_cap, TILE_H, TILE_W),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((grp_cap, TILE_H, TILE_W),
+                                        jnp.float32)),
+        interpret=interpret,
+    )(goff, gdepth, gchunks, src_pair, expand_matrix_g256(),
+      xl[:, None, :], yl[:, None, :])
+
+
+def build_groups_direct(src32: jnp.ndarray, pair_key: jnp.ndarray,
+                        tiles_x: int, n_tiles: int, pair_cap: int,
+                        grp_cap: int):
+    """Grouping prep for the direct-DMA walk: NO aligned row layout is
+    materialized — just the pair-ordered source gather plus per-bin
+    (offset, depth) metadata in depth-sorted group order.
+
+    Returns (src_pair [p_eff + CHUNK_RG, 32], goff, gdepth [grp_cap*8],
+    gchunks [grp_cap], xl, yl [grp_cap, 128], gbins [grp_cap*8],
+    n_rows, n_pairs, n_used). n_rows = gchunks.sum() * CHUNK_RG (the
+    walk's total slot count, for capacity accounting only — there is no
+    r_cap to overflow)."""
+    n_bins = n_tiles * N_SUB
+    assert n_bins <= (1 << 13)
+    bin_s = (pair_key >> SUB_SHIFT).astype(jnp.int32)
+    tri_s = (pair_key & (MAX_TRI - 1)).astype(jnp.int32)
+    P = pair_key.shape[0]
+    p_eff = min(pair_cap, P)
+    offsets = jnp.searchsorted(
+        bin_s[:p_eff], jnp.arange(n_bins + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    n_pairs = jnp.searchsorted(
+        bin_s, jnp.asarray(n_bins, jnp.int32)).astype(jnp.int32)
+    depth_bins = offsets[1:] - offsets[:-1]
+    n_used = jnp.sum((depth_bins > 0).astype(jnp.int32))
+
+    negd, binperm = jax.lax.sort(
+        (-depth_bins, jnp.arange(n_bins, dtype=jnp.int32)), num_keys=1)
+    nsel = grp_cap * N_SUB
+    if nsel > n_bins:
+        pad = nsel - n_bins
+        binperm = jnp.concatenate(
+            [binperm, jnp.full((pad,), n_bins, jnp.int32)])
+        negd = jnp.concatenate([negd, jnp.zeros((pad,), jnp.int32)])
+    gbins = binperm[:nsel]
+    gdepth = -negd[:nsel]
+    gmax = gdepth[0::N_SUB]
+    gchunks = (gmax + CHUNK_RG - 1) // CHUNK_RG
+    n_rows = (gchunks * CHUNK_RG).sum().astype(jnp.int32)
+    goff = offsets[:n_bins][jnp.minimum(gbins, n_bins - 1)]
+
+    src_pair = src32[tri_s[:p_eff]]
+    src_pair = jnp.concatenate(
+        [src_pair, jnp.zeros((CHUNK_RG, 32), jnp.float32)], axis=0)
+
+    safe_bins = jnp.minimum(gbins, n_bins - 1)
+    tile = safe_bins // N_SUB
+    sub = safe_bins % N_SUB
+    x0 = ((tile % tiles_x) * TILE_W + sub * SUB_W).astype(jnp.float32)
+    y0 = ((tile // tiles_x) * TILE_H).astype(jnp.float32)
+    lane_in = (jnp.arange(SUB_W, dtype=jnp.float32) + 0.5)
+    xl = (jnp.repeat(x0.reshape(grp_cap, N_SUB), SUB_W, axis=1)
+          + jnp.tile(lane_in, N_SUB)[None, :])
+    yl = jnp.repeat(y0.reshape(grp_cap, N_SUB), SUB_W, axis=1)
+    return (src_pair, goff, gdepth, gchunks, xl, yl, gbins,
+            n_rows, n_pairs, n_used)
+
+
 def build_packed_rows_grouped(src32: jnp.ndarray, pair_key: jnp.ndarray,
                               tiles_x: int, n_tiles: int, r_cap: int,
                               pair_cap: int, grp_cap: int):

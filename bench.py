@@ -202,8 +202,69 @@ def bench_config0(smoke):
     # tunnel RTT) like config 3, else it adds ~2 ms/frame to a ~13 ms frame
     dt = _time_fn(lambda: fn(scene, scene.camera, jnp.float32(0.0), key), (),
                   iters=32)
-    return {"fps": 1.0 / dt, "spp": spp, "grid": "96x36",
-            "vs_ref_60fps": round(1.0 / dt / 60.0, 3)}
+    out = {"fps": 1.0 / dt, "spp": spp, "grid": "96x36",
+           "vs_ref_60fps": round(1.0 / dt / 60.0, 3)}
+
+    # ---- honest Mrays/s: measure the TRUE per-path ray count once (eye
+    # segments + NEE shadow rays, RR/absorption included) on this scene,
+    # then scale the amortized frame rate by it.
+    import numpy as np_
+    from ascii_renderer_tpu.backends import pathtrace as PTm
+    from ascii_renderer_tpu.core.camera import camera_basis
+    cam = scene.camera
+    rows_, cols_ = 36, 96
+    uu, vv, ww, focal = camera_basis(cam.yaw, cam.pitch, cam.fov_y)
+    aspect = jnp.float32(cols_ / rows_) * jnp.float32(0.5)
+    x = (jnp.arange(cols_, dtype=jnp.float32) + 0.5) / cols_
+    y = (jnp.arange(rows_, dtype=jnp.float32)[::-1] + 0.5) / rows_
+    px = ((-1.0 + 2.0 * x) * aspect)[None, :] * jnp.ones((rows_, 1))
+    py = (-1.0 + 2.0 * y)[:, None] * jnp.ones((1, cols_))
+    rd = px[..., None] * uu + py[..., None] * vv + focal * ww
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    ro = jnp.broadcast_to(cam.pos, (rows_, cols_, 3))
+    lc, lr = PTm.get_light_sphere(scene, jnp.float32(0.0))
+    _l, _o, _f, stats = PTm.trace_eye_paths(
+        scene, ro, rd, jax.random.key(7), lc, lr, bounces=5,
+        light_color=jnp.asarray([16.86, 10.76, 8.2]) * 1.3, nee=True,
+        with_stats=True)
+    paths = rows_ * cols_
+    rays_per_path = float(np_.asarray(stats["segments"])
+                          + np_.asarray(stats["shadow_rays"])) / paths
+    out["rays_per_path"] = round(rays_per_path, 3)
+    out["mrays_s"] = round((1.0 / dt) * paths * spp * rays_per_path / 1e6,
+                           2)
+
+    if not smoke:
+        # ---- PT at headline grid: 960x540 cells, kernel path ----
+        spp_hd = 8
+        fn_hd = jax.jit(functools.partial(
+            render_pt, rows=540, cols=960, pixel_aspect=0.5, spp=spp_hd,
+            bounces=5, light_color=(16.86, 10.76, 8.2),
+            sample_batch=spp_hd, use_kernel=use_kernel))
+        dt_hd = _time_fn(
+            lambda: fn_hd(scene, scene.camera, jnp.float32(0.0), key), (),
+            warmup=1, iters=4)
+        out["fps_960x540_spp8"] = round(1.0 / dt_hd, 2)
+        out["mrays_s_960x540"] = round(
+            (1.0 / dt_hd) * 540 * 960 * spp_hd * rays_per_path / 1e6, 2)
+
+        # ---- >MAX_ATLAS_TEXELS fallback cliff: same workload, 64x64
+        # atlas -> the megakernel's one-hot gather budget is exceeded and
+        # the XLA core takes over; the ratio IS the measured cliff.
+        from ascii_renderer_tpu.atlas.io import demo_atlas
+        sb2 = create_demo_scene()
+        sb2.set_atlas(demo_atlas(64, 64))
+        scene2 = sb2.build(min_pad=1)
+        fn_big = jax.jit(functools.partial(
+            render_pt, rows=36, cols=96, pixel_aspect=0.5, spp=spp,
+            bounces=5, light_color=(16.86, 10.76, 8.2),
+            sample_batch=min(64, spp), use_kernel=False))
+        dt_big = _time_fn(
+            lambda: fn_big(scene2, scene2.camera, jnp.float32(0.0), key),
+            (), iters=16)
+        out["fps_atlas64_fallback"] = round(1.0 / dt_big, 2)
+        out["atlas_fallback_ratio"] = round(dt_big / dt, 2)
+    return out
 
 
 def bench_config1(smoke):

@@ -159,3 +159,38 @@ def test_progressive_accum_converges_on_kernel_path():
         return (1.96 * np.sqrt(np.maximum(var, 0))
                 / np.sqrt(np.maximum(k[..., None], 1)))
     assert ci(m2_6, k6).mean() < ci(m2_2, k2).mean() * 0.9, "CI not shrinking"
+
+
+def test_trace_stats_ray_accounting():
+    """with_stats returns the true wavefront ray counts: eye segments in
+    [R, R*bounces] (R alive at bounce 0; termination only shrinks), NEE
+    shadow rays bounded by diffuse-alive lanes, both finite."""
+    sb = create_demo_scene()
+    scene = sb.build(min_pad=1)
+    cam = scene.camera
+    from ascii_renderer_tpu.core.camera import camera_basis
+    uu, vv, ww, focal = camera_basis(cam.yaw, cam.pitch, cam.fov_y)
+    rows, cols = 12, 24
+    x = (jnp.arange(cols, dtype=jnp.float32) + 0.5) / cols
+    y = (jnp.arange(rows, dtype=jnp.float32)[::-1] + 0.5) / rows
+    px = ((-1.0 + 2.0 * x))[None, :] * jnp.ones((rows, 1))
+    py = (-1.0 + 2.0 * y)[:, None] * jnp.ones((1, cols))
+    rd = px[..., None] * uu + py[..., None] * vv + focal * ww
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    ro = jnp.broadcast_to(cam.pos, (rows, cols, 3))
+    lc, lr = PT.get_light_sphere(scene, jnp.float32(0.0))
+    lo, ov, pf, stats = PT.trace_eye_paths(
+        scene, ro, rd, jax.random.key(3), lc, lr, bounces=5,
+        light_color=jnp.asarray([16.86, 10.76, 8.2]), nee=True,
+        with_stats=True)
+    R = rows * cols
+    seg = float(stats["segments"])
+    sh = float(stats["shadow_rays"])
+    assert R <= seg <= 5 * R
+    assert 0.0 <= sh <= seg
+    # the stats variant must not change the estimate
+    lo2, ov2, pf2 = PT.trace_eye_paths(
+        scene, ro, rd, jax.random.key(3), lc, lr, bounces=5,
+        light_color=jnp.asarray([16.86, 10.76, 8.2]), nee=True)
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(lo2))
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(ov2))
