@@ -339,6 +339,35 @@ def tile_eval_direct(src_pair: jnp.ndarray, goff: jnp.ndarray,
       xl[:, None, :], yl[:, None, :])
 
 
+def _bin_offsets(bin_s: jnp.ndarray, p_eff: int, n_bins: int) -> jnp.ndarray:
+    """offsets[q] = #entries of the SORTED bin_s[:p_eff] with bin < q,
+    q in [0, n_bins] — the CSR offsets of the pair list.
+
+    Equivalent to jnp.searchsorted(bin_s[:p_eff], arange(n_bins+1)) but
+    ~free in context where searchsorted costs ~0.8 ms at headline scale
+    (tools/exp_offsets.py): a two-level search shaped to the TPU emitter's
+    fast paths. Level 1 locates each query's 64-wide row via a tiny
+    scatter+cummax over the row heads (no batched gather); level 2 is ONE
+    leading-index row gather + an in-row predicate count."""
+    S = 64
+    M = -(-p_eff // S)
+    d = bin_s[:p_eff]
+    if M * S > p_eff:  # sentinel-pad the tail row (n_bins sorts last)
+        d = jnp.concatenate(
+            [d, jnp.full((M * S - p_eff,), n_bins, jnp.int32)])
+    d2 = d.reshape(M, S)
+    samp = d2[:, 0]                                   # sorted row heads
+    io = jnp.arange(M, dtype=jnp.int32) + 1
+    ends = jnp.zeros((n_bins + 1,), jnp.int32).at[
+        jnp.minimum(samp, n_bins)].max(io)
+    j = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                         jax.lax.cummax(ends)[:-1]])  # #row heads < q
+    q = jnp.arange(n_bins + 1, dtype=jnp.int32)
+    row = d2[jnp.maximum(j - 1, 0)]                   # [n_bins+1, S]
+    cnt = jnp.sum((row < q[:, None]).astype(jnp.int32), axis=1)
+    return jnp.where(j == 0, 0, S * (j - 1) + cnt)
+
+
 def build_groups_direct(src32: jnp.ndarray, pair_key: jnp.ndarray,
                         tiles_x: int, n_tiles: int, pair_cap: int,
                         grp_cap: int):
@@ -357,11 +386,8 @@ def build_groups_direct(src32: jnp.ndarray, pair_key: jnp.ndarray,
     tri_s = (pair_key & (MAX_TRI - 1)).astype(jnp.int32)
     P = pair_key.shape[0]
     p_eff = min(pair_cap, P)
-    offsets = jnp.searchsorted(
-        bin_s[:p_eff], jnp.arange(n_bins + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
-    n_pairs = jnp.searchsorted(
-        bin_s, jnp.asarray(n_bins, jnp.int32)).astype(jnp.int32)
+    offsets = _bin_offsets(bin_s, p_eff, n_bins)
+    n_pairs = jnp.sum((bin_s < n_bins).astype(jnp.int32))
     depth_bins = offsets[1:] - offsets[:-1]
     n_used = jnp.sum((depth_bins > 0).astype(jnp.int32))
 
@@ -419,11 +445,8 @@ def build_packed_rows_grouped(src32: jnp.ndarray, pair_key: jnp.ndarray,
     tri_s = (pair_key & (MAX_TRI - 1)).astype(jnp.int32)
     P = pair_key.shape[0]
     p_eff = min(pair_cap, P)
-    offsets = jnp.searchsorted(
-        bin_s[:p_eff], jnp.arange(n_bins + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
-    n_pairs = jnp.searchsorted(
-        bin_s, jnp.asarray(n_bins, jnp.int32)).astype(jnp.int32)
+    offsets = _bin_offsets(bin_s, p_eff, n_bins)
+    n_pairs = jnp.sum((bin_s < n_bins).astype(jnp.int32))
     depth_bins = offsets[1:] - offsets[:-1]           # [n_bins]
     n_used = jnp.sum((depth_bins > 0).astype(jnp.int32))
 

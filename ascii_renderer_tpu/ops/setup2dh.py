@@ -33,18 +33,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BT = 1024           # triangles per grid step, as an [8, 128] tile
+BT = 1024           # triangles per padding quantum, as an [8, 128] tile
+BT_STEP = 8192      # triangles per grid step (BT multiple; [64, 128] rows)
 EPS_W = 1e-4        # near-guard for bbox projections (= raster.EPS_W)
 
 
 def _setup_kernel(mvp_ref, pos_ref, attr_ref, out_ref, *, n_attrs: int,
-                  rows: int, cols: int):
+                  rows: int, cols: int, ts: int):
     A = n_attrs
     m = [[mvp_ref[i, j] for j in range(4)] for i in range(4)]
     step = pl.program_id(0)
 
     def pos(i):
-        return pos_ref[i, 0]  # [8, 128]
+        return pos_ref[i, 0]  # [ts, 128]
 
     # viewport-folded clip coords per slot
     vs = {}
@@ -81,10 +82,11 @@ def _setup_kernel(mvp_ref, pos_ref, attr_ref, out_ref, *, n_attrs: int,
                           + vs["zc"] * e2[j]) * ninv
 
     # id iota + zero padding rows
-    iota = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128
-            + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1))
-    out_ref[12, 0] = iota.astype(jnp.float32) + step.astype(jnp.float32) * BT
-    zero = jnp.zeros((8, 128), jnp.float32)
+    iota = (jax.lax.broadcasted_iota(jnp.int32, (ts, 128), 0) * 128
+            + jax.lax.broadcasted_iota(jnp.int32, (ts, 128), 1))
+    out_ref[12, 0] = (iota.astype(jnp.float32)
+                      + step.astype(jnp.float32) * (ts * 128))
+    zero = jnp.zeros((ts, 128), jnp.float32)
     out_ref[13, 0] = zero
     out_ref[14, 0] = zero
     out_ref[15, 0] = zero
@@ -103,10 +105,10 @@ def _setup_kernel(mvp_ref, pos_ref, attr_ref, out_ref, *, n_attrs: int,
 
     # ---- binning bbox over projectable candidates ----
     big = jnp.float32(1e9)
-    x0 = jnp.full((8, 128), big)
-    x1 = jnp.full((8, 128), -big)
-    y0 = jnp.full((8, 128), big)
-    y1 = jnp.full((8, 128), -big)
+    x0 = jnp.full((ts, 128), big)
+    x1 = jnp.full((ts, 128), -big)
+    y0 = jnp.full((ts, 128), big)
+    y1 = jnp.full((ts, 128), -big)
 
     def fold(mask, xq, yq, x0, x1, y0, y1):
         return (jnp.where(mask, jnp.minimum(x0, xq), x0),
@@ -168,21 +170,29 @@ def setup_2dh_fused(pos9: jnp.ndarray, attrs_t: jnp.ndarray,
             [pos9, jnp.zeros((9, tp - T), jnp.float32)], axis=1)
         attrs_t = jnp.concatenate(
             [attrs_t, jnp.zeros((A3, tp - T), jnp.float32)], axis=1)
-    nb = tp // BT
+    # grid-step size: biggest BT multiple <= BT_STEP dividing tp (fewer,
+    # fatter steps amortize per-step overhead; measured 0.54 -> see
+    # tools/exp_setup.py)
+    S = BT
+    while S * 2 <= BT_STEP and tp % (S * 2) == 0:
+        S *= 2
+    ts = S // 128
+    nb = tp // S
     n_g = 16 + 3 * A + 3
     c_out = n_g + 5
     out = pl.pallas_call(
-        functools.partial(_setup_kernel, n_attrs=A, rows=rows, cols=cols),
+        functools.partial(_setup_kernel, n_attrs=A, rows=rows, cols=cols,
+                          ts=ts),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((9, 1, 8, 128), lambda i: (0, i, 0, 0)),
-            pl.BlockSpec((A3, 1, 8, 128), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((9, 1, ts, 128), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((A3, 1, ts, 128), lambda i: (0, i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((c_out, 1, 8, 128), lambda i: (0, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((c_out, nb, 8, 128), jnp.float32),
+        out_specs=pl.BlockSpec((c_out, 1, ts, 128), lambda i: (0, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((c_out, nb, ts, 128), jnp.float32),
         interpret=interpret,
-    )(mvp, pos9.reshape(9, nb, 8, 128), attrs_t.reshape(A3, nb, 8, 128))
+    )(mvp, pos9.reshape(9, nb, ts, 128), attrs_t.reshape(A3, nb, ts, 128))
     out = out.reshape(c_out, tp)
     bbox = {"bx0": out[n_g], "bx1": out[n_g + 1], "by0": out[n_g + 2],
             "by1": out[n_g + 3], "valid": out[n_g + 4] > 0.5}
