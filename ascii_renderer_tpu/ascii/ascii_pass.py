@@ -39,12 +39,28 @@ def glyph_decide(frame: Frame, *, ramp: str, mode_on: bool, mode_radius: int,
     ``use_pallas=True``); XLA already fuses the jnp stencil to within noise
     of it on TPU (measured 4.9 vs 5.1 ms at 960x540), so jnp is the default.
     """
-    codes = jnp.asarray(quantize.ramp_codes(ramp))  # u8 [L]
-    ramp_len = int(codes.shape[0])
-
-    override = quantize.is_override(frame.a)
+    ramp_len = len(ramp) if ramp else len(quantize.DEFAULT_RAMP)
     base_idx = quantize.quantize_index(frame.rgb, ramp_len)
+    return glyph_from_index(base_idx, frame.a, frame.rgb, ramp=ramp,
+                            mode_on=mode_on, mode_radius=mode_radius,
+                            mode_thresh=mode_thresh, grayscale=grayscale,
+                            use_pallas=use_pallas)
 
+
+def glyph_from_index(base_idx: jnp.ndarray, a_plane: jnp.ndarray,
+                     tint_rgb_u8, *, ramp: str, mode_on: bool,
+                     mode_radius: int, mode_thresh: int, grayscale: bool,
+                     use_pallas: bool | None = None):
+    """Image-space tail of the glyph decision, starting from a
+    pre-quantized ramp-index plane (i32 [H, W]).
+
+    Split out so renderers can quantize in their own (e.g. grouped bin)
+    layout and assemble the 1-plane index image instead of the f32 RGB
+    image — bit-identical, 4x less assembled traffic (the quantize rule
+    is per-cell; only the modal stencil needs image space)."""
+    codes = jnp.asarray(quantize.ramp_codes(ramp))  # u8 [L]
+
+    override = quantize.is_override(a_plane)
     idx = base_idx
     if mode_on:
         if use_pallas is None:
@@ -57,12 +73,14 @@ def glyph_decide(frame: Frame, *, ramp: str, mode_on: bool, mode_radius: int,
             idx = modal_filter(base_idx, override, mode_radius, mode_thresh)
 
     ramp_chars = codes[idx]  # u8 via gather
-    chars = jnp.where(override, frame.a, ramp_chars).astype(jnp.uint8)
+    chars = jnp.where(override, a_plane, ramp_chars).astype(jnp.uint8)
 
-    if grayscale:
-        tint = jnp.zeros_like(frame.rgb)
+    if tint_rgb_u8 is None:
+        tint = None
+    elif grayscale:
+        tint = jnp.zeros_like(tint_rgb_u8)
     else:
-        tint = frame.rgb
+        tint = tint_rgb_u8
     # Override cells tint with the cell color too (the UI compositor already
     # painted them black: js/main.js:351-355).
     return chars, tint

@@ -1514,7 +1514,7 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
                      v_cap: int, big_cap: int = 64, kernel: str = "mm",
                      r_cap: int = 16384, pair_cap: int = 65536,
                      tile_cap: int | None = None, pos9=None,
-                     attrs_t=None):
+                     attrs_t=None, emit: str = "rgb", ramp_len: int = 10):
     """Compacted raster pipeline with capacity diagnostics.
 
     Returns (rgb f32 [rows, cols, 3], diag) with i32 device scalars. The
@@ -1522,7 +1522,14 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
     v_cap, n_big <= big_cap, and for kernel='subtile' n_rows <= r_cap,
     n_pairs <= pair_cap, n_tiles_nz <= tile_cap); otherwise work was
     dropped and the caller should re-render with caps from
-    `suggest_caps*` (see RasterBackend.render for the adaptive loop)."""
+    `suggest_caps*` (see RasterBackend.render for the adaptive loop).
+
+    emit='idx' (grouped kernels only): quantize to ramp indices IN GROUP
+    LAYOUT and assemble (idx i32 [rows, cols], rgb8 u8 [rows, cols, 3])
+    instead of the f32 rgb image — the glyph path's image-space work then
+    starts from the assembled index plane (ascii.ascii_pass.
+    glyph_from_index). Bit-identical to quantizing the assembled image
+    (assembly is a pure permutation); moves 4x fewer image bytes."""
     # lightless-scene specialization: world-pos attr planes feed only the
     # point-light terms, and the padded point-light count is a STATIC 0
     # for scenes without any (scene/builder.py rounds 0 up to 0)
@@ -1573,12 +1580,24 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
                                          grp_cap)
         table = g40[:, 16:16 + 3 * A + 3]
         rgbg = shade_groups(e, xl, yl, table, scene, A)
+        diag = {"n_valid": n_valid, "n_big": None,
+                "n_rows": n_rows, "n_pairs": n_pairs,
+                "n_tiles_nz": n_used}
+        _n_small, diag["n_big"] = count_big_small_bbox(bbox, rows, cols)
+        if emit == "idx":
+            from ascii_renderer_tpu.core import quantize as Q
+            rgb8g = Q.float_rgb_to_u8(rgbg)            # [grp, 8, 128, 3]
+            bidx = Q.quantize_index(rgb8g, ramp_len)   # [grp, 8, 128]
+            idx_img = RG.assemble_group_image(
+                bidx.astype(jnp.float32), gbins, n_tiles, tiles_y,
+                tiles_x, rows, cols, 0.0).astype(jnp.int32)
+            rgb8_img = RG.assemble_group_image(
+                rgb8g.astype(jnp.float32), gbins, n_tiles, tiles_y,
+                tiles_x, rows, cols, 0.0).astype(jnp.uint8)
+            return (idx_img, rgb8_img), diag
         rgb = RG.assemble_group_image(rgbg, gbins, n_tiles, tiles_y,
                                       tiles_x, rows, cols, 0.0)
-        _n_small, n_big = count_big_small_bbox(bbox, rows, cols)
-        return rgb, {"n_valid": n_valid, "n_big": n_big,
-                     "n_rows": n_rows, "n_pairs": n_pairs,
-                     "n_tiles_nz": n_used}
+        return rgb, diag
     if kernel == "subtile2":  # 2DH setup: no clip expansion, [T] domain
         # No compaction either: T < 2^18 fits the pair-key id budget
         # directly, invalid triangles simply emit no pairs, and the sort
@@ -1714,9 +1733,14 @@ def suggest_caps_grouped(n_valid: int, n_big: int, n_rows: int,
     v_cap = _round_up(int(n_valid) + 1, 4096)
     big_cap = 0 if n_big == 0 else max(16, _round_up(int(n_big * 1.5) + 8,
                                                      16))
-    r_cap = _round_up(int(n_rows * 1.15) + 256, max(RG.CHUNK_RG, 1024))
-    pair_cap = _round_up(int(n_pairs * 1.15) + 512, 4096)
-    bin_cap = _round_up(int(n_used * 1.2) + 16, 64)
+    # tight margins: every 1% of cap slack is real prep-stage work (r_cap
+    # slack measured ~0.1 ms per 10% at the headline — tools/
+    # exp_headline_ab.py --caps). Finer quanta mean a growing scene
+    # retries/recompiles in ~5% steps; the compile cache amortizes this
+    # per cap tuple.
+    r_cap = _round_up(int(n_rows * 1.05) + 64, max(RG.CHUNK_RG, 256))
+    pair_cap = _round_up(int(n_pairs * 1.06) + 256, 2048)
+    bin_cap = _round_up(int(n_used * 1.08) + 8, 32)
     return v_cap, big_cap, r_cap, pair_cap, bin_cap
 
 

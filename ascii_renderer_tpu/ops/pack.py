@@ -62,3 +62,49 @@ def pack_channels(channels, width: int | None = None,
         interpret=interpret,
     )(cm)
     return out[:n] if n_pad > n else out
+
+
+def _pack_split_kernel(cm_ref, *out_refs, spans):
+    x = cm_ref[...]  # [w, BLK]
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1))
+    y = jax.lax.dot_general(
+        eye.astype(jnp.float32), x, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # [BLK, w]
+    for ref, (a, b) in zip(out_refs, spans):
+        ref[...] = y[:, a:b]
+
+
+def pack_channels_split(cm: jnp.ndarray, spans,
+                        interpret: bool | None = None):
+    """Like pack_channels but emits one CONTIGUOUS row-major array per
+    (start, stop) channel span (spans may overlap). Row-gather consumers
+    need contiguous source rows: gathering from a lane-slice of a wider
+    packed array reads strided rows and falls off the fast gather path
+    (measured ~20x at headline scale, tools/exp_rows.py)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    c, n = cm.shape
+    w = max(b for _, b in spans)
+    assert w >= c, (c, w, spans)
+    if w > c:
+        cm = jnp.concatenate([cm, jnp.zeros((w - c, n), jnp.float32)],
+                             axis=0)
+    n_pad = -(-n // BLK) * BLK
+    if n_pad > n:
+        cm = jnp.concatenate([cm, jnp.zeros((w, n_pad - n), jnp.float32)],
+                             axis=1)
+    outs = pl.pallas_call(
+        functools.partial(_pack_split_kernel, spans=tuple(spans)),
+        grid=(n_pad // BLK,),
+        in_specs=[pl.BlockSpec((w, BLK), lambda i: (0, i))],
+        out_specs=tuple(pl.BlockSpec((BLK, b - a), lambda i: (i, 0))
+                        for a, b in spans),
+        out_shape=tuple(jax.ShapeDtypeStruct((n_pad, b - a), jnp.float32)
+                        for a, b in spans),
+        interpret=interpret,
+    )(cm)
+    if n_pad > n:
+        outs = tuple(o[:n] for o in outs)
+    return outs

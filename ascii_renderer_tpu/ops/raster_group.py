@@ -469,11 +469,12 @@ def build_packed_rows_grouped(src32: jnp.ndarray, pair_key: jnp.ndarray,
 
     src_pair = src32[tri_s[:p_eff]]                   # [p_eff, 32]
 
-    from ascii_renderer_tpu.backends.raster import _cumsum_i32
+    # group-of-row via one [r_cap, grp_cap] compare+reduce (a cumsum over
+    # [r_cap] marks is latency-bound in context)
     r_ids = jnp.arange(r_cap, dtype=jnp.int32)
-    marks = jnp.zeros((r_cap,), jnp.float32).at[rowptr[1:]].add(
-        1.0, mode="drop")
-    t_r = jnp.clip(_cumsum_i32(marks), 0, grp_cap - 1)
+    t_r = jnp.minimum(jnp.sum(
+        (r_ids[:, None] >= rowptr[None, 1:]).astype(jnp.int32), axis=1),
+        grp_cap - 1)
     d_r = r_ids - rowptr[:-1][t_r]
     goffsets = offsets[:n_bins][gbins].reshape(grp_cap, N_SUB)
     off_rows = goffsets[t_r]                          # [r_cap, 8]

@@ -93,19 +93,33 @@ def _raster_ascii_fn(cfg, rows, cols, caps=None):
     (exactness is validated by the caller via `_probe_caps`)."""
     import jax
     import functools
+    import jax.numpy as jnp
     from ascii_renderer_tpu.backends.raster import (render_soup,
+                                                    render_soup_diag,
                                                     positions_to_pos9)
     from ascii_renderer_tpu.core.frame import Frame
-    from ascii_renderer_tpu.ascii.ascii_pass import glyph_decide
+    from ascii_renderer_tpu.ascii.ascii_pass import (glyph_decide,
+                                                     glyph_from_index)
 
     def run(p, n, c, scene, cam, pos9=None, attrs_t=None):
         if caps and len(caps) == 5:  # grouped 2DH pipeline (large scenes)
+            # quantize in group layout, assemble the index plane only
+            # (raster emit='idx'); chars-only output lets XLA DCE the
+            # tint assembly entirely
             v_cap, big_cap, r_cap, pair_cap, bin_cap = caps
-            rgb = render_soup(p, n, c, scene, cam, rows, cols,
-                              cfg.pixel_aspect, method="subtile3",
-                              v_cap=v_cap, big_cap=big_cap, r_cap=r_cap,
-                              pair_cap=pair_cap, tile_cap=bin_cap,
-                              pos9=pos9, attrs_t=attrs_t)
+            (idx_img, _rgb8), _diag = render_soup_diag(
+                p, n, c, scene, cam, rows, cols, cfg.pixel_aspect,
+                kernel="subtile3", v_cap=v_cap, big_cap=big_cap,
+                r_cap=r_cap, pair_cap=pair_cap, tile_cap=bin_cap,
+                pos9=pos9, attrs_t=attrs_t, emit="idx",
+                ramp_len=len(cfg.ascii_ramp))
+            a_plane = jnp.ones((rows, cols), jnp.uint8)
+            chars, _tint = glyph_from_index(
+                idx_img, a_plane, None, ramp=cfg.ascii_ramp,
+                mode_on=cfg.ascii_mode_filter, mode_radius=cfg.mode_radius,
+                mode_thresh=cfg.ascii_mode_thresh,
+                grayscale=cfg.use_grayscale)
+            return chars
         elif caps:  # compacted mm bin-walk (mid scale)
             rgb = render_soup(p, n, c, scene, cam, rows, cols,
                               cfg.pixel_aspect, v_cap=caps[0],

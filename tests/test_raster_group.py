@@ -136,13 +136,27 @@ def test_subtile3_overflow_detected_and_retry_exact():
     caps = R.suggest_caps_grouped(*counts)
     assert caps[2] >= counts[2] and caps[3] >= counts[3]
     assert caps[4] >= counts[4]
-    retry = jax.jit(functools.partial(
-        R.render_soup_diag, r_cap=caps[2], pair_cap=caps[3],
-        tile_cap=caps[4], **kw))
+    # production retry loop (RasterBackend.render): a TRUNCATED render
+    # undercounts n_rows/n_used (they are derived from the pairs that fit
+    # pair_cap), so with the tight margin policy convergence can take
+    # more than one retry; caps grow monotonically and n_pairs is always
+    # exact, so it converges within the backend's 4-attempt budget.
+    d2 = diag
+    a = None
+    for _ in range(4):
+        retry = jax.jit(functools.partial(
+            R.render_soup_diag, r_cap=caps[2], pair_cap=caps[3],
+            tile_cap=caps[4], **kw))
+        a, d2 = retry(*args)
+        counts = tuple(int(d2[k]) for k in
+                       ("n_valid", "n_big", "n_rows", "n_pairs",
+                        "n_tiles_nz"))
+        if all(c <= cap for c, cap in zip(counts[1:], caps[1:])):
+            break
+        caps = R.suggest_caps_grouped(*counts)
     big = jax.jit(functools.partial(
         R.render_soup_diag, r_cap=32 * 512, pair_cap=1 << 17,
         tile_cap=48, **kw))
-    a, d2 = retry(*args)
     b, _ = big(*args)
     assert all(int(d2[k]) <= c for k, c in
                zip(("n_rows", "n_pairs", "n_tiles_nz"),

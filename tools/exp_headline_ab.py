@@ -17,18 +17,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _time(fn, args, warmup=2, iters=64, reps=3):
-    best = None
-    for _ in range(reps):
+def _time_all(fns, args, warmup=2, iters=64, reps=3):
+    """Round-robin timing of several jitted fns IN ONE PROCESS: process-
+    level drift (tunnel/device clock state) is +-0.4 ms run to run, far
+    above the effects under test, so only same-process comparisons are
+    valid; interleaving reps cancels within-process drift too."""
+    best = [None] * len(fns)
+    for fn in fns:
         for _ in range(warmup):
             np.asarray(fn(*args))
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = fn(*args)
-        np.asarray(out)
-        dt = (time.perf_counter() - t0) / iters
-        best = dt if best is None else min(best, dt)
+    for _ in range(reps):
+        for k, fn in enumerate(fns):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(iters):
+                out = fn(*args)
+            np.asarray(out)
+            dt = (time.perf_counter() - t0) / iters
+            best[k] = dt if best[k] is None else min(best[k], dt)
     return best
 
 
@@ -39,6 +45,8 @@ def main():
     ap.add_argument("--cols", type=int, default=960)
     ap.add_argument("--tris", type=int, default=69000)
     ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--caps", default=None,
+                    help="override v,big,r,pair,bin")
     args = ap.parse_args()
 
     import jax
@@ -77,37 +85,67 @@ def main():
     d = {k: int(v) for k, v in probe(cam).items()}
     caps = R.suggest_caps_grouped(d["n_valid"], d["n_big"], d["n_rows"],
                                   d["n_pairs"], d["n_tiles_nz"])
-    v_cap, big_cap, r_cap, pair_cap, bin_cap = caps
-    print(f"diag={d} caps={caps}", file=sys.stderr)
+    caps_list = [caps]
+    if args.caps:
+        caps_list = [tuple(int(x) for x in t.split(","))
+                     for t in args.caps.split(";")]
+    print(f"diag={d} caps={caps_list}", file=sys.stderr)
+
+    from ascii_renderer_tpu.ascii.ascii_pass import glyph_from_index
+
+    variants = []
+    for kern in args.kernels.split(","):
+        use_idx = not kern.endswith("-rgb")
+        kern_base = kern[:-4] if kern.endswith("-rgb") else kern
+        for cp in caps_list:
+            v_cap, big_cap, r_cap, pair_cap, bin_cap = cp
+
+            def run(p_, n_, c_, scene, cam, kern_base=kern_base,
+                    use_idx=use_idx, v_cap=v_cap, big_cap=big_cap,
+                    r_cap=r_cap, pair_cap=pair_cap, bin_cap=bin_cap):
+                if use_idx:
+                    (idx_img, _rgb8), _ = R.render_soup_diag(
+                        p_, n_, c_, scene, cam, rows=rows, cols=cols,
+                        pixel_aspect=cfg.pixel_aspect, kernel=kern_base,
+                        v_cap=v_cap, big_cap=big_cap, r_cap=r_cap,
+                        pair_cap=pair_cap, tile_cap=bin_cap,
+                        pos9=pos9, attrs_t=attrs_t, emit="idx",
+                        ramp_len=len(cfg.ascii_ramp))
+                    a_plane = jnp.ones((rows, cols), jnp.uint8)
+                    chars, _tint = glyph_from_index(
+                        idx_img, a_plane, None, ramp=cfg.ascii_ramp,
+                        mode_on=cfg.ascii_mode_filter,
+                        mode_radius=cfg.mode_radius,
+                        mode_thresh=cfg.ascii_mode_thresh,
+                        grayscale=cfg.use_grayscale)
+                    return chars
+                rgb, _ = R.render_soup_diag(
+                    p_, n_, c_, scene, cam, rows=rows, cols=cols,
+                    pixel_aspect=cfg.pixel_aspect, kernel=kern_base,
+                    v_cap=v_cap, big_cap=big_cap, r_cap=r_cap,
+                    pair_cap=pair_cap, tile_cap=bin_cap,
+                    pos9=pos9, attrs_t=attrs_t)
+                chars, _tint = glyph_decide(
+                    Frame.from_float(rgb), ramp=cfg.ascii_ramp,
+                    mode_on=cfg.ascii_mode_filter,
+                    mode_radius=cfg.mode_radius,
+                    mode_thresh=cfg.ascii_mode_thresh,
+                    grayscale=cfg.use_grayscale)
+                return chars
+
+            variants.append((f"{kern} caps={cp}", jax.jit(run)))
 
     ref = None
-    for kern in args.kernels.split(","):
-        def run(p_, n_, c_, scene, cam):
-            rgb, _ = R.render_soup_diag(
-                p_, n_, c_, scene, cam, rows=rows, cols=cols,
-                pixel_aspect=cfg.pixel_aspect, kernel=kern,
-                v_cap=v_cap, big_cap=big_cap, r_cap=r_cap,
-                pair_cap=pair_cap, tile_cap=bin_cap,
-                pos9=pos9, attrs_t=attrs_t)
-            chars, _tint = glyph_decide(
-                Frame.from_float(rgb), ramp=cfg.ascii_ramp,
-                mode_on=cfg.ascii_mode_filter,
-                mode_radius=cfg.mode_radius,
-                mode_thresh=cfg.ascii_mode_thresh,
-                grayscale=cfg.use_grayscale)
-            return chars
-
-        fn = jax.jit(run)
+    for name, fn in variants:
         out = np.asarray(fn(*soup, scene, cam))
         if ref is None:
             ref = out
-        else:
-            eq = np.array_equal(ref, out)
-            print(f"{kern}: glyphs equal to first variant: {eq}")
-            if not eq:
-                print(f"  ndiff={np.sum(ref != out)}")
-        dt = _time(fn, (*soup, scene, cam), iters=args.iters)
-        print(f"{kern:9s}: {dt*1e3:7.3f} ms  {1.0/dt:7.1f} FPS  "
+        elif not np.array_equal(ref, out):
+            print(f"{name}: GLYPHS DIFFER ndiff={np.sum(ref != out)}")
+    dts = _time_all([f for _, f in variants], (*soup, scene, cam),
+                    iters=args.iters)
+    for (name, _), dt in zip(variants, dts):
+        print(f"{name}: {dt*1e3:7.3f} ms  {1.0/dt:7.1f} FPS  "
               f"{tris/dt/1e6:6.1f} Mtris/s")
 
 

@@ -83,3 +83,81 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def probe_trivial():
+    """Same grid/block structure as the setup kernel, trivial compute:
+    isolates DMA/layout cost from formula cost."""
+    global jax
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    tp = 69632
+    c_out, a3 = 53, 18
+    for S in (1024, 4096):
+        ts = S // 128
+        nb = tp // S
+
+        def kern(pos_ref, attr_ref, out_ref):
+            x = pos_ref[0, 0]
+            y = attr_ref[0, 0]
+            for ch in range(c_out):
+                out_ref[ch, 0] = x * float(ch) + y
+
+        f = pl.pallas_call(
+            kern, grid=(nb,),
+            in_specs=[pl.BlockSpec((9, 1, ts, 128), lambda i: (0, i, 0, 0)),
+                      pl.BlockSpec((a3, 1, ts, 128),
+                                   lambda i: (0, i, 0, 0))],
+            out_specs=pl.BlockSpec((c_out, 1, ts, 128),
+                                   lambda i: (0, i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((c_out, nb, ts, 128),
+                                           jnp.float32),
+        )
+        pos = jnp.ones((9, nb, ts, 128), jnp.float32)
+        att = jnp.ones((a3, nb, ts, 128), jnp.float32)
+        g = jax.jit(lambda p, a: f(p, a))
+        dt = _time(g, (pos, att))
+        print(f"trivial S={S:5d}: {dt*1e3:7.3f} ms")
+
+        # contiguous-output variant: (nb, c_out, ts, 128)
+        f2 = pl.pallas_call(
+            kern, grid=(nb,),
+            in_specs=[pl.BlockSpec((9, 1, ts, 128), lambda i: (0, i, 0, 0)),
+                      pl.BlockSpec((a3, 1, ts, 128),
+                                   lambda i: (0, i, 0, 0))],
+            out_specs=pl.BlockSpec((1, c_out, ts, 128),
+                                   lambda i: (i, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nb, c_out, ts, 128),
+                                           jnp.float32),
+        )
+
+        def kern2(pos_ref, attr_ref, out_ref):
+            x = pos_ref[0, 0]
+            y = attr_ref[0, 0]
+            for ch in range(c_out):
+                out_ref[0, ch] = x * float(ch) + y
+
+        f2 = pl.pallas_call(
+            kern2, grid=(nb,),
+            in_specs=[pl.BlockSpec((9, 1, ts, 128), lambda i: (0, i, 0, 0)),
+                      pl.BlockSpec((a3, 1, ts, 128),
+                                   lambda i: (0, i, 0, 0))],
+            out_specs=pl.BlockSpec((1, c_out, ts, 128),
+                                   lambda i: (i, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nb, c_out, ts, 128),
+                                           jnp.float32),
+        )
+        g2 = jax.jit(lambda p, a: f2(p, a))
+        dt2 = _time(g2, (pos, att))
+        print(f"trivial S={S:5d} contiguous-out: {dt2*1e3:7.3f} ms")
+
+
+if __name__ == "__main__" and os.environ.get("PROBE_TRIVIAL"):
+    probe_trivial()
+    sys.exit(0)

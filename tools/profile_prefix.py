@@ -163,9 +163,15 @@ def main():
         def sm(x):
             return jnp.sum(x.astype(jnp.float32))
 
+        def red_setup(cam):
+            # ONE call: pallas_call is not CSE'd, so calling pre_setup3
+            # twice in the reduction would run the kernel twice and
+            # double-count the stage
+            cm, bbox = pre_setup3(cam)
+            return sm(cm) + sm(bbox["valid"])
+
         prefixes = [
-            ("fused setup  ", jax.jit(lambda cam: sm(pre_setup3(cam)[0])
-                                      + sm(pre_setup3(cam)[1]["valid"]))),
+            ("fused setup  ", jax.jit(red_setup)),
             ("+keys sort   ", jax.jit(lambda cam: red_keys(
                 pre_keys3(cam)[1]))),
             ("+pack40      ", jax.jit(lambda cam: sm(pre_pack3(cam)[0]))),
