@@ -436,6 +436,8 @@ def _pair_keys_core(xmin, xmax, ymin, ymax, valid, rows: int, cols: int,
             jnp.broadcast_to(big_idx[:, None], (big_cap, n_bins)), T - 1
         ).astype(jnp.int32)
         key_parts.append(((bins_big << RS.SUB_SHIFT) | tri_big).reshape(-1))
+    if PROBE_SKIP_KEYSORT:
+        return jnp.concatenate(key_parts)
     return jax.lax.sort(jnp.concatenate(key_parts))
 
 
@@ -623,6 +625,10 @@ def visibility_scan(setup, rows: int, cols: int, chunk: int = 64):
 
 
 TILE_H, TILE_W = 8, 128  # f32-native VPU tile of the cell grid
+SHADE_TABLE_W = 0  # 0 = exact 3A+3; else padded gather width (perf A/B)
+PROBE_SKIP_SHADE_GATHER = False  # wrong-output perf probe (tools/ab_slope)
+PROBE_SKIP_KEYSORT = False       # wrong-output perf probe (tools/ab_slope)
+PROBE_SKIP_WALK = False          # wrong-output perf probe (tools/ab_slope)
 
 MAX_V_CAP = (1 << 19) - 4096  # packed sort key leaves 19 bits for tri ids
 
@@ -1415,7 +1421,10 @@ def shade_groups(e, xl, yl, table, scene: SceneData, n_attrs: int):
     grp_cap = e.shape[0]
     idx = e.reshape(-1).astype(jnp.int32)
     hit = idx >= 0
-    g = table[jnp.where(hit, idx, 0)]  # non-hit rows are zeroed after
+    if PROBE_SKIP_SHADE_GATHER:
+        g = jnp.broadcast_to(table[:1], (idx.shape[0], table.shape[1]))
+    else:
+        g = table[jnp.where(hit, idx, 0)]  # non-hit rows zeroed after
     px = jnp.broadcast_to(xl[:, None, :],
                           (grp_cap, TILE_H, TILE_W)).reshape(-1)
     py = jnp.broadcast_to(
@@ -1564,7 +1573,9 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
         cm, bbox = setup_2dh_fused(pos9, attrs_t, mvp, rows, cols)
         n_valid = jnp.sum(bbox["valid"].astype(jnp.int32))
         keys = _subtile_pair_keys_bbox(bbox, rows, cols, big_cap=big_cap)
-        g40 = pack_channels(cm, width=-(-cm.shape[0] // 8) * 8)
+        pack_w = max(-(-cm.shape[0] // 8) * 8,
+                     16 + SHADE_TABLE_W if SHADE_TABLE_W else 0)
+        g40 = pack_channels(cm, width=pack_w)
         if kernel == "subtile4":  # direct-DMA walk: no aligned layout
             (src_pair, goff, gdepth, gchunks, xl, yl, gbins, n_rows,
              n_pairs, n_used) = RG.build_groups_direct(
@@ -1576,9 +1587,15 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
              n_used) = RG.build_packed_rows_grouped(
                 g40[:, :32], keys, tiles_x, n_tiles, r_cap, pair_cap,
                 grp_cap)
-            _z, e = RG.tile_eval_grouped(rows128, rowptr, gdepth, xl, yl,
-                                         grp_cap)
-        table = g40[:, 16:16 + 3 * A + 3]
+            if PROBE_SKIP_WALK:
+                # keep the rows build live with a cheap reduce
+                e = (jnp.zeros((grp_cap, TILE_H, TILE_W), jnp.float32)
+                     + jnp.sum(rows128) * 0.0)
+            else:
+                _z, e = RG.tile_eval_grouped(rows128, rowptr, gdepth, xl,
+                                             yl, grp_cap)
+        tw = SHADE_TABLE_W if SHADE_TABLE_W else 3 * A + 3
+        table = g40[:, 16:16 + tw]  # cols >= 3A+3 are junk, never read
         rgbg = shade_groups(e, xl, yl, table, scene, A)
         diag = {"n_valid": n_valid, "n_big": None,
                 "n_rows": n_rows, "n_pairs": n_pairs,

@@ -44,6 +44,13 @@ from ascii_renderer_tpu.ops.raster_subtile import (
     SUB_SHIFT, SUB_W, TILE_H, TILE_W)
 
 CHUNK_RG = 32      # rows per DMA slab (16 KB)
+COMPOSE_SLOT_GATHER = False  # trace-time flag (in-process perf A/B only)
+# measured (tools/ab_slope, slope timing, distinct traces): composing the
+# slot gather to src32[tri_s[pidx]] is +0.39 ms WORSE than materializing
+# the pair-ordered copy and gathering from it — keep False
+PROBE_SKIP_SLOT_GATHER = False  # wrong-output perf probe (tools/ab_slope)
+PROBE_SKIP_DEPTHSORT = False    # wrong-output perf probe (tools/ab_slope)
+PROBE_SKIP_TR = False           # wrong-output perf probe (tools/ab_slope)
 N_EXP = 13         # expanded blocks: 4x C, 4x A, 4x B, id
 
 
@@ -451,8 +458,11 @@ def build_packed_rows_grouped(src32: jnp.ndarray, pair_key: jnp.ndarray,
     n_used = jnp.sum((depth_bins > 0).astype(jnp.int32))
 
     # depth-descending stable order (ties keep bin id ascending)
-    negd, binperm = jax.lax.sort(
-        (-depth_bins, jnp.arange(n_bins, dtype=jnp.int32)), num_keys=1)
+    if PROBE_SKIP_DEPTHSORT:
+        negd, binperm = -depth_bins, jnp.arange(n_bins, dtype=jnp.int32)
+    else:
+        negd, binperm = jax.lax.sort(
+            (-depth_bins, jnp.arange(n_bins, dtype=jnp.int32)), num_keys=1)
     nsel = grp_cap * N_SUB
     if nsel > n_bins:  # more group slots than bins: sentinel-pad (depth 0,
         pad = nsel - n_bins  # bin id n_bins -> dropped by the assembly)
@@ -467,19 +477,31 @@ def build_packed_rows_grouped(src32: jnp.ndarray, pair_key: jnp.ndarray,
                               jnp.cumsum(d_pad).astype(jnp.int32)])
     n_rows = rowptr[-1]
 
-    src_pair = src32[tri_s[:p_eff]]                   # [p_eff, 32]
-
     # group-of-row via one [r_cap, grp_cap] compare+reduce (a cumsum over
     # [r_cap] marks is latency-bound in context)
     r_ids = jnp.arange(r_cap, dtype=jnp.int32)
-    t_r = jnp.minimum(jnp.sum(
-        (r_ids[:, None] >= rowptr[None, 1:]).astype(jnp.int32), axis=1),
-        grp_cap - 1)
-    d_r = r_ids - rowptr[:-1][t_r]
+    if PROBE_SKIP_TR:
+        t_r = jax.lax.rem(r_ids, grp_cap)
+        d_r = jnp.zeros_like(r_ids) + rowptr[0] * 0
+    else:
+        t_r = jnp.minimum(jnp.sum(
+            (r_ids[:, None] >= rowptr[None, 1:]).astype(jnp.int32), axis=1),
+            grp_cap - 1)
+        d_r = r_ids - rowptr[:-1][t_r]
     goffsets = offsets[:n_bins][gbins].reshape(grp_cap, N_SUB)
     off_rows = goffsets[t_r]                          # [r_cap, 8]
     pidx = jnp.clip((off_rows + d_r[:, None]).reshape(-1), 0, p_eff - 1)
-    g = src_pair[pidx]                                # [r_cap*8, 32]
+    if PROBE_SKIP_SLOT_GATHER:
+        g = jnp.broadcast_to(src32[:1], (r_cap * N_SUB, src32.shape[1]))
+    elif COMPOSE_SLOT_GATHER:
+        # composed gather: slot -> pair -> tri as one i32 gather + ONE
+        # 32-ch row gather, instead of materializing a [p_eff, 32]
+        # pair-ordered copy and row-gathering from it (bit-identical;
+        # saves ~16 MB of HBM traffic at headline scale)
+        g = src32[tri_s[:p_eff][pidx]]                # [r_cap*8, 32]
+    else:
+        src_pair = src32[tri_s[:p_eff]]               # [p_eff, 32]
+        g = src_pair[pidx]                            # [r_cap*8, 32]
     rows128 = g[:, :N_CHAN].reshape(r_cap, N_SUB * N_CHAN)
 
     # pixel origins per group lane (sentinel slots clamp to the last bin —

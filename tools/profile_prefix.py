@@ -24,15 +24,27 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _time_scalar(fn, args, warmup=2, iters=48):
+def _time_scalar(fn, args, warmup=2, iters=48, reps=3):
+    """Queue-depth SLOPE timing: per-call cost as the slope of total time
+    between two async dispatch depths, one trailing readback each — the
+    fixed ~30 ms tunnel RTT cancels exactly (at plain iters=48
+    amortization it inflated every row by ~0.6 ms). Best of `reps`."""
+    n1, n2 = max(8, iters // 4), iters
     for _ in range(warmup):
         np.asarray(fn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    np.asarray(out)
-    return (time.perf_counter() - t0) / iters
+    best = None
+    for _ in range(reps):
+        tot = []
+        for n in (n1, n2):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n):
+                out = fn(*args)
+            np.asarray(out)
+            tot.append(time.perf_counter() - t0)
+        s = (tot[1] - tot[0]) / (n2 - n1)
+        best = s if best is None else min(best, s)
+    return best
 
 
 def main():
