@@ -47,6 +47,8 @@ VARIANTS = {
     "skiptr": [("ascii_renderer_tpu.ops.raster_group",
                 "PROBE_SKIP_TR", True)],
     "s4": [],  # name prefix "s4" switches the walk to kernel=subtile4
+    "chunk16": [("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 16)],
+    "chunk64": [("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 64)],
 }
 
 
