@@ -446,6 +446,14 @@ def run_term(args) -> int:
 
 
 def main(argv=None) -> int:
+    # Honor JAX_PLATFORMS even when a site plugin's registration hook
+    # would otherwise re-route backend selection (the env var is read
+    # once at jax import; the config knob wins at backends() time, so a
+    # user's JAX_PLATFORMS=cpu reliably keeps the app off an
+    # unavailable accelerator tunnel).
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     args = build_parser().parse_args(argv)
     if args.backend:
         resolved = _ALIASES.get(args.backend, args.backend)
