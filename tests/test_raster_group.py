@@ -187,3 +187,41 @@ def test_assemble_group_image_roundtrip():
         expect[ty * 8:(ty + 1) * 8, tx * 128 + s * 16:tx * 128 + (s + 1) * 16] = \
             vals[g, :, lane * 16:(lane + 1) * 16]
     np.testing.assert_array_equal(img, expect)
+
+
+def test_perf_variant_flags_bit_identical():
+    """The perf A/B knobs must not change output: SHADE_TABLE_W pads the
+    deferred-shade gather width (cols past 3A+3 are junk that is never
+    read) and CHUNK_RG only re-slabs the walk's DMA chunking. Render the
+    same frame under each flag value and require bitwise equality with
+    the defaults (tools/ab_slope.py relies on this invariance)."""
+    from ascii_renderer_tpu.ops import raster_group as RG
+
+    pos, nrm, col = _rand_soup(900, seed=11)
+    scene = _rand_scene()
+    cam = Camera.create(pos=(2.5, 1.5, 3.0), yaw=-2.3, pitch=-0.3)
+    T = pos.shape[0] // 3
+    args = (jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(col), scene,
+            cam)
+    kw = dict(rows=48, cols=96, pixel_aspect=0.5, method="subtile3",
+              v_cap=4096, big_cap=1024, r_cap=32 * 512,
+              pair_cap=8 * T + 1024 * 48 * 8 + 4096,
+              tile_cap=(-(-48 // 8)) * (-(-96 // 128) or 1) * 8)
+
+    def render():
+        # fresh callable per variant: jit must retrace under the flags
+        return np.asarray(jax.jit(
+            lambda *a: R.render_soup(*a, **kw))(*args))
+
+    base = render()
+    saved = (R.SHADE_TABLE_W, RG.CHUNK_RG)
+    try:
+        R.SHADE_TABLE_W = 24
+        np.testing.assert_array_equal(render(), base)
+        R.SHADE_TABLE_W = 32
+        np.testing.assert_array_equal(render(), base)
+        R.SHADE_TABLE_W = saved[0]
+        RG.CHUNK_RG = 16
+        np.testing.assert_array_equal(render(), base)
+    finally:
+        R.SHADE_TABLE_W, RG.CHUNK_RG = saved
