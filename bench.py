@@ -323,16 +323,17 @@ def bench_config1(smoke):
     soup, scene, cam = _mesh_scene(lambda: meshes.cube(2.0), (0.85, 0.85, 0.85),
                                    (2.2, 1.8, 3.2), -0.42)
     fn = _raster_ascii_fn(cfg, rows, cols)
-    # device time is ~0.2 ms/frame; iters must dwarf the one ~30 ms
-    # end-of-loop tunnel readback (and its run-to-run jitter) or the
-    # figure measures the tunnel
-    dt, spread = _time_fn_stats(fn, (*soup, scene, cam), iters=1024, reps=3)
+    # slope timing like config 3: the fixed end-of-loop tunnel readback
+    # cancels exactly, so a ~0.2 ms frame is measurable with <10% spread
+    dt, rtt, spread = _time_fn_slope(fn, (*soup, scene, cam),
+                                     n1=256, n2=1024)
     floor = _dispatch_floor()
     tris = soup[0].shape[0] // 3
     return {"fps": 1.0 / dt, "tris": tris, "grid": f"{cols}x{rows}",
             "mtris_s": tris / dt / 1e6, "spread": round(spread, 3),
             "floor_ms": round(floor * 1e3, 4),
-            "floor_frac": round(floor / dt, 3)}
+            "floor_frac": round(floor / dt, 3),
+            "rtt_ms": round(rtt * 1e3, 2)}
 
 
 def bench_config2(smoke):
@@ -345,15 +346,16 @@ def bench_config2(smoke):
                                    (0.9, 0.9, 0.9), (1.9, 1.3, 2.7), -0.4)
     caps = _probe_caps(soup, scene, cam, rows, cols, cfg.pixel_aspect)
     fn = _raster_ascii_fn(cfg, rows, cols, caps)
-    # device time is ~0.5 ms/frame — amortize the single readback (and
-    # its run-to-run jitter) well away
-    dt, spread = _time_fn_stats(fn, (*soup, scene, cam), iters=768, reps=3)
+    # slope timing like config 3 (see bench_config1)
+    dt, rtt, spread = _time_fn_slope(fn, (*soup, scene, cam),
+                                     n1=192, n2=768)
     floor = _dispatch_floor()
     tris = soup[0].shape[0] // 3
     return {"fps": 1.0 / dt, "tris": tris, "grid": f"{cols}x{rows}",
             "mtris_s": tris / dt / 1e6, "spread": round(spread, 3),
             "floor_ms": round(floor * 1e3, 4),
-            "floor_frac": round(floor / dt, 3)}
+            "floor_frac": round(floor / dt, 3),
+            "rtt_ms": round(rtt * 1e3, 2)}
 
 
 def bench_config3(smoke, batch=0):
