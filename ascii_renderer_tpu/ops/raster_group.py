@@ -346,6 +346,253 @@ def tile_eval_direct(src_pair: jnp.ndarray, goff: jnp.ndarray,
       xl[:, None, :], yl[:, None, :])
 
 
+def expand_matrix_g_k2() -> jnp.ndarray:
+    """expand_matrix_g for the two-entry-per-row (K2) walk: input rows
+    carry TWO consecutive bin entries' 16 kernel channels per group slot
+    (lane g*32 + j*16 + c = channel c of sub-entry j of slot g), and the
+    output doubles to two 13-block sections, one per sub-entry j."""
+    import numpy as np
+    m = np.zeros((2 * TILE_W, 2 * N_EXP * TILE_W), np.float32)
+    w_src = [(CH_A[0], CH_B[0], CH_G[0]), (CH_A[1], CH_B[1], CH_G[1]),
+             (CH_A[2], CH_B[2], CH_G[2]), (CH_ZX, CH_ZY, CH_ZC)]
+    for j in range(2):
+        o = j * N_EXP * TILE_W
+        for l in range(TILE_W):
+            g = l // SUB_W
+            for w, (ca, cb, cc) in enumerate(w_src):
+                m[g * 32 + j * 16 + cc, o + (0 + w) * TILE_W + l] = 1.0
+                m[g * 32 + j * 16 + ca, o + (4 + w) * TILE_W + l] = 1.0
+                m[g * 32 + j * 16 + cb, o + (8 + w) * TILE_W + l] = 1.0
+            m[g * 32 + j * 16 + CH_PAIR, o + 12 * TILE_W + l] = 1.0
+    return jnp.asarray(m)
+
+
+def _kernel_grouped_k2(rowptr_ref, depth_ref, skip_ref, data_hbm, m_ref,
+                       xl_ref, yl_ref, z_ref, e_ref, buf, sem, *,
+                       r_cap2: int, c2: int):
+    """K2 grouped walk: each [c2, 256] slab row carries 2 entries per bin,
+    so the gather-built layout has half the rows of the base walk. Per-bin
+    odd source offsets are absorbed by a skip window: sub-entry index
+    idx = 2*row + j is live iff skip <= idx < skip + depth."""
+    t = pl.program_id(0)
+    r0 = rowptr_ref[t]
+    r1 = rowptr_ref[t + 1]
+    n_chunks = (r1 - r0) // c2
+
+    xlv = xl_ref[0]  # [1, 128]
+    ylv = yl_ref[0]
+    vv = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+          .astype(jnp.float32) + 0.5
+          + jnp.broadcast_to(ylv, (TILE_H, TILE_W)))
+    x4 = jnp.concatenate([xlv] * 4, axis=1)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) // SUB_W
+    dlane = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+    slane = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+    for g in range(N_SUB):
+        dlane = jnp.where(grp == g, depth_ref[t * N_SUB + g], dlane)
+        slane = jnp.where(grp == g, skip_ref[t * N_SUB + g], slane)
+
+    max_start = r_cap2 - c2
+
+    def copy_in(c, slot):
+        start = jnp.minimum(r0 + c * c2, max_start)
+        return pltpu.make_async_copy(
+            data_hbm.at[pl.ds(start, c2)], buf.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        copy_in(0, 0).start()
+
+    nb = N_EXP * TILE_W  # 13-block section size per sub-entry
+
+    def chunk_body(c, carry):
+        zb, eb = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            copy_in(c + 1, 1 - slot).start()
+
+        copy_in(c, slot).wait()
+
+        y = jax.lax.dot_general(
+            buf[slot], m_ref[...], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # [c2, 2*13*128]
+        # fold the per-lane x per sub-entry: P_w = C_w + A_w * xl
+        p4 = [y[:, j * nb + 0:j * nb + 4 * TILE_W]
+              + x4 * y[:, j * nb + 4 * TILE_W:j * nb + 8 * TILE_W]
+              for j in range(2)]
+        d0 = c * (2 * c2)
+
+        for r in range(c2):       # static unroll
+            for j in range(2):    # sub-entry within the row
+                o = j * nb
+
+                def wplane(w):
+                    pb = jnp.broadcast_to(
+                        p4[j][r, w * TILE_W:(w + 1) * TILE_W][None, :],
+                        (TILE_H, TILE_W))
+                    bb = jnp.broadcast_to(
+                        y[r, o + (8 + w) * TILE_W:o + (9 + w) * TILE_W][
+                            None, :],
+                        (TILE_H, TILE_W))
+                    return pb + bb * vv
+
+                w0, w1, w2, z = wplane(0), wplane(1), wplane(2), wplane(3)
+                idx = d0 + 2 * r + j
+                ok = ((w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0)
+                      & (z >= 0.0) & (z <= 1.0)
+                      & (idx >= slane) & (idx < slane + dlane))
+                zm = jnp.where(ok, z, jnp.inf)
+                ide = jnp.broadcast_to(
+                    y[r, o + 12 * TILE_W:o + 13 * TILE_W][None, :],
+                    (TILE_H, TILE_W))
+                better = zm < zb  # strict: earlier (smaller tri id) wins
+                zb = jnp.where(better, zm, zb)
+                eb = jnp.where(better, ide, eb)
+        return zb, eb
+
+    z0 = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
+    e0 = jnp.full((TILE_H, TILE_W), -1.0, jnp.float32)
+    zb, eb = jax.lax.fori_loop(0, n_chunks, chunk_body, (z0, e0))
+    z_ref[0, ...] = zb
+    e_ref[0, ...] = eb
+
+
+def tile_eval_grouped_k2(rows256: jnp.ndarray, rowptr: jnp.ndarray,
+                         gdepth: jnp.ndarray, gskip: jnp.ndarray,
+                         xl: jnp.ndarray, yl: jnp.ndarray,
+                         grp_cap: int, interpret: bool | None = None):
+    """K2 grouped walk: rows256 f32 [r_cap2, 256] two-entry rows (lane
+    g*32 + j*16 + c); rowptr i32 [grp_cap+1] row ranges (CHUNK_RG/2
+    multiples); gdepth/gskip i32 [grp_cap*8] per-bin depth and sub-entry
+    skip. Returns (z, entry id) f32 [grp_cap, 8, 128] — bit-identical to
+    tile_eval_grouped on the same grouping."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    c2 = CHUNK_RG // 2
+    r_cap2 = rows256.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(grp_cap,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((2 * TILE_W, 2 * N_EXP * TILE_W),
+                         lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_W), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_W), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2, c2, 2 * TILE_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_grouped_k2, r_cap2=r_cap2, c2=c2),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((grp_cap, TILE_H, TILE_W),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((grp_cap, TILE_H, TILE_W),
+                                        jnp.float32)),
+        interpret=interpret,
+    )(rowptr, gdepth, gskip, rows256, expand_matrix_g_k2(),
+      xl[:, None, :], yl[:, None, :])
+
+
+def build_packed_rows_grouped_k2(src32: jnp.ndarray, pair_key: jnp.ndarray,
+                                 tiles_x: int, n_tiles: int, r_cap: int,
+                                 pair_cap: int, grp_cap: int):
+    """build_packed_rows_grouped with TWO entries per gather row.
+
+    The base layout gathers one [32]-channel row per (group row, bin)
+    slot and discards half of it (only 16 channels feed the kernel). Here
+    the pair-ordered source is pre-sliced to its 16 kernel channels and
+    re-viewed as [P/2, 32] two-entry rows, so the slot gather fetches two
+    consecutive bin entries per row — half the gather rows, a quarter of
+    the gathered bytes (TPU gathers are per-row-cost bound). Bins whose
+    CSR offset is odd start mid-row; the kernel masks the leading
+    sub-entry via gskip.
+
+    Returns (rows256 [r_cap//2, 256], rowptr [grp_cap+1] (row units),
+    gdepth, gskip [grp_cap*8], xl, yl [grp_cap, 128], gbins [grp_cap*8],
+    n_rows, n_pairs, n_used) — n_rows in ENTRY units (2x row count) so
+    callers compare it against the same r_cap as the base walk."""
+    c2 = CHUNK_RG // 2
+    assert r_cap % CHUNK_RG == 0
+    r_cap2 = r_cap // 2
+    n_bins = n_tiles * N_SUB
+    assert n_bins <= (1 << 13)
+    bin_s = (pair_key >> SUB_SHIFT).astype(jnp.int32)
+    tri_s = (pair_key & (MAX_TRI - 1)).astype(jnp.int32)
+    P = pair_key.shape[0]
+    p_eff = min(pair_cap, P)
+    offsets = _bin_offsets(bin_s, p_eff, n_bins)
+    n_pairs = jnp.sum((bin_s < n_bins).astype(jnp.int32))
+    depth_bins = offsets[1:] - offsets[:-1]
+    n_used = jnp.sum((depth_bins > 0).astype(jnp.int32))
+
+    negd, binperm = jax.lax.sort(
+        (-depth_bins, jnp.arange(n_bins, dtype=jnp.int32)), num_keys=1)
+    nsel = grp_cap * N_SUB
+    if nsel > n_bins:
+        pad = nsel - n_bins
+        binperm = jnp.concatenate(
+            [binperm, jnp.full((pad,), n_bins, jnp.int32)])
+        negd = jnp.concatenate([negd, jnp.zeros((pad,), jnp.int32)])
+    gbins = binperm[:nsel]
+    gdepth = -negd[:nsel]
+    off_g = offsets[jnp.minimum(gbins, n_bins)]
+    gskip = jnp.where(gdepth > 0, off_g & 1, 0)
+    o2 = (off_g - gskip) >> 1          # even-aligned two-entry row start
+    rb = (gdepth + gskip + 1) >> 1     # rows needed per bin
+    gmax2 = rb.reshape(grp_cap, N_SUB).max(axis=1)
+    d_pad = ((gmax2 + c2 - 1) // c2) * c2
+    rowptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(d_pad).astype(jnp.int32)])
+    n_rows = rowptr[-1] * 2            # entry units (vs r_cap)
+
+    r_ids = jnp.arange(r_cap2, dtype=jnp.int32)
+    t_r = jnp.minimum(jnp.sum(
+        (r_ids[:, None] >= rowptr[None, 1:]).astype(jnp.int32), axis=1),
+        grp_cap - 1)
+    d_r = r_ids - rowptr[:-1][t_r]
+    go2 = o2.reshape(grp_cap, N_SUB)
+    off_rows = go2[t_r]                               # [r_cap2, 8]
+
+    # pair-ordered 16-channel source, two entries per 32-lane row
+    src_pair = src32[tri_s[:p_eff]][:, :N_CHAN]       # [p_eff, 16]
+    pe2 = p_eff + (p_eff & 1)
+    if pe2 > p_eff:
+        src_pair = jnp.concatenate(
+            [src_pair, jnp.zeros((1, N_CHAN), jnp.float32)], axis=0)
+    srck2 = src_pair.reshape(pe2 // 2, 2 * N_CHAN)    # [P/2, 32]
+    pidx = jnp.clip((off_rows + d_r[:, None]).reshape(-1),
+                    0, pe2 // 2 - 1)
+    g = srck2[pidx]                                   # [r_cap2*8, 32]
+    rows256 = g.reshape(r_cap2, N_SUB * 2 * N_CHAN)
+
+    safe_bins = jnp.minimum(gbins, n_bins - 1)
+    tile = safe_bins // N_SUB
+    sub = safe_bins % N_SUB
+    x0 = ((tile % tiles_x) * TILE_W + sub * SUB_W).astype(jnp.float32)
+    y0 = ((tile // tiles_x) * TILE_H).astype(jnp.float32)
+    lane_in = (jnp.arange(SUB_W, dtype=jnp.float32) + 0.5)
+    xl = (jnp.repeat(x0.reshape(grp_cap, N_SUB), SUB_W, axis=1)
+          + jnp.tile(lane_in, N_SUB)[None, :])
+    yl = jnp.repeat(y0.reshape(grp_cap, N_SUB), SUB_W, axis=1)
+
+    rowptr_k = jnp.minimum(rowptr, r_cap2)
+    return (rows256, rowptr_k, gdepth, gskip, xl, yl, gbins,
+            n_rows, n_pairs, n_used)
+
+
 def _bin_offsets(bin_s: jnp.ndarray, p_eff: int, n_bins: int) -> jnp.ndarray:
     """offsets[q] = #entries of the SORTED bin_s[:p_eff] with bin < q,
     q in [0, n_bins] — the CSR offsets of the pair list.

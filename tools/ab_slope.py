@@ -47,8 +47,16 @@ VARIANTS = {
     "skiptr": [("ascii_renderer_tpu.ops.raster_group",
                 "PROBE_SKIP_TR", True)],
     "s4": [],  # name prefix "s4" switches the walk to kernel=subtile4
+    "s5": [],  # name prefix "s5" switches the walk to kernel=subtile5 (K2)
+    "s5t24": [("ascii_renderer_tpu.backends.raster", "SHADE_TABLE_W", 24)],
+    "s5c16": [("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 16)],
+    "s5c64": [("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 64)],
     "chunk16": [("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 16)],
     "chunk64": [("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 64)],
+    "t24c16": [("ascii_renderer_tpu.backends.raster", "SHADE_TABLE_W", 24),
+               ("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 16)],
+    "t32c16": [("ascii_renderer_tpu.backends.raster", "SHADE_TABLE_W", 32),
+               ("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 16)],
 }
 
 
@@ -156,7 +164,8 @@ def main():
         # distinct function object per variant: jax.jit shares its trace
         # cache across wrappers of the SAME callable, which would silently
         # reuse the first variant's trace for all of them
-        kern = "subtile4" if name.startswith("s4") else "subtile3"
+        kern = ("subtile4" if name.startswith("s4")
+                else "subtile5" if name.startswith("s5") else "subtile3")
         f = jax.jit(lambda cam, _v=name, _k=kern: frame(cam, _k))
         out = np.asarray(f(cam))  # trace NOW under this variant's flags
         if ref_out is None:
