@@ -593,6 +593,98 @@ def build_packed_rows_grouped_k2(src32: jnp.ndarray, pair_key: jnp.ndarray,
             n_rows, n_pairs, n_used)
 
 
+def build_packed_rows_grouped_k4(src32: jnp.ndarray, pair_key: jnp.ndarray,
+                                 tiles_x: int, n_tiles: int, r_cap: int,
+                                 pair_cap: int, grp_cap: int):
+    """build_packed_rows_grouped with FOUR entries per gather row,
+    lowered to the K2 kernel layout.
+
+    The slot gather reads the pair-ordered 16-channel source re-viewed as
+    [P/4, 64] four-entry rows — a quarter of the base walk's gather rows
+    (gathers are per-row-cost bound). A K4 kernel is infeasible (the 0/1
+    expand matrix grows as K^2: 13.6 MB VMEM at K4 vs ~16 MB/core), so
+    the gathered [r_cap/4 * 8, 64] block is relaid to the K2 row format
+    by one XLA transpose (K4 row q half p of slot g -> K2 row 2q+p) and
+    walked by tile_eval_grouped_k2 unchanged. Bins whose CSR offset is
+    not 4-aligned start mid-row: gskip in [0, 3], same skip-window mask.
+
+    Returns the same tuple as build_packed_rows_grouped_k2 (rowptr in K2
+    row units, CHUNK_RG/2 multiples; n_rows in entry units vs r_cap)."""
+    c2 = CHUNK_RG // 2
+    c4 = CHUNK_RG // 4
+    assert r_cap % CHUNK_RG == 0 and CHUNK_RG % 4 == 0
+    r_cap2 = r_cap // 2
+    r_cap4 = r_cap // 4
+    n_bins = n_tiles * N_SUB
+    assert n_bins <= (1 << 13)
+    bin_s = (pair_key >> SUB_SHIFT).astype(jnp.int32)
+    tri_s = (pair_key & (MAX_TRI - 1)).astype(jnp.int32)
+    P = pair_key.shape[0]
+    p_eff = min(pair_cap, P)
+    offsets = _bin_offsets(bin_s, p_eff, n_bins)
+    n_pairs = jnp.sum((bin_s < n_bins).astype(jnp.int32))
+    depth_bins = offsets[1:] - offsets[:-1]
+    n_used = jnp.sum((depth_bins > 0).astype(jnp.int32))
+
+    negd, binperm = jax.lax.sort(
+        (-depth_bins, jnp.arange(n_bins, dtype=jnp.int32)), num_keys=1)
+    nsel = grp_cap * N_SUB
+    if nsel > n_bins:
+        pad = nsel - n_bins
+        binperm = jnp.concatenate(
+            [binperm, jnp.full((pad,), n_bins, jnp.int32)])
+        negd = jnp.concatenate([negd, jnp.zeros((pad,), jnp.int32)])
+    gbins = binperm[:nsel]
+    gdepth = -negd[:nsel]
+    off_g = offsets[jnp.minimum(gbins, n_bins)]
+    gskip = jnp.where(gdepth > 0, off_g & 3, 0)
+    o4 = (off_g - gskip) >> 2          # 4-aligned four-entry row start
+    rb = (gdepth + gskip + 3) >> 2     # K4 rows needed per bin
+    gmax4 = rb.reshape(grp_cap, N_SUB).max(axis=1)
+    d_pad = ((gmax4 + c4 - 1) // c4) * c4
+    rowptr4 = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(d_pad).astype(jnp.int32)])
+    n_rows = rowptr4[-1] * 4           # entry units (vs r_cap)
+
+    r_ids = jnp.arange(r_cap4, dtype=jnp.int32)
+    t_r = jnp.minimum(jnp.sum(
+        (r_ids[:, None] >= rowptr4[None, 1:]).astype(jnp.int32), axis=1),
+        grp_cap - 1)
+    d_r = r_ids - rowptr4[:-1][t_r]
+    go4 = o4.reshape(grp_cap, N_SUB)
+    off_rows = go4[t_r]                               # [r_cap4, 8]
+
+    # pair-ordered 16-channel source, four entries per 64-lane row
+    src_pair = src32[tri_s[:p_eff]][:, :N_CHAN]       # [p_eff, 16]
+    pe4 = -(-p_eff // 4) * 4
+    if pe4 > p_eff:
+        src_pair = jnp.concatenate(
+            [src_pair, jnp.zeros((pe4 - p_eff, N_CHAN), jnp.float32)],
+            axis=0)
+    srck4 = src_pair.reshape(pe4 // 4, 4 * N_CHAN)    # [P/4, 64]
+    pidx = jnp.clip((off_rows + d_r[:, None]).reshape(-1),
+                    0, pe4 // 4 - 1)
+    g = srck4[pidx]                                   # [r_cap4*8, 64]
+    # K4 row q, half p, slot g  ->  K2 row 2q+p, slot g
+    rows256 = (g.reshape(r_cap4, N_SUB, 2, 2 * N_CHAN)
+               .transpose(0, 2, 1, 3)
+               .reshape(r_cap2, N_SUB * 2 * N_CHAN))
+
+    safe_bins = jnp.minimum(gbins, n_bins - 1)
+    tile = safe_bins // N_SUB
+    sub = safe_bins % N_SUB
+    x0 = ((tile % tiles_x) * TILE_W + sub * SUB_W).astype(jnp.float32)
+    y0 = ((tile // tiles_x) * TILE_H).astype(jnp.float32)
+    lane_in = (jnp.arange(SUB_W, dtype=jnp.float32) + 0.5)
+    xl = (jnp.repeat(x0.reshape(grp_cap, N_SUB), SUB_W, axis=1)
+          + jnp.tile(lane_in, N_SUB)[None, :])
+    yl = jnp.repeat(y0.reshape(grp_cap, N_SUB), SUB_W, axis=1)
+
+    rowptr_k = jnp.minimum(rowptr4 * 2, r_cap2)
+    return (rows256, rowptr_k, gdepth, gskip, xl, yl, gbins,
+            n_rows, n_pairs, n_used)
+
+
 def _bin_offsets(bin_s: jnp.ndarray, p_eff: int, n_bins: int) -> jnp.ndarray:
     """offsets[q] = #entries of the SORTED bin_s[:p_eff] with bin < q,
     q in [0, n_bins] — the CSR offsets of the pair list.

@@ -227,6 +227,23 @@ def test_perf_variant_flags_bit_identical():
         R.SHADE_TABLE_W, RG.CHUNK_RG = saved
 
 
+def _multi_entry_walk_case(kernel, seed, T):
+    pos, nrm, col = _rand_soup(T, seed=seed)
+    scene = _rand_scene()
+    cam = Camera.create(pos=(2.5, 1.5, 3.0), yaw=-2.3, pitch=-0.3)
+    args = (jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(col),
+            scene, cam)
+    kw = dict(rows=48, cols=96, pixel_aspect=0.5,
+              v_cap=4096, big_cap=1024, r_cap=32 * 512,
+              pair_cap=8 * T + 1024 * 48 * 8 + 4096,
+              tile_cap=(-(-48 // 8)) * (-(-96 // 128) or 1) * 8)
+    a = np.asarray(jax.jit(functools.partial(
+        R.render_soup, method="subtile3", **kw))(*args))
+    b = np.asarray(jax.jit(functools.partial(
+        R.render_soup, method=kernel, **kw))(*args))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_subtile5_bit_identical_to_subtile3():
     """The K2 walk (two entries per gather row, kernel=subtile5) must be
     bit-identical to the base grouped walk: same entry visit order per
@@ -234,20 +251,43 @@ def test_subtile5_bit_identical_to_subtile3():
     pure 0/1 selection (exact at HIGHEST precision). Random soups give
     odd CSR offsets, exercising the gskip sub-entry window."""
     for seed, T in ((5, 3000), (11, 900)):
-        pos, nrm, col = _rand_soup(T, seed=seed)
-        scene = _rand_scene()
-        cam = Camera.create(pos=(2.5, 1.5, 3.0), yaw=-2.3, pitch=-0.3)
-        args = (jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(col),
-                scene, cam)
-        kw = dict(rows=48, cols=96, pixel_aspect=0.5,
-                  v_cap=4096, big_cap=1024, r_cap=32 * 512,
-                  pair_cap=8 * T + 1024 * 48 * 8 + 4096,
-                  tile_cap=(-(-48 // 8)) * (-(-96 // 128) or 1) * 8)
-        a = np.asarray(jax.jit(functools.partial(
-            R.render_soup, method="subtile3", **kw))(*args))
-        b = np.asarray(jax.jit(functools.partial(
-            R.render_soup, method="subtile5", **kw))(*args))
-        np.testing.assert_array_equal(a, b)
+        _multi_entry_walk_case("subtile5", seed, T)
+
+
+def test_subtile6_bit_identical_to_subtile3():
+    """The K4 walk (four entries per gather row relaid to the K2 kernel
+    format, kernel=subtile6) must also be bit-identical: the relayout is
+    a pure permutation and gskip in [0, 3] masks mid-row bin starts."""
+    for seed, T in ((5, 3000), (7, 1100)):
+        _multi_entry_walk_case("subtile6", seed, T)
+
+
+def test_subtile6_near_plane_crossers_match_subtile3():
+    s = 5.0
+    floor = [(-s, 0, -s), (s, 0, -s), (s, 0, s), (-s, 0, s)]
+    wall = [(-s, 0, -s), (-s, 4, -s), (s, 4, -s), (s, 0, -s)]
+
+    def qt(q):
+        a, b, c, d = q
+        return [a, b, c, a, c, d]
+
+    pos = np.asarray(qt(floor) + qt(wall), np.float32)
+    nrm = np.zeros_like(pos)
+    nrm[:6] = (0, 1, 0)
+    nrm[6:] = (0, 0, 1)
+    col = np.tile(np.asarray([[0.7, 0.6, 0.5]], np.float32), (12, 1))
+    cam = Camera.create(pos=(0.0, 1.0, 2.0), yaw=-1.57, pitch=-0.5)
+    scene = _rand_scene()
+    args = (jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(col), scene,
+            cam)
+    kw = dict(rows=48, cols=96, pixel_aspect=0.5, v_cap=4096, big_cap=16,
+              r_cap=32 * 512, pair_cap=65536,
+              tile_cap=(-(-48 // 8)) * 8)
+    a = np.asarray(jax.jit(functools.partial(
+        R.render_soup, method="subtile3", **kw))(*args))
+    b = np.asarray(jax.jit(functools.partial(
+        R.render_soup, method="subtile6", **kw))(*args))
+    np.testing.assert_array_equal(a, b)
 
 
 def test_subtile5_near_plane_crossers_match_subtile3():

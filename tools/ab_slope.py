@@ -51,6 +51,10 @@ VARIANTS = {
     "s5t24": [("ascii_renderer_tpu.backends.raster", "SHADE_TABLE_W", 24)],
     "s5c16": [("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 16)],
     "s5c64": [("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 64)],
+    "s6": [],  # name prefix "s6" switches the walk to kernel=subtile6 (K4)
+    "s6t24": [("ascii_renderer_tpu.backends.raster", "SHADE_TABLE_W", 24)],
+    "s6c16": [("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 16)],
+    "s6c64": [("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 64)],
     "chunk16": [("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 16)],
     "chunk64": [("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 64)],
     "t24c16": [("ascii_renderer_tpu.backends.raster", "SHADE_TABLE_W", 24),
@@ -165,7 +169,8 @@ def main():
         # cache across wrappers of the SAME callable, which would silently
         # reuse the first variant's trace for all of them
         kern = ("subtile4" if name.startswith("s4")
-                else "subtile5" if name.startswith("s5") else "subtile3")
+                else "subtile5" if name.startswith("s5")
+                else "subtile6" if name.startswith("s6") else "subtile3")
         f = jax.jit(lambda cam, _v=name, _k=kern: frame(cam, _k))
         out = np.asarray(f(cam))  # trace NOW under this variant's flags
         if ref_out is None:
