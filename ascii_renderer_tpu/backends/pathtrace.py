@@ -619,12 +619,22 @@ def pack_scene_entries(scene: SceneData):
     if ah > 1 and aw > 1 and ah * aw <= PK.MAX_ATLAS_TEXELS:
         rgb = scene.atlas_rgb.reshape(-1, 3).astype(jnp.float32)
         packed = rgb[:, 0] * 65536.0 + rgb[:, 1] * 256.0 + rgb[:, 2]
-        flat = jnp.stack(
-            [packed, scene.atlas_a.reshape(-1).astype(jnp.float32)], axis=1)
+        abv = scene.atlas_a.reshape(-1).astype(jnp.float32)
+        texels = ah * aw
+        rows_t = -(-texels // 128)
+        pad = rows_t * 128 - texels
+        if pad:
+            packed = jnp.concatenate([packed,
+                                      jnp.zeros((pad,), jnp.float32)])
+            abv = jnp.concatenate([abv, jnp.zeros((pad,), jnp.float32)])
+        # transposed two-channel layout for the kernel's two-level gather
+        # (ops/pt_kernel.atlas_fetch): atlas_flat[l, r] = packed texel
+        # r*128 + l, atlas_flat[128 + l, r] = its alpha byte
         atlas_flat = jnp.concatenate(
-            [flat, jnp.zeros((flat.shape[0], 128 - 2), jnp.float32)], axis=1)
+            [packed.reshape(rows_t, 128).T, abv.reshape(rows_t, 128).T],
+            axis=0)
         return prim_packed, atlas_flat, aw, ah, sph_rows
-    return prim_packed, jnp.zeros((8, 128), jnp.float32), 0, 0, sph_rows
+    return prim_packed, jnp.zeros((256, 8), jnp.float32), 0, 0, sph_rows
 
 
 def trace_eye_paths_kernel(scene: SceneData, ro, rd, seed_base, light_center,

@@ -35,7 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 BH, BW = 8, 128  # ray block
 N_CHAN = 32
 PACK = 4  # entries per 128-lane row
-MAX_ATLAS_TEXELS = 1024  # one-hot gather VMEM budget
+# Two-level gather budget: atlas lives in VMEM as [2*128, texels/128]
+# (8 bytes/texel) and the per-ray cost is O(texels/128 + 128), so the cap
+# is VMEM-bound at a 256x256 atlas rather than compute-bound at 32x32.
+MAX_ATLAS_TEXELS = 65536
 
 # entry channels (shared by spheres and tris; unused fields zero)
 # kind: 0 = inert, 1 = sphere, 2 = triangle
@@ -231,24 +234,46 @@ def _kernel(params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
         return carry
 
     def atlas_fetch(uvx, uvy):
-        """Nearest-texel atlas gather: per-texel one-hot mask reduced over
-        the texel axis. RGB rides one packed float (r*65536 + g*256 + b,
-        exact integers < 2^24) so only TWO reduction passes are needed.
-        Returns (tr, tg, tb in 0..1, abyte f32, inbounds bool)."""
+        """Nearest-texel atlas gather, two-level one-hot:
+          lin = hi*128 + lo;  slab select (MXU) then lane select (VPU).
+        atlas_r is [2*128, rows_t] with sublanes 0..127 = packed rgb
+        (r*65536 + g*256 + b, exact integers < 2^24) transposed so that
+        atlas_r[l, r] = value of texel r*128 + l, and sublanes 128..255
+        the alpha byte. Per sublane of the ray block: one [rows_t, 128]
+        row one-hot -> one [256, rows_t] @ [rows_t, 128] dot selects each
+        ray's 128-texel slab (both channels at once), then a [128, 128]
+        lane one-hot masks the texel within the slab and a sublane
+        reduction yields the value. O(rows_t + 128) per ray instead of
+        the old O(texels) flat reduction — and exact: every one-hot
+        column has a single 1, so the HIGHEST-precision dot conveys the
+        f32 atlas value unchanged (same contract the raster walk kernels
+        rely on). Returns (tr, tg, tb in 0..1, abyte f32, inbounds)."""
+        rows_t = atlas_r.shape[1]
         tx = jnp.floor(uvx + 0.5)
         ty = jnp.floor(uvy + 0.5)
         inb = (tx >= 0) & (tx < atlas_w) & (ty >= 0) & (ty < atlas_h)
-        lin = jnp.clip(ty * atlas_w + tx, 0, atlas_texels - 1).astype(jnp.int32)
-        texid = jax.lax.broadcasted_iota(
-            jnp.int32, (atlas_texels, BH, BW), 0)
-        oh = (lin[None] == texid).astype(jnp.float32)  # [texels, 8, 128]
-
-        def chan(c):
-            col = atlas_r[:, c]  # [texels]
-            return jnp.sum(oh * col[:, None, None], axis=0)
-
-        packed = chan(0)  # r*65536 + g*256 + b (bytes)
-        ab = chan(1)
+        lin = jnp.clip(ty * atlas_w + tx, 0, atlas_texels - 1).astype(
+            jnp.int32)
+        hi = lin >> 7   # [8, 128] slab (row-of-128-texels) index
+        lo = lin & 127  # [8, 128] texel within slab
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (BW, BW), 0)
+        a2 = atlas_r[...]  # [256, rows_t]
+        packed_rows = []
+        ab_rows = []
+        for s in range(BH):  # static unroll over ray-block sublanes
+            ohh = (jax.lax.broadcasted_iota(jnp.int32, (rows_t, BW), 0)
+                   == hi[s:s + 1, :]).astype(jnp.float32)
+            slab = jax.lax.dot_general(
+                a2, ohh, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)  # [256, 128]
+            ohl = (l_iota == lo[s:s + 1, :]).astype(jnp.float32)
+            packed_rows.append(jnp.sum(slab[0:BW] * ohl, axis=0,
+                                       keepdims=True))
+            ab_rows.append(jnp.sum(slab[BW:2 * BW] * ohl, axis=0,
+                                   keepdims=True))
+        packed = jnp.concatenate(packed_rows, axis=0)  # [8, 128]
+        ab = jnp.concatenate(ab_rows, axis=0)
         r_ = jnp.floor(packed / 65536.0)
         rem = packed - r_ * 65536.0
         g_ = jnp.floor(rem / 256.0)
@@ -477,16 +502,18 @@ def trace_blocks(params, prim_packed, ro, rd, seeds, atlas_flat, *,
                  bounces: int, nee: bool, atlas_w: int, atlas_h: int,
                  sph_rows: int, interpret: bool | None = None):
     """params f32 [8]; prim_packed f32 [rows, 128]; ro/rd f32 [B, 8, 128, 3]
-    (B ray blocks); seeds i32 [B]; atlas_flat f32 [texels_padded, 128]
-    (rgb*255?, no — rgb in 0..1 and alpha byte as float; zero texels if
-    atlas disabled, pass atlas_w = atlas_h = 0).
+    (B ray blocks); seeds i32 [B]; atlas_flat f32 [2*128, ceil(texels/128)]
+    transposed two-channel layout (see _kernel.atlas_fetch; packed-rgb
+    sublanes then alpha-byte sublanes); if the atlas is disabled pass any
+    zero block and atlas_w = atlas_h = 0.
 
     Returns (lo [B,8,128,3], override [B,8,128], fetched [B,8,128])."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B = ro.shape[0]
     n_rows = prim_packed.shape[0]
-    atlas_texels = atlas_flat.shape[0] if atlas_w > 0 else 0
+    atlas_texels = atlas_w * atlas_h if atlas_w > 0 else 0
+    assert atlas_texels <= atlas_flat.shape[1] * 128
     kernel = functools.partial(
         _kernel, bounces=bounces, sph_rows=sph_rows, n_rows=n_rows, nee=nee,
         atlas_texels=atlas_texels, atlas_w=atlas_w, atlas_h=atlas_h,

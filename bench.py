@@ -295,13 +295,24 @@ def bench_config0(smoke):
         out["mrays_s_960x540"] = round(
             (1.0 / dt_hd) * 540 * 960 * spp_hd * rays_per_path / 1e6, 2)
 
-        # ---- >MAX_ATLAS_TEXELS fallback cliff: same workload, 64x64
-        # atlas -> the megakernel's one-hot gather budget is exceeded and
-        # the XLA core takes over; the ratio IS the measured cliff.
+        # ---- big-atlas behavior: same workload, 64x64 atlas (4096
+        # texels). Under the old 1024-texel one-hot budget this fell off
+        # a cliff to the XLA core; the two-level gather handles it
+        # in-kernel. Report both: the in-kernel point (the cliff is
+        # gone) and the would-be XLA fallback (the cliff that was).
         from ascii_renderer_tpu.atlas.io import demo_atlas
         sb2 = create_demo_scene()
         sb2.set_atlas(demo_atlas(64, 64))
         scene2 = sb2.build(min_pad=1)
+        fn_bigk = jax.jit(functools.partial(
+            render_pt, rows=36, cols=96, pixel_aspect=0.5, spp=spp,
+            bounces=5, light_color=(16.86, 10.76, 8.2),
+            sample_batch=min(64, spp), use_kernel=use_kernel))
+        dt_bigk = _time_fn(
+            lambda: fn_bigk(scene2, scene2.camera, jnp.float32(0.0), key),
+            (), iters=16)
+        out["fps_atlas64_kernel"] = round(1.0 / dt_bigk, 2)
+        out["atlas64_kernel_ratio"] = round(dt_bigk / dt, 2)
         fn_big = jax.jit(functools.partial(
             render_pt, rows=36, cols=96, pixel_aspect=0.5, spp=spp,
             bounces=5, light_color=(16.86, 10.76, 8.2),

@@ -64,6 +64,41 @@ def test_pt_megakernel_twin_deterministic_parts():
     assert (np.asarray(a_ov) > 0).sum() > 10  # the poster is actually hit
 
 
+def test_pt_megakernel_big_and_padded_atlas():
+    """The two-level one-hot gather must stay exact for atlases beyond
+    the old 1024-texel cap (64x64 = 4096 texels used to fall back to the
+    XLA core) and for texel counts that are not 128-multiples (26x24 =
+    624 -> a padded tail slab)."""
+    import jax
+    from ascii_renderer_tpu.backends import pathtrace as PT
+    from ascii_renderer_tpu.scene.demo import create_demo_scene
+    from ascii_renderer_tpu.atlas.io import demo_atlas
+    from ascii_renderer_tpu.core.camera import Camera, primary_ray_dirs
+
+    for aw, ah in ((64, 64), (26, 24)):
+        sb = create_demo_scene()
+        sb.set_atlas(demo_atlas(aw, ah))
+        scene = sb.build()
+        cam = Camera.create(pos=(0, 2.5, 5.2), yaw=-np.pi / 2)
+        rd = primary_ray_dirs(cam, 16, 32, 0.5)
+        rox = jnp.broadcast_to(jnp.asarray(cam.pos), rd.shape)
+        lc, lr = PT.get_light_sphere(scene, 0.0)
+        lcol = jnp.asarray((16.86, 10.76, 8.2)) * 1.3
+        a_lo, a_ov, a_f = PT.trace_eye_paths(
+            scene, rox, rd, jax.random.key(0), lc, lr, bounces=1,
+            light_color=lcol, nee=False)
+        k_lo, k_ov, k_f = PT.trace_eye_paths_kernel(
+            scene, rox, rd, 0, lc, lr, bounces=1, light_color=lcol,
+            nee=False, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a_ov), np.asarray(k_ov),
+                                      err_msg=f"{aw}x{ah}")
+        np.testing.assert_array_equal(np.asarray(a_f), np.asarray(k_f),
+                                      err_msg=f"{aw}x{ah}")
+        np.testing.assert_allclose(np.asarray(a_lo), np.asarray(k_lo),
+                                   atol=1e-5, err_msg=f"{aw}x{ah}")
+        assert (np.asarray(a_f)).sum() > 0, f"{aw}x{ah}: poster never hit"
+
+
 def test_pt_megakernel_twin_statistical():
     """Multi-bounce MC estimates agree in the mean (different RNG streams)."""
     import jax
