@@ -61,6 +61,15 @@ VARIANTS = {
                ("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 16)],
     "t32c16": [("ascii_renderer_tpu.backends.raster", "SHADE_TABLE_W", 32),
                ("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 16)],
+    # combined candidates — what we'd actually land if singles each win
+    "s5t32": [("ascii_renderer_tpu.backends.raster", "SHADE_TABLE_W", 32)],
+    "s6t32": [("ascii_renderer_tpu.backends.raster", "SHADE_TABLE_W", 32)],
+    "s5t24c16": [("ascii_renderer_tpu.backends.raster", "SHADE_TABLE_W", 24),
+                 ("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 16)],
+    "s6t24c16": [("ascii_renderer_tpu.backends.raster", "SHADE_TABLE_W", 24),
+                 ("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 16)],
+    "s6t24c64": [("ascii_renderer_tpu.backends.raster", "SHADE_TABLE_W", 24),
+                 ("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 64)],
 }
 
 

@@ -34,6 +34,10 @@ run() {
   timeout 2400 python tools/ab_slope.py \
     base s5 s5t24 s5c16 s5c64 s6 s6t24 s6c16 s6c64 \
     2>&1 | tee "$OUT/ab_k.txt"
+  echo "=== 2b/4 slope A/B: combined landing candidates ==="
+  timeout 2400 python tools/ab_slope.py \
+    base s5t32 s6t32 s5t24c16 s6t24c16 s6t24c64 t24 s6t24 \
+    2>&1 | tee "$OUT/ab_combo.txt"
   echo "=== 3/4 full bench (all configs incl. PT Mrays/s fields) ==="
   timeout 3600 python bench.py 2>&1 | tee "$OUT/bench_full.txt"
   echo "=== 4/4 stage profile of the headline prefix ==="
