@@ -247,6 +247,11 @@ def run_pixels(args) -> int:
     n = max(1, args.frames)
     pending = None
     wrote = 0
+    # warm-up: trace + compile the step and the expansion outside the timed
+    # loop (otherwise --frames=1 reports seconds of pure compile time as
+    # the frame rate); the warm-up frame is discarded, state is unchanged
+    _s, _c, _t, _f = step(scene, state, ins, 0.0, fps_val)
+    np.asarray(p._expand(_c, _t, p.atlas))
     t0 = time.perf_counter()
     with open(out_path, "wb") as f:
         for _ in range(n):

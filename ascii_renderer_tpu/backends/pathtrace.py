@@ -391,6 +391,23 @@ def trace_eye_paths(scene: SceneData, ro, rd, key, light_center, light_radius,
                 {"segments": seg_count, "shadow_rays": shadow_count})
     return Lo_arr, override.reshape(shp), primary_fetched.reshape(shp)
 
+def primary_ray_grid(cam: Camera, rows: int, cols: int, pixel_aspect):
+    """Center-ray grid (ro, rd, px, py) for the PT camera mapping
+    (pathtrace_shader.js:195-201). The single implementation shared by
+    render_pt and bench.py's Mrays/s ray accounting, so the counted rays
+    are bit-identical to the rays the timed render actually traces."""
+    uu, vv, ww, focal = camera_basis(cam.yaw, cam.pitch, cam.fov_y)
+    aspect = jnp.float32(cols / rows) * jnp.float32(pixel_aspect)
+    x = (jnp.arange(cols, dtype=jnp.float32) + 0.5) / jnp.float32(cols)
+    y_gl = (jnp.arange(rows, dtype=jnp.float32)[::-1] + 0.5) / jnp.float32(rows)
+    px = jnp.broadcast_to(((-1.0 + 2.0 * x) * aspect)[None, :], (rows, cols))
+    py = jnp.broadcast_to((-1.0 + 2.0 * y_gl)[:, None], (rows, cols))
+    rd0 = (px[..., None] * uu + py[..., None] * vv + focal * ww)
+    rd0 = rd0 / jnp.linalg.norm(rd0, axis=-1, keepdims=True)
+    ro0 = jnp.broadcast_to(cam.pos, (rows, cols, 3))
+    return ro0, rd0, px, py
+
+
 def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
               cols: int, pixel_aspect: float, spp: int, bounces: int,
               light_color, nee: bool = True, sample_batch: int = 32,
@@ -412,10 +429,7 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
     Returns (rgb f32 [H,W,3] in [0,1], alpha byte u8 [H,W])."""
     uu, vv, ww, focal = camera_basis(cam.yaw, cam.pitch, cam.fov_y)
     aspect = jnp.float32(cols / rows) * jnp.float32(pixel_aspect)
-    x = (jnp.arange(cols, dtype=jnp.float32) + 0.5) / jnp.float32(cols)
-    y_gl = (jnp.arange(rows, dtype=jnp.float32)[::-1] + 0.5) / jnp.float32(rows)
-    px = jnp.broadcast_to(((-1.0 + 2.0 * x) * aspect)[None, :], (rows, cols))
-    py = jnp.broadcast_to((-1.0 + 2.0 * y_gl)[:, None], (rows, cols))
+    ro0, rd0, px, py = primary_ray_grid(cam, rows, cols, pixel_aspect)
 
     light_center, light_radius = get_light_sphere(scene, time)
     lcol = jnp.asarray(light_color, jnp.float32) * 1.3  # the *1.3 in the define
@@ -429,9 +443,6 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
                   .astype(jnp.int32))
 
     # ---- phase 1: center-ray probe (fetched flag + primary glyph hits) ----
-    rd0 = (px[..., None] * uu + py[..., None] * vv + focal * ww)
-    rd0 = rd0 / jnp.linalg.norm(rd0, axis=-1, keepdims=True)
-    ro0 = jnp.broadcast_to(cam.pos, (rows, cols, 3))
     if use_kernel:
         col0, ov0, fetched = trace_eye_paths_kernel(
             scene, ro0, rd0, frame_seed, light_center, light_radius,

@@ -341,6 +341,10 @@ def count_big_small_bbox(cch, rows: int, cols: int):
 
 
 SHADE_TABLE_W = 0  # 0 = exact 3A+3; else padded gather width (perf A/B)
+PACK_SPLIT = False  # pack kernel emits src32+shade table as CONTIGUOUS
+# arrays (ops/pack.pack_channels_split) instead of lane-slices of one
+# wider pack — row gathers from a slice of a wider array read strided
+# rows (~20x slower gather path, tools/exp_rows.py); perf A/B
 PROBE_SKIP_SHADE_GATHER = False  # wrong-output perf probe (tools/ab_slope)
 PROBE_SKIP_KEYSORT = False       # wrong-output perf probe (tools/ab_slope)
 PROBE_SKIP_WALK = False          # wrong-output perf probe (tools/ab_slope)
@@ -447,13 +451,20 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
         cm, bbox = setup_2dh_fused(pos9, attrs_t, mvp, rows, cols)
         n_valid = jnp.sum(bbox["valid"].astype(jnp.int32))
         keys = _subtile_pair_keys_bbox(bbox, rows, cols, big_cap=big_cap)
-        pack_w = max(-(-cm.shape[0] // 8) * 8,
-                     16 + SHADE_TABLE_W if SHADE_TABLE_W else 0)
-        g40 = pack_channels(cm, width=pack_w)
+        tw = SHADE_TABLE_W if SHADE_TABLE_W else 3 * A + 3
+        if PACK_SPLIT:
+            from ascii_renderer_tpu.ops.pack import pack_channels_split
+            src32, table = pack_channels_split(cm, [(0, 32), (16, 16 + tw)])
+        else:
+            pack_w = max(-(-cm.shape[0] // 8) * 8,
+                         16 + SHADE_TABLE_W if SHADE_TABLE_W else 0)
+            g40 = pack_channels(cm, width=pack_w)
+            # cols past 3A+3 are junk, never read
+            src32, table = g40[:, :32], g40[:, 16:16 + tw]
         if kernel == "subtile4":  # direct-DMA walk: no aligned layout
             (src_pair, goff, gdepth, gchunks, xl, yl, gbins, n_rows,
              n_pairs, n_used) = RG.build_groups_direct(
-                g40[:, :32], keys, tiles_x, n_tiles, pair_cap, grp_cap)
+                src32, keys, tiles_x, n_tiles, pair_cap, grp_cap)
             _z, e = RG.tile_eval_direct(src_pair, goff, gdepth, gchunks,
                                         xl, yl, grp_cap)
         elif kernel in ("subtile5", "subtile6"):  # K2/K4 multi-entry rows
@@ -461,14 +472,14 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
                      else RG.build_packed_rows_grouped_k4)
             (rows256, rowptr, gdepth, gskip, xl, yl, gbins, n_rows,
              n_pairs, n_used) = build(
-                g40[:, :32], keys, tiles_x, n_tiles, r_cap, pair_cap,
+                src32, keys, tiles_x, n_tiles, r_cap, pair_cap,
                 grp_cap)
             _z, e = RG.tile_eval_grouped_k2(rows256, rowptr, gdepth,
                                             gskip, xl, yl, grp_cap)
         else:
             (rows128, rowptr, gdepth, xl, yl, gbins, n_rows, n_pairs,
              n_used) = RG.build_packed_rows_grouped(
-                g40[:, :32], keys, tiles_x, n_tiles, r_cap, pair_cap,
+                src32, keys, tiles_x, n_tiles, r_cap, pair_cap,
                 grp_cap)
             if PROBE_SKIP_WALK:
                 # keep the rows build live with a cheap reduce
@@ -477,8 +488,6 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
             else:
                 _z, e = RG.tile_eval_grouped(rows128, rowptr, gdepth, xl,
                                              yl, grp_cap)
-        tw = SHADE_TABLE_W if SHADE_TABLE_W else 3 * A + 3
-        table = g40[:, 16:16 + tw]  # cols >= 3A+3 are junk, never read
         rgbg = shade_groups(e, xl, yl, table, scene, A)
         diag = {"n_valid": n_valid, "n_big": None,
                 "n_rows": n_rows, "n_pairs": n_pairs,
@@ -486,6 +495,10 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
         _n_small, diag["n_big"] = count_big_small_bbox(bbox, rows, cols)
         if emit == "idx":
             from ascii_renderer_tpu.core import quantize as Q
+            # empty-ramp fallback must match glyph_from_index's ramp_codes
+            # (core/quantize.py DEFAULT_RAMP), else the index plane and the
+            # glyph decision quantize with different ramp lengths
+            ramp_len = ramp_len if ramp_len > 0 else len(Q.DEFAULT_RAMP)
             rgb8g = Q.float_rgb_to_u8(rgbg)            # [grp, 8, 128, 3]
             bidx = Q.quantize_index(rgb8g, ramp_len)   # [grp, 8, 128]
             idx_img = RG.assemble_group_image(

@@ -35,6 +35,12 @@ class FrameState:
     rng: jax.Array  # PRNG key
     ripples: jnp.ndarray  # f32 [MAX_RIPPLES, 3] (x, y, start_ms)
     n_ripples: jnp.ndarray  # i32
+    # i32, nonzero iff the last raster frame overflowed its fixed
+    # raster_caps (grouped pipeline, capacities from suggest_caps_grouped)
+    # and geometry was dropped: the caller must rebuild the step with
+    # larger caps (the jitted step cannot retry on device). Always 0 for
+    # the other backends and for capless raster.
+    raster_overflow: jnp.ndarray = 0
 
     @staticmethod
     def create(camera: Camera, seed: int = 0) -> "FrameState":
@@ -45,6 +51,7 @@ class FrameState:
             rng=jax.random.key(seed),
             ripples=jnp.zeros((ui_mod.MAX_RIPPLES, 3), jnp.float32),
             n_ripples=jnp.int32(0),
+            raster_overflow=jnp.int32(0),
         )
 
     def add_ripple(self, x, y) -> "FrameState":
@@ -66,7 +73,7 @@ def _render_rgb_a(backend: str, scene: SceneData, cam: Camera, time_s,
     if backend == "raytrace":
         from ascii_renderer_tpu.backends.raytrace import render_rgb
         rgb = render_rgb(scene, cam, rows, cols, cfg.pixel_aspect)
-        return rgb, None
+        return rgb, None, jnp.int32(0)
     if backend == "raster":
         from ascii_renderer_tpu.backends.raster import render_soup
         # soup is a closed-over constant here, so the static channel-major
@@ -74,20 +81,40 @@ def _render_rgb_a(backend: str, scene: SceneData, cam: Camera, time_s,
         from ascii_renderer_tpu.backends.raster import soup_static_prep
         pos9, attrs_t = soup_static_prep(*soup, scene)
         if raster_caps and len(raster_caps) == 5:
-            rgb = render_soup(soup[0], soup[1], soup[2], scene, cam, rows,
-                              cols, cfg.pixel_aspect, method="subtile3",
-                              v_cap=raster_caps[0], big_cap=raster_caps[1],
-                              r_cap=raster_caps[2], pair_cap=raster_caps[3],
-                              tile_cap=raster_caps[4], pos9=pos9,
-                              attrs_t=attrs_t)
+            # 5-tuple caps follow the GROUPED pipeline contract
+            # (suggest_caps_grouped: caps[4] is BIN capacity, not the old
+            # subtile2 nonempty-tile count). Fixed caps inside one jitted
+            # program cannot host-retry on overflow the way
+            # RasterBackend.render does, so the overflow state is surfaced
+            # instead of silently dropping geometry: nonzero
+            # FrameState.raster_overflow marks the frame inexact — rebuild
+            # the step with caps from suggest_caps_grouped.
+            from ascii_renderer_tpu.backends.raster import render_soup_diag
+            rgb, diag = render_soup_diag(
+                soup[0], soup[1], soup[2], scene, cam, rows, cols,
+                cfg.pixel_aspect, kernel="subtile3",
+                v_cap=raster_caps[0], big_cap=raster_caps[1],
+                r_cap=raster_caps[2], pair_cap=raster_caps[3],
+                tile_cap=raster_caps[4], pos9=pos9, attrs_t=attrs_t)
+            over = ((diag["n_big"] > raster_caps[1]).astype(jnp.int32)
+                    + (diag["n_rows"] > raster_caps[2]).astype(jnp.int32)
+                    + (diag["n_pairs"] > raster_caps[3]).astype(jnp.int32)
+                    + (diag["n_tiles_nz"] > raster_caps[4])
+                    .astype(jnp.int32))
+            return rgb, None, over
         elif raster_caps:
-            rgb = render_soup(soup[0], soup[1], soup[2], scene, cam, rows,
-                              cols, cfg.pixel_aspect, v_cap=raster_caps[0],
-                              big_cap=raster_caps[1], pos9=pos9)
+            from ascii_renderer_tpu.backends.raster import render_soup_diag
+            rgb, diag = render_soup_diag(
+                soup[0], soup[1], soup[2], scene, cam, rows, cols,
+                cfg.pixel_aspect, kernel="mm", v_cap=raster_caps[0],
+                big_cap=raster_caps[1], pos9=pos9)
+            over = ((diag["n_valid"] > raster_caps[0]).astype(jnp.int32)
+                    + (diag["n_big"] > raster_caps[1]).astype(jnp.int32))
+            return rgb, None, over
         else:
             rgb = render_soup(soup[0], soup[1], soup[2], scene, cam, rows,
                               cols, cfg.pixel_aspect)
-        return rgb, None
+        return rgb, None, jnp.int32(0)
     if backend == "pathtrace":
         from ascii_renderer_tpu.backends.pathtrace import render_pt
         pt = cfg.path_tracer
@@ -96,7 +123,7 @@ def _render_rgb_a(backend: str, scene: SceneData, cam: Camera, time_s,
                            spp=pt.samples_per_batch, bounces=pt.max_bounces,
                            light_color=pt.light_color,
                            nee=pt.direct_light_sampling)
-        return rgb, a
+        return rgb, a, jnp.int32(0)
     raise ValueError(f"unknown backend {backend!r}")
 
 
@@ -112,9 +139,9 @@ def _step_body(cfg: Config, backend: str, rows: int, cols: int, soup,
     time_ms = state.time_ms + dt_s * 1000.0
     key = jax.random.fold_in(state.rng, state.frame_idx)
 
-    rgb, a = _render_rgb_a(backend, scene, cam, time_ms / 1000.0, key,
-                           cfg, rows, cols, soup=soup,
-                           raster_caps=raster_caps)
+    rgb, a, overflow = _render_rgb_a(backend, scene, cam, time_ms / 1000.0,
+                                     key, cfg, rows, cols, soup=soup,
+                                     raster_caps=raster_caps)
     frame = Frame.from_float(rgb, a)
 
     ui_chars, ui_mask = ui_mod.ui_char_plane(
@@ -127,7 +154,8 @@ def _step_body(cfg: Config, backend: str, rows: int, cols: int, soup,
         grayscale=cfg.use_grayscale)
 
     new_state = state.replace(camera=cam, time_ms=time_ms,
-                              frame_idx=state.frame_idx + 1)
+                              frame_idx=state.frame_idx + 1,
+                              raster_overflow=overflow)
     return new_state, chars, tint, frame
 
 
@@ -142,6 +170,16 @@ def make_frame_step(cfg: Config, backend: str | None = None,
     Pipeline per frame (all on device):
       update_camera -> backend render -> UI char plane -> alpha-protocol
       composite -> glyph decision (quantize + modal filter).
+
+    raster_caps (backend='raster' only): a 5-tuple from
+    backends.raster.suggest_caps_grouped — (v_cap, big_cap, r_cap,
+    pair_cap, bin_cap), the GROUPED-pipeline contract (the last entry is
+    bin capacity). Fixed caps cannot host-retry inside one compiled
+    program, so an overflowing frame sets state'.raster_overflow nonzero
+    (the count of exceeded caps) and the caller must rebuild the step with
+    regrown caps. A 2-tuple (v_cap, big_cap) selects the mid-scale channel
+    pipeline with the same overflow reporting. With raster_caps=None the
+    uncapped exact path runs and raster_overflow is always 0.
     """
     backend = backend or cfg.default_backend
     rows = rows or cfg.grid_height

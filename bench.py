@@ -257,18 +257,11 @@ def bench_config0(smoke):
     # then scale the amortized frame rate by it.
     import numpy as np_
     from ascii_renderer_tpu.backends import pathtrace as PTm
-    from ascii_renderer_tpu.core.camera import camera_basis
     cam = scene.camera
     rows_, cols_ = 36, 96
-    uu, vv, ww, focal = camera_basis(cam.yaw, cam.pitch, cam.fov_y)
-    aspect = jnp.float32(cols_ / rows_) * jnp.float32(0.5)
-    x = (jnp.arange(cols_, dtype=jnp.float32) + 0.5) / cols_
-    y = (jnp.arange(rows_, dtype=jnp.float32)[::-1] + 0.5) / rows_
-    px = ((-1.0 + 2.0 * x) * aspect)[None, :] * jnp.ones((rows_, 1))
-    py = (-1.0 + 2.0 * y)[:, None] * jnp.ones((1, cols_))
-    rd = px[..., None] * uu + py[..., None] * vv + focal * ww
-    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
-    ro = jnp.broadcast_to(cam.pos, (rows_, cols_, 3))
+    # the same primary rays render_pt traces (shared implementation —
+    # ray accounting cannot desynchronize from the timed render)
+    ro, rd, _px, _py = PTm.primary_ray_grid(cam, rows_, cols_, 0.5)
     lc, lr = PTm.get_light_sphere(scene, jnp.float32(0.0))
     _l, _o, _f, stats = PTm.trace_eye_paths(
         scene, ro, rd, jax.random.key(7), lc, lr, bounces=5,

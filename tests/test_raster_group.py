@@ -223,8 +223,14 @@ def test_perf_variant_flags_bit_identical():
         R.SHADE_TABLE_W = saved[0]
         RG.CHUNK_RG = 16
         np.testing.assert_array_equal(render(), base)
+        RG.CHUNK_RG = saved[1]
+        R.PACK_SPLIT = True  # contiguous split-pack (ops/pack)
+        np.testing.assert_array_equal(render(), base)
+        R.SHADE_TABLE_W = 32  # split + padded table width
+        np.testing.assert_array_equal(render(), base)
     finally:
         R.SHADE_TABLE_W, RG.CHUNK_RG = saved
+        R.PACK_SPLIT = False
 
 
 def _multi_entry_walk_case(kernel, seed, T):

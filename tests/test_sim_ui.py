@@ -111,6 +111,40 @@ def test_frame_step_end_to_end():
     assert chars3.shape == (12, 32)
 
 
+def test_frame_step_raster_overflow_flag():
+    """Fixed raster caps inside the jitted step cannot retry on overflow;
+    the step must SAY a frame was inexact (FrameState.raster_overflow)
+    instead of silently dropping geometry (the hazard of reinterpreting
+    caps[4] as the grouped pipeline's bin capacity)."""
+    from ascii_renderer_tpu.geom.tessellate import tessellate_scene
+    from ascii_renderer_tpu.sim.framestep import make_frame_step
+
+    cfg = Config(grid_width=96, grid_height=36)
+    cfg, scene, state, _ = demo_setup(cfg, backend="raster")
+    p, n, c = tessellate_scene(scene)
+    soup = (jnp.asarray(p), jnp.asarray(n), jnp.asarray(c))
+    ins = CameraInputs.from_keys(())
+
+    # uncapped exact reference
+    step0 = make_frame_step(cfg, "raster", soup=soup)
+    s0, chars0, _t0, _f0 = step0(scene, state, ins, 1.0 / 60, 60.0)
+    assert int(s0.raster_overflow) == 0
+
+    # absurdly tight grouped caps: rows/pairs/bins all overflow -> flagged
+    tiny = (4096, 64, 256, 2048, 32)
+    step_tiny = make_frame_step(cfg, "raster", soup=soup, raster_caps=tiny)
+    s1, _c1, _t1, _f1 = step_tiny(scene, state, ins, 1.0 / 60, 60.0)
+    assert int(s1.raster_overflow) > 0
+
+    # generous grouped caps: exact frame, flag clear, output matches the
+    # uncapped path bit-for-bit
+    big = (8192, 256, 16384, 65536, 8 * (36 // 8 + 1) * 1 * 8)
+    step_big = make_frame_step(cfg, "raster", soup=soup, raster_caps=big)
+    s2, chars2, _t2, _f2 = step_big(scene, state, ins, 1.0 / 60, 60.0)
+    assert int(s2.raster_overflow) == 0
+    assert np.array_equal(np.asarray(chars2), np.asarray(chars0))
+
+
 def test_cli_offline(tmp_path, capsys):
     from ascii_renderer_tpu.app.cli import main
     out = tmp_path / "f.txt"

@@ -70,6 +70,16 @@ VARIANTS = {
                  ("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 16)],
     "s6t24c64": [("ascii_renderer_tpu.backends.raster", "SHADE_TABLE_W", 24),
                  ("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 64)],
+    # contiguous split-pack: src32 + shade table from one Pallas kernel
+    # (ops/pack.pack_channels_split) instead of lane-slices of one pack
+    "split": [("ascii_renderer_tpu.backends.raster", "PACK_SPLIT", True)],
+    "split24": [("ascii_renderer_tpu.backends.raster", "PACK_SPLIT", True),
+                ("ascii_renderer_tpu.backends.raster", "SHADE_TABLE_W", 24)],
+    "s5split": [("ascii_renderer_tpu.backends.raster", "PACK_SPLIT", True)],
+    "s6split": [("ascii_renderer_tpu.backends.raster", "PACK_SPLIT", True)],
+    "s6split24": [("ascii_renderer_tpu.backends.raster", "PACK_SPLIT", True),
+                  ("ascii_renderer_tpu.backends.raster",
+                   "SHADE_TABLE_W", 24)],
 }
 
 

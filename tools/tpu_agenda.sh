@@ -38,6 +38,10 @@ run() {
   timeout 2400 python tools/ab_slope.py \
     base s5t32 s6t32 s5t24c16 s6t24c16 s6t24c64 t24 s6t24 \
     2>&1 | tee "$OUT/ab_combo.txt"
+  echo "=== 2c/4 slope A/B: contiguous split-pack candidates ==="
+  timeout 2400 python tools/ab_slope.py \
+    base split split24 s5split s6split s6split24 \
+    2>&1 | tee "$OUT/ab_split.txt"
   echo "=== 3/4 full bench (all configs incl. PT Mrays/s fields) ==="
   timeout 3600 python bench.py 2>&1 | tee "$OUT/bench_full.txt"
   echo "=== 4/4 stage profile of the headline prefix ==="
