@@ -126,6 +126,10 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    # the axon plugin ignores the JAX_PLATFORMS env var in subprocesses
+    # (registration re-routes get_backend); the config knob always works
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     print(f"devices: {jax.devices()}", file=sys.stderr)

@@ -44,8 +44,10 @@ run() {
     2>&1 | tee "$OUT/ab_split.txt"
   echo "=== 3/4 full bench (all configs incl. PT Mrays/s fields) ==="
   timeout 3600 python bench.py 2>&1 | tee "$OUT/bench_full.txt"
-  echo "=== 4/4 stage profile of the headline prefix ==="
+  echo "=== 4/5 stage profile of the headline prefix ==="
   timeout 1200 python tools/profile_prefix.py 2>&1 | tee "$OUT/profile.txt"
+  echo "=== 5/5 PT megakernel stage/variant profile ==="
+  timeout 2400 python tools/profile_pt.py 2>&1 | tee "$OUT/profile_pt.txt"
   echo "agenda done; outputs in $OUT"
 }
 
