@@ -164,9 +164,17 @@ def shade_diffuse(pos, n, albedo, scene: SceneData):
 
 
 def render_rgb(scene: SceneData, camera: Camera, rows: int, cols: int,
-               pixel_aspect: float) -> jnp.ndarray:
-    """Full deterministic trace -> linear RGB f32 [rows, cols, 3] in [0,1]."""
-    rd = primary_ray_dirs(camera, rows, cols, pixel_aspect)
+               pixel_aspect: float, row_lo=0,
+               n_rows: int | None = None) -> jnp.ndarray:
+    """Full deterministic trace -> linear RGB f32 [rows, cols, 3] in [0,1].
+
+    row_lo/n_rows render only the band [row_lo, row_lo + n_rows) of the
+    global grid (see core.camera.primary_ray_dirs): the shading is purely
+    per-pixel, so concatenated bands are bit-identical to the full frame —
+    the hook for row-band spatial sharding (parallel.mesh.
+    render_rows_sharded, SURVEY §5 long-context analog)."""
+    rd = primary_ray_dirs(camera, rows, cols, pixel_aspect,
+                          row_lo=row_lo, n_rows=n_rows)
     ro = jnp.broadcast_to(camera.pos, rd.shape)
     env = jnp.clip(scene.env_color * scene.env_intensity, 0.0, 1.0)
 

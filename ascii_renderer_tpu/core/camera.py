@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 
 _PITCH_LIMIT = math.pi * 0.5 - 0.1  # just shy of +/-90 deg (js/camera.js:34)
@@ -133,7 +134,8 @@ def camera_basis(yaw, pitch, fov_y):
 
 
 def primary_ray_dirs(cam: Camera, rows: int, cols: int, pixel_aspect: float,
-                     jitter: jnp.ndarray | None = None):
+                     jitter: jnp.ndarray | None = None,
+                     row_lo=0, n_rows: int | None = None):
     """Per-cell primary ray directions, f32 [rows, cols, 3], row 0 = top.
 
     Mirrors the tracers' NDC mapping (pathtrace_shader.js:187-201,
@@ -143,17 +145,27 @@ def primary_ray_dirs(cam: Camera, rows: int, cols: int, pixel_aspect: float,
       p = -1 + 2 * (pix + 0.5) / res;   p.x *= (cols/rows) * pixel_aspect
       rd = normalize(p.x*uu + p.y*vv + focal*ww)
 
-    ``jitter`` (optional, [rows, cols, 2]) is added to p (anti-aliasing
+    ``jitter`` (optional, [band, cols, 2]) is added to p (anti-aliasing
     offsets, already scaled by the caller).
+
+    ``row_lo``/``n_rows`` select the horizontal band
+    [row_lo, row_lo + n_rows) of the GLOBAL rows x cols grid (row-band
+    spatial sharding, parallel.mesh.render_rows_sharded): the aspect and
+    NDC mapping stay those of the full grid, so the concatenated bands
+    are bit-identical to the unsharded render. n_rows must be static;
+    row_lo may be traced (e.g. lax.axis_index). Default = full grid.
     """
+    band = rows if n_rows is None else n_rows
     uu, vv, ww, focal = camera_basis(cam.yaw, cam.pitch, cam.fov_y)
     aspect = jnp.float32(cols / rows) * jnp.float32(pixel_aspect)
     x = (jnp.arange(cols, dtype=jnp.float32) + 0.5) / jnp.float32(cols)
     y_gl = (jnp.arange(rows, dtype=jnp.float32)[::-1] + 0.5) / jnp.float32(rows)
+    if n_rows is not None:
+        y_gl = jax.lax.dynamic_slice_in_dim(y_gl, row_lo, n_rows)
     px = (-1.0 + 2.0 * x)[None, :] * aspect
     py = (-1.0 + 2.0 * y_gl)[:, None]
-    px = jnp.broadcast_to(px, (rows, cols))
-    py = jnp.broadcast_to(py, (rows, cols))
+    px = jnp.broadcast_to(px, (band, cols))
+    py = jnp.broadcast_to(py, (band, cols))
     if jitter is not None:
         px = px + jitter[..., 0]
         py = py + jitter[..., 1]

@@ -31,6 +31,34 @@ def test_render_views_sharded_matches_local_vmap():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_render_rows_sharded_matches_local_frame():
+    """Row-band spatial sharding (the SURVEY §5 long-context analog): each
+    of 8 devices renders a horizontal band of ONE frame; the concatenation
+    must match the unsharded render. render_rgb's shading is per-pixel, so
+    the bands are bit-identical up to separate-compilation FMA noise."""
+    from ascii_renderer_tpu.parallel.mesh import render_rows_sharded
+
+    scene = create_rt_demo_scene().build()
+    cam = orbit_cameras(1, center=(0, 1.0, 1.0), radius=6.0)
+    cam = jax.tree.map(lambda x: x[0], cam)
+    rows, cols = 48, 96
+    mesh = make_mesh((8,), ("rows",))
+
+    def band_fn(scene, camera, row_lo, n_rows):
+        return render_rgb(scene, camera, rows, cols, 0.5,
+                          row_lo=row_lo, n_rows=n_rows)
+
+    sharded = render_rows_sharded(band_fn, scene, cam, mesh, rows, cols)
+    assert sharded.shape == (rows, cols, 3)
+    shard_devs = {s.device for s in sharded.addressable_shards}
+    assert len(shard_devs) == 8
+
+    local = jax.jit(functools.partial(render_rgb, rows=rows, cols=cols,
+                                      pixel_aspect=0.5))(scene, cam)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(local),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_orbit_cameras_look_at_center():
     cams = orbit_cameras(4, center=(1.0, 2.0, 3.0), radius=5.0, height=2.0)
     pos = np.asarray(cams.pos)
