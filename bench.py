@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -532,6 +533,11 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
+    # The axon plugin ignores the JAX_PLATFORMS env var in subprocesses
+    # (registration re-routes get_backend and hangs on an unreachable
+    # tunnel); the config knob always works (same fix as app/cli.py).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     # Persistent compile cache: axon-tunnel compiles are slow (minutes);
     # cache hits make repeated bench runs cheap.
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
