@@ -59,6 +59,52 @@ def test_render_rows_sharded_matches_local_frame():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_soft_raster_gradients_match_finite_differences():
+    """The differentiable path must be MATHEMATICALLY differentiable, not
+    just jax.grad-able: directional derivatives of the inverse-rendering
+    loss w.r.t. vertex positions and colors must match central finite
+    differences (the soft raster is smooth — sigmoid coverage, softmax
+    occlusion and glyph assignment — so f32 central differences at a
+    moderate eps are accurate)."""
+    from ascii_renderer_tpu.core.camera import Camera
+    from ascii_renderer_tpu.diff.soft_raster import (soft_luminance_loss,
+                                                     soft_render)
+
+    rng = np.random.default_rng(3)
+    verts = jnp.asarray([[-0.8, -0.5, 0.0], [0.9, -0.4, 0.2],
+                         [0.0, 0.8, -0.1],
+                         [-0.5, -0.7, 0.6], [0.6, -0.6, 0.5],
+                         [0.1, 0.6, 0.7]], jnp.float32)
+    colors = jnp.asarray(rng.uniform(0.2, 0.9, (6, 3)), jnp.float32)
+    faces = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    cam = Camera.create(pos=(0.0, 0.0, 3.0), yaw=-np.pi / 2, pitch=0.0)
+    target = jnp.asarray(rng.uniform(0.0, 1.0, (16, 24, 3)), jnp.float32)
+
+    def loss(verts, colors):
+        img = soft_render(verts, colors, faces, cam, 16, 24, 0.5,
+                          sigma=3e-3, gamma=3e-2)
+        return soft_luminance_loss(img, target)
+
+    g_v, g_c = jax.jit(jax.grad(loss, argnums=(0, 1)))(verts, colors)
+    assert np.isfinite(np.asarray(g_v)).all()
+    assert float(jnp.abs(g_v).max()) > 0, "zero vertex gradient"
+
+    f = jax.jit(loss)
+    eps = 3e-3
+    for name, g, x, arg in (("verts", g_v, verts, 0),
+                            ("colors", g_c, colors, 1)):
+        d = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+        d = d / jnp.linalg.norm(d)
+        args_p = [verts, colors]
+        args_m = [verts, colors]
+        args_p[arg] = x + eps * d
+        args_m[arg] = x - eps * d
+        fd = (float(f(*args_p)) - float(f(*args_m))) / (2 * eps)
+        an = float(jnp.vdot(g, d))
+        assert abs(fd - an) <= 0.05 * max(abs(fd), abs(an), 1e-3), (
+            name, fd, an)
+
+
 def test_orbit_cameras_look_at_center():
     cams = orbit_cameras(4, center=(1.0, 2.0, 3.0), radius=5.0, height=2.0)
     pos = np.asarray(cams.pos)
