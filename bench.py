@@ -532,6 +532,25 @@ def main(argv=None):
                     help="config 3: render N frames per dispatch (lax.scan)")
     args = ap.parse_args(argv)
 
+    # Backend-reachability watchdog: when the TPU tunnel is down, backend
+    # init hangs FOREVER inside a C call (no Python-level interrupt), so
+    # probe it in a killable subprocess first and emit an honest error
+    # record instead of hanging the whole bench run.
+    import subprocess
+    probe_src = ("import os, jax\n"
+                 "p = os.environ.get('JAX_PLATFORMS')\n"
+                 "if p: jax.config.update('jax_platforms', p)\n"
+                 "print(jax.devices())\n")
+    try:
+        subprocess.run([sys.executable, "-c", probe_src], check=True,
+                       capture_output=True, timeout=180)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(json.dumps({"metric": "fps_960x540_raster_to_glyphs",
+                          "value": 0.0, "unit": "frames/sec",
+                          "vs_baseline": 0.0,
+                          "error": f"jax backend unreachable: {type(e).__name__}"}))
+        return 1
+
     import jax
     # The axon plugin ignores the JAX_PLATFORMS env var in subprocesses
     # (registration re-routes get_backend and hangs on an unreachable
