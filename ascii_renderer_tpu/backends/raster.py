@@ -237,28 +237,38 @@ def _plane_keys_2dh(n_attrs: int):
                  + ["dna", "dnb", "dnc"])
 
 
-def _subtile_pair_keys_bbox(cch, rows: int, cols: int, *, big_cap: int):
+def _subtile_pair_keys_bbox(cch, rows: int, cols: int, *, big_cap: int,
+                            ty_lo=0, tiles_y_band: int | None = None):
     """Sorted (bin << SUB_SHIFT | tri) pair keys from precomputed bbox
     channels (2DH path)."""
     return _pair_keys_core(cch["bx0"], cch["bx1"], cch["by0"], cch["by1"],
-                           cch["valid"], rows, cols, big_cap=big_cap)
+                           cch["valid"], rows, cols, big_cap=big_cap,
+                           ty_lo=ty_lo, tiles_y_band=tiles_y_band)
 
 
 def _pair_keys_core(xmin, xmax, ymin, ymax, valid, rows: int, cols: int,
-                    *, big_cap: int):
+                    *, big_cap: int, ty_lo=0,
+                    tiles_y_band: int | None = None):
     """Shared key-emission core: bbox + valid [T] -> sorted pair keys.
     Small tris (bbox within a 2x2 tile-row x subtile-col window) emit up
     to 4 candidate keys; big tris one key per overlapped bin via a
-    [big_cap, n_bins] overlap matrix."""
+    [big_cap, n_bins] overlap matrix.
+
+    ty_lo/tiles_y_band restrict emission to the tile-row band
+    [ty_lo, ty_lo + tiles_y_band) with LOCAL bin ids (bin 0 = the band's
+    first subtile) — the hook for row-band sharding of the grouped
+    pipeline (render_soup_rows_sharded). tiles_y_band must be static;
+    ty_lo may be traced (lax.axis_index). Defaults reproduce the full
+    frame exactly."""
     from ascii_renderer_tpu.ops import raster_subtile as RS
 
     T = xmin.shape[0]
     assert T < RS.MAX_TRI, f"subtile sort key supports < {RS.MAX_TRI} tris"
     tiles_y = -(-rows // TILE_H)
     tiles_x = -(-cols // TILE_W)
-    n_tiles = tiles_y * tiles_x
+    tiles_y_eff = tiles_y if tiles_y_band is None else tiles_y_band
     sx_n = tiles_x * RS.N_SUB
-    n_bins = n_tiles * RS.N_SUB
+    n_bins = tiles_y_eff * tiles_x * RS.N_SUB
 
     sc0 = jnp.floor(xmin / RS.SUB_W).astype(jnp.int32)
     sc1 = jnp.floor(xmax / RS.SUB_W).astype(jnp.int32)
@@ -270,7 +280,13 @@ def _pair_keys_core(xmin, xmax, ymin, ymax, valid, rows: int, cols: int,
     sc1c = jnp.clip(sc1, 0, sx_n - 1)
     ty0c = jnp.clip(ty0, 0, tiles_y - 1)
     ty1c = jnp.clip(ty1, 0, tiles_y - 1)
-    onscreen = (xmax > 0) & (xmin < cols) & (ymax > 0) & (ymin < rows)
+    if tiles_y_band is None:
+        y_lo_px, y_hi_px = 0, rows
+    else:
+        y_lo_px = ty_lo * TILE_H
+        y_hi_px = jnp.minimum((ty_lo + tiles_y_eff) * TILE_H, rows)
+    onscreen = ((xmax > 0) & (xmin < cols)
+                & (ymax > y_lo_px) & (ymin < y_hi_px))
     fits = ((sc1 - sc0) < 2) & ((ty1 - ty0) < 2)
     small = valid & onscreen & fits
     bigt = valid & onscreen & jnp.logical_not(fits)
@@ -280,9 +296,10 @@ def _pair_keys_core(xmin, xmax, ymin, ymax, valid, rows: int, cols: int,
     for k in range(4):
         ty = ty0 + (k // 2)
         sc = sc0 + (k % 2)
-        ok = (small & (ty >= 0) & (ty < tiles_y) & (sc >= 0) & (sc < sx_n)
-              & (ty <= ty1) & (sc <= sc1))
-        bins = jnp.where(ok, ty * sx_n + sc, n_bins)
+        tyl = ty - ty_lo  # band-local tile row (identity when unbanded)
+        ok = (small & (tyl >= 0) & (tyl < tiles_y_eff) & (sc >= 0)
+              & (sc < sx_n) & (ty <= ty1) & (sc <= sc1))
+        bins = jnp.where(ok, tyl * sx_n + sc, n_bins)
         key_parts.append((bins << RS.SUB_SHIFT) | tri_ids)
 
     # big_cap == 0 is a static specialization for scenes the probe showed
@@ -304,7 +321,7 @@ def _pair_keys_core(xmin, xmax, ymin, ymax, valid, rows: int, cols: int,
         bty0 = padi(ty0c, 1)
         bty1 = padi(ty1c, 0)
         bins_g = jnp.arange(n_bins, dtype=jnp.int32)
-        g_ty = bins_g // sx_n
+        g_ty = bins_g // sx_n + ty_lo  # global tile row of the local bin
         g_sc = bins_g % sx_n
         overlap = ((g_sc[None, :] >= bsc0[:, None])
                    & (g_sc[None, :] <= bsc1[:, None])
@@ -321,9 +338,11 @@ def _pair_keys_core(xmin, xmax, ymin, ymax, valid, rows: int, cols: int,
     return jax.lax.sort(jnp.concatenate(key_parts))
 
 
-def count_big_small_bbox(cch, rows: int, cols: int):
+def count_big_small_bbox(cch, rows: int, cols: int, ty_lo=0,
+                         tiles_y_band: int | None = None):
     """Big/small classification counts from 2DH bbox channels (matches
-    _subtile_pair_keys_bbox's rules; XLA CSEs the shared math)."""
+    _subtile_pair_keys_bbox's rules incl. its band restriction; XLA CSEs
+    the shared math)."""
     from ascii_renderer_tpu.ops import raster_subtile as RS
 
     xmin, xmax = cch["bx0"], cch["bx1"]
@@ -332,7 +351,13 @@ def count_big_small_bbox(cch, rows: int, cols: int):
     sc1 = jnp.floor(xmax / RS.SUB_W).astype(jnp.int32)
     ty0 = jnp.floor(ymin / TILE_H).astype(jnp.int32)
     ty1 = jnp.floor(ymax / TILE_H).astype(jnp.int32)
-    onscreen = (xmax > 0) & (xmin < cols) & (ymax > 0) & (ymin < rows)
+    if tiles_y_band is None:
+        y_lo_px, y_hi_px = 0, rows
+    else:
+        y_lo_px = ty_lo * TILE_H
+        y_hi_px = jnp.minimum((ty_lo + tiles_y_band) * TILE_H, rows)
+    onscreen = ((xmax > 0) & (xmin < cols)
+                & (ymax > y_lo_px) & (ymin < y_hi_px))
     fits = ((sc1 - sc0) < 2) & ((ty1 - ty0) < 2)
     small = cch["valid"] & onscreen & fits
     bigt = cch["valid"] & onscreen & jnp.logical_not(fits)
@@ -401,8 +426,16 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
                      v_cap: int, big_cap: int = 64, kernel: str = "mm",
                      r_cap: int = 16384, pair_cap: int = 65536,
                      tile_cap: int | None = None, pos9=None,
-                     attrs_t=None, emit: str = "rgb", ramp_len: int = 10):
+                     attrs_t=None, emit: str = "rgb", ramp_len: int = 10,
+                     row_lo=None, band_rows: int | None = None):
     """Compacted raster pipeline with capacity diagnostics.
+
+    row_lo/band_rows (grouped kernels, not subtile4): rasterize only the
+    horizontal band [row_lo, row_lo + band_rows) of the rows x cols frame
+    and return a [band_rows, cols, 3] image — the row-band sharding hook
+    (render_soup_rows_sharded). band_rows must be static and TILE_H-
+    aligned; row_lo may be traced (lax.axis_index * band) but must be
+    TILE_H-aligned. Caps and diag counts are per-band.
 
     Returns (rgb f32 [rows, cols, 3], diag) with i32 device scalars. The
     frame is exact iff every diag count is within its cap (n_valid <=
@@ -442,7 +475,17 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
         A = attrs.shape[1]
         if attrs_t is None:
             attrs_t = attrs.reshape(-1, 3 * A).T
-        tiles_y = -(-rows // TILE_H)
+        banded = band_rows is not None
+        if banded:
+            assert kernel != "subtile4", "band sharding: grouped walks only"
+            assert band_rows % TILE_H == 0, band_rows
+            tiles_y = band_rows // TILE_H
+            ty_lo = jnp.asarray(row_lo, jnp.int32) // TILE_H
+            out_rows = band_rows
+        else:
+            tiles_y = -(-rows // TILE_H)
+            ty_lo = 0
+            out_rows = rows
         tiles_x = -(-cols // TILE_W)
         n_tiles = tiles_y * tiles_x
         if tile_cap is None:
@@ -450,7 +493,9 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
         grp_cap = max(1, tile_cap // 8)
         cm, bbox = setup_2dh_fused(pos9, attrs_t, mvp, rows, cols)
         n_valid = jnp.sum(bbox["valid"].astype(jnp.int32))
-        keys = _subtile_pair_keys_bbox(bbox, rows, cols, big_cap=big_cap)
+        keys = _subtile_pair_keys_bbox(
+            bbox, rows, cols, big_cap=big_cap, ty_lo=ty_lo,
+            tiles_y_band=tiles_y if banded else None)
         tw = SHADE_TABLE_W if SHADE_TABLE_W else 3 * A + 3
         if PACK_SPLIT:
             from ascii_renderer_tpu.ops.pack import pack_channels_split
@@ -474,6 +519,11 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
              n_pairs, n_used) = build(
                 src32, keys, tiles_x, n_tiles, r_cap, pair_cap,
                 grp_cap)
+            if banded:
+                # bins (and so yl) are band-local; the 2DH planes live in
+                # GLOBAL screen coordinates, so shift the pixel-origin
+                # lanes to global y before the walk evaluates them
+                yl = yl + (ty_lo * TILE_H).astype(jnp.float32)
             _z, e = RG.tile_eval_grouped_k2(rows256, rowptr, gdepth,
                                             gskip, xl, yl, grp_cap)
         else:
@@ -481,6 +531,10 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
              n_used) = RG.build_packed_rows_grouped(
                 src32, keys, tiles_x, n_tiles, r_cap, pair_cap,
                 grp_cap)
+            if banded:
+                # shift band-local pixel-origin lanes to global y (planes
+                # are in global screen coordinates)
+                yl = yl + (ty_lo * TILE_H).astype(jnp.float32)
             if PROBE_SKIP_WALK:
                 # keep the rows build live with a cheap reduce
                 e = (jnp.zeros((grp_cap, TILE_H, TILE_W), jnp.float32)
@@ -492,7 +546,9 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
         diag = {"n_valid": n_valid, "n_big": None,
                 "n_rows": n_rows, "n_pairs": n_pairs,
                 "n_tiles_nz": n_used}
-        _n_small, diag["n_big"] = count_big_small_bbox(bbox, rows, cols)
+        _n_small, diag["n_big"] = count_big_small_bbox(
+            bbox, rows, cols, ty_lo=ty_lo,
+            tiles_y_band=tiles_y if banded else None)
         if emit == "idx":
             from ascii_renderer_tpu.core import quantize as Q
             # empty-ramp fallback must match glyph_from_index's ramp_codes
@@ -503,13 +559,13 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
             bidx = Q.quantize_index(rgb8g, ramp_len)   # [grp, 8, 128]
             idx_img = RG.assemble_group_image(
                 bidx.astype(jnp.float32), gbins, n_tiles, tiles_y,
-                tiles_x, rows, cols, 0.0).astype(jnp.int32)
+                tiles_x, out_rows, cols, 0.0).astype(jnp.int32)
             rgb8_img = RG.assemble_group_image(
                 rgb8g.astype(jnp.float32), gbins, n_tiles, tiles_y,
-                tiles_x, rows, cols, 0.0).astype(jnp.uint8)
+                tiles_x, out_rows, cols, 0.0).astype(jnp.uint8)
             return (idx_img, rgb8_img), diag
         rgb = RG.assemble_group_image(rgbg, gbins, n_tiles, tiles_y,
-                                      tiles_x, rows, cols, 0.0)
+                                      tiles_x, out_rows, cols, 0.0)
         return rgb, diag
     if kernel == "subtile2":  # gen-2 2DH path, kept as oracle
         return render_subtile2_diag(
@@ -617,6 +673,61 @@ def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
     setup = setup_screen(clip, valid, rows, cols)
     _zbuf, tid = visibility_scan(setup, rows, cols, chunk)
     return shade_visibility(tid, clip, tattr, scene, rows, cols)
+
+
+def render_soup_rows_sharded(positions, normals, colors, scene: SceneData,
+                             cam: Camera, rows: int, cols: int,
+                             pixel_aspect: float, mesh, axis: str = "rows",
+                             *, big_cap: int = 64, r_cap: int = 16384,
+                             pair_cap: int = 65536,
+                             bin_cap: int | None = None,
+                             kernel: str = "subtile3"):
+    """Row-band sharding of the grouped raster pipeline (the headline
+    path scaling over ICI): each of the mesh's ``axis`` devices owns a
+    tile-row band of ONE frame — band-local pair keys, grouped walk,
+    shade, and assembly all run device-local, with no cross-device
+    collective at all (tile-owned z-buffers per SURVEY §5).
+
+    Returns (rgb f32 [rows, cols, 3] sharded over ``axis``, overflow i32
+    [n_devices]): overflow[i] counts the caps band i exceeded — caps are
+    per-band and identical across devices, so size them for the heaviest
+    band and re-render when any overflow[i] > 0 (the RasterBackend retry
+    contract, but collectively).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec
+
+    P_ = PartitionSpec
+    n = mesh.shape[axis]
+    assert rows % (TILE_H * n) == 0, (rows, TILE_H, n)
+    band = rows // n
+    tiles_x = -(-cols // TILE_W)
+    if bin_cap is None:  # full band coverage: bins can never overflow
+        bin_cap = (band // TILE_H) * tiles_x * 8
+    T = positions.shape[0] // 3
+    v_cap = _round_up(2 * T + 1, 4096)  # informational (no compaction)
+    pos9 = positions_to_pos9(positions)
+
+    def shard_fn(positions, normals, colors, pos9, scene, cam):
+        i = jax.lax.axis_index(axis)
+        rgb, diag = render_soup_diag(
+            positions, normals, colors, scene, cam, rows, cols,
+            pixel_aspect, v_cap=v_cap, big_cap=big_cap, kernel=kernel,
+            r_cap=r_cap, pair_cap=pair_cap, tile_cap=bin_cap, pos9=pos9,
+            row_lo=i * band, band_rows=band)
+        over = ((diag["n_big"] > big_cap).astype(jnp.int32)
+                + (diag["n_rows"] > r_cap).astype(jnp.int32)
+                + (diag["n_pairs"] > pair_cap).astype(jnp.int32)
+                + (diag["n_tiles_nz"] > bin_cap).astype(jnp.int32))
+        return rgb, over[None]
+
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, and everything here is device-local anyway (no
+    # collectives to typecheck)
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P_(), P_(), P_(), P_(), P_(), P_()),
+                   out_specs=(P_(axis), P_(axis)), check_vma=False)
+    return jax.jit(fn)(positions, normals, colors, pos9, scene, cam)
 
 
 _ADAPTIVE_MIN_TRIS = 2048  # below this the compacted path isn't worth caps

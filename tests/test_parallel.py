@@ -59,6 +59,66 @@ def test_render_rows_sharded_matches_local_frame():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_raster_rows_sharded_matches_full_frame():
+    """Row-band sharding of the GROUPED raster pipeline (the headline
+    path): 8 devices each rasterize one tile-row band of a single frame
+    with band-local pair keys and walks.
+
+    The band LOGIC is bit-exact: a direct (same-jit-context) band render
+    equals the full frame bitwise, asserted below. Across the shard_map
+    boundary on CPU, interpret-mode Pallas inlines into XLA and the
+    different fusion shifts plane values by ulps, which can flip a
+    razor-edge z-fight's winner — so the sharded-vs-local comparison
+    allows FMA-level noise plus a tiny quota of flipped edge pixels (the
+    same caveat as the separately-compiled views test above; on real TPU
+    the Mosaic kernels are identical programs on both sides)."""
+    from ascii_renderer_tpu.backends import raster as R
+    from ascii_renderer_tpu.core.camera import Camera
+    from ascii_renderer_tpu.geom import meshes
+    from ascii_renderer_tpu.scene.builder import SceneBuilder
+
+    v, i = meshes.uv_sphere(12, 16, radius=1.2, center=(0.0, 1.0, 0.0))
+    p, n, c = meshes.mesh_to_soup(v, i, color=(0.8, 0.5, 0.4))
+    sb = SceneBuilder().set_env_light([0.2, 0.22, 0.25], 1.0)
+    sb.add_dir_light([-0.5, -0.7, -0.6], [1, 1, 1], 0.9)
+    scene = sb.build()
+    cam = Camera.create(pos=(2.5, 1.5, 3.0), yaw=-2.3, pitch=-0.3)
+    p, n, c = jnp.asarray(p), jnp.asarray(n), jnp.asarray(c)
+    rows, cols = 64, 96
+    T = p.shape[0] // 3
+    caps = dict(big_cap=64, r_cap=64 * 32, pair_cap=8 * T + 4096)
+    mesh = make_mesh((8,), ("rows",))
+
+    full, _diag = jax.jit(lambda s, cm: R.render_soup_diag(
+        p, n, c, s, cm, rows, cols, 0.5, v_cap=4096, kernel="subtile3",
+        tile_cap=(rows // 8) * 1 * 8, **caps))(scene, cam)
+    full = np.asarray(full)
+
+    # band logic itself is bit-exact: direct band renders == full slices
+    for b in (1, 2):
+        band, _d = jax.jit(lambda s, cm, lo: R.render_soup_diag(
+            p, n, c, s, cm, rows, cols, 0.5, v_cap=4096,
+            kernel="subtile3", tile_cap=8, row_lo=lo, band_rows=8,
+            **caps))(scene, cam, jnp.int32(b * 8))
+        np.testing.assert_array_equal(np.asarray(band),
+                                      full[b * 8:(b + 1) * 8])
+
+    for kernel in ("subtile3", "subtile6"):
+        rgb, over = R.render_soup_rows_sharded(
+            p, n, c, scene, cam, rows, cols, 0.5, mesh, kernel=kernel,
+            **caps)
+        assert rgb.shape == (rows, cols, 3)
+        shard_devs = {s.device for s in rgb.addressable_shards}
+        assert len(shard_devs) == 8, kernel
+        assert int(np.asarray(over).max()) == 0, (kernel, np.asarray(over))
+        d = np.abs(np.asarray(rgb) - full).max(axis=-1)
+        flipped = (d > 0.01).mean()  # razor-edge z winners (see docstring)
+        assert flipped <= 2e-3, (kernel, flipped)
+        assert (d <= 0.01).sum() >= d.size - 16, kernel
+        np.testing.assert_allclose(np.asarray(rgb)[d <= 0.01],
+                                   full[d <= 0.01], atol=2e-3)
+
+
 def test_soft_raster_gradients_match_finite_differences():
     """The differentiable path must be MATHEMATICALLY differentiable, not
     just jax.grad-able: directional derivatives of the inverse-rendering
