@@ -391,29 +391,46 @@ def trace_eye_paths(scene: SceneData, ro, rd, key, light_center, light_radius,
                 {"segments": seg_count, "shadow_rays": shadow_count})
     return Lo_arr, override.reshape(shp), primary_fetched.reshape(shp)
 
-def primary_ray_grid(cam: Camera, rows: int, cols: int, pixel_aspect):
+def primary_ray_grid(cam: Camera, rows: int, cols: int, pixel_aspect,
+                     row_lo=0, n_rows: int | None = None):
     """Center-ray grid (ro, rd, px, py) for the PT camera mapping
     (pathtrace_shader.js:195-201). The single implementation shared by
     render_pt and bench.py's Mrays/s ray accounting, so the counted rays
-    are bit-identical to the rays the timed render actually traces."""
+    are bit-identical to the rays the timed render actually traces.
+
+    row_lo/n_rows select the horizontal band of the GLOBAL grid (same
+    contract as core.camera.primary_ray_dirs) for row-band sharding."""
+    band = rows if n_rows is None else n_rows
     uu, vv, ww, focal = camera_basis(cam.yaw, cam.pitch, cam.fov_y)
     aspect = jnp.float32(cols / rows) * jnp.float32(pixel_aspect)
     x = (jnp.arange(cols, dtype=jnp.float32) + 0.5) / jnp.float32(cols)
     y_gl = (jnp.arange(rows, dtype=jnp.float32)[::-1] + 0.5) / jnp.float32(rows)
-    px = jnp.broadcast_to(((-1.0 + 2.0 * x) * aspect)[None, :], (rows, cols))
-    py = jnp.broadcast_to((-1.0 + 2.0 * y_gl)[:, None], (rows, cols))
+    if n_rows is not None:
+        y_gl = jax.lax.dynamic_slice_in_dim(y_gl, row_lo, n_rows)
+    px = jnp.broadcast_to(((-1.0 + 2.0 * x) * aspect)[None, :], (band, cols))
+    py = jnp.broadcast_to((-1.0 + 2.0 * y_gl)[:, None], (band, cols))
     rd0 = (px[..., None] * uu + py[..., None] * vv + focal * ww)
     rd0 = rd0 / jnp.linalg.norm(rd0, axis=-1, keepdims=True)
-    ro0 = jnp.broadcast_to(cam.pos, (rows, cols, 3))
+    ro0 = jnp.broadcast_to(cam.pos, (band, cols, 3))
     return ro0, rd0, px, py
 
 
 def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
               cols: int, pixel_aspect: float, spp: int, bounces: int,
               light_color, nee: bool = True, sample_batch: int = 32,
-              use_kernel: bool = False):
+              use_kernel: bool = False, row_lo=0,
+              n_rows: int | None = None):
     """Full mainImage (pathtrace_shader.js:187-263): the sample loop with
     the center-ray/fetched-texel AA rule + glyph override short-circuit.
+
+    row_lo/n_rows render only the horizontal band [row_lo, row_lo+n_rows)
+    of the global grid (row-band sharding hook, parallel.mesh.
+    render_rows_sharded): the camera mapping and jitter NDC scale stay
+    those of the full rows x cols frame. RNG note: a banded render draws
+    different jitter/path noise than the same pixels in a full-frame
+    render (keys are folded per batch, shapes differ) — deterministic
+    under its own sharding, not bit-comparable across shardings (MC
+    output is stochastic; SURVEY declares RNG bit-parity a non-goal).
 
     TPU structure: a sequential scan over spp samples starves the VPU at
     cell-grid sizes, so samples ride a leading BATCH axis ([B, H, W] rays),
@@ -427,9 +444,11 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
         matching the shader's break-and-take.
 
     Returns (rgb f32 [H,W,3] in [0,1], alpha byte u8 [H,W])."""
+    band = rows if n_rows is None else n_rows
     uu, vv, ww, focal = camera_basis(cam.yaw, cam.pitch, cam.fov_y)
     aspect = jnp.float32(cols / rows) * jnp.float32(pixel_aspect)
-    ro0, rd0, px, py = primary_ray_grid(cam, rows, cols, pixel_aspect)
+    ro0, rd0, px, py = primary_ray_grid(cam, rows, cols, pixel_aspect,
+                                        row_lo=row_lo, n_rows=n_rows)
 
     light_center, light_radius = get_light_sphere(scene, time)
     lcol = jnp.asarray(light_color, jnp.float32) * 1.3  # the *1.3 in the define
@@ -455,14 +474,14 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
     # ---- phase 2: batched samples ----
     B = max(1, min(sample_batch, spp))
     n_batches = -(-spp // B)
-    ro_b = jnp.broadcast_to(cam.pos, (B, rows, cols, 3))
+    ro_b = jnp.broadcast_to(cam.pos, (B, band, cols, 3))
 
     def batch_step(carry, b):
         tot, override, ovcol = carry
         kb = jax.random.fold_in(key, b)
         k_jit, k_path = jax.random.split(kb)
         s_idx = b * B + jnp.arange(B)
-        r2 = jax.random.uniform(k_jit, (B, rows, cols, 2))
+        r2 = jax.random.uniform(k_jit, (B, band, cols, 2))
         rpof = 2.0 * (r2 - 0.5) / jnp.float32(rows)
         rpof = rpof.at[..., 0].multiply(aspect)
         use_jit = ((s_idx > 0)[:, None, None]
@@ -498,8 +517,8 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
         ovcol = jnp.where(new[..., None], sel(col), ovcol)
         return (tot, override, ovcol), None
 
-    init = (jnp.zeros((rows, cols, 3)), jnp.zeros((rows, cols), jnp.int32),
-            jnp.zeros((rows, cols, 3)))
+    init = (jnp.zeros((band, cols, 3)), jnp.zeros((band, cols), jnp.int32),
+            jnp.zeros((band, cols, 3)))
     (tot, override_b, ovcol_b), _ = jax.lax.scan(
         batch_step, init, jnp.arange(n_batches))
 

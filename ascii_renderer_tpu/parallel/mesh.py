@@ -117,6 +117,9 @@ def render_rows_sharded(render_rows_fn: Callable, scene, camera: Camera,
         i = jax.lax.axis_index(axis)
         return render_rows_fn(scene, camera, i * band, band)
 
+    # check_vma=False: band renderers may scan with unvarying carries or
+    # call pallas kernels (no vma annotation); the band is device-local
+    # with no collectives to typecheck
     fn = shard_map(shard_fn, mesh=mesh,
-                   in_specs=(P(), P()), out_specs=P(axis))
+                   in_specs=(P(), P()), out_specs=P(axis), check_vma=False)
     return jax.jit(fn)(scene, camera)

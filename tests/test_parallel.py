@@ -119,6 +119,50 @@ def test_raster_rows_sharded_matches_full_frame():
                                    full[d <= 0.01], atol=2e-3)
 
 
+def test_pathtrace_rows_sharded_band_overrides_match():
+    """Row-band sharding of the path tracer: 8 devices each trace a band
+    of one frame. MC radiance is stochastic (band RNG != full-frame RNG,
+    a declared non-goal), but at spp=1 the alpha/override plane comes
+    from the deterministic center-ray geometry (primary glyph
+    short-circuit), so the sharded alpha plane must match the full
+    render's — modulo FMA-noise silhouette flips under separate
+    compilation (same caveat as the raster band test)."""
+    from ascii_renderer_tpu.atlas.io import demo_atlas
+    from ascii_renderer_tpu.backends.pathtrace import render_pt
+    from ascii_renderer_tpu.parallel.mesh import render_rows_sharded
+    from ascii_renderer_tpu.scene.demo import create_demo_scene
+
+    from ascii_renderer_tpu.core.camera import Camera
+
+    sb = create_demo_scene()
+    sb.set_atlas(demo_atlas())
+    scene = sb.build(min_pad=1)
+    # the golden pose: poster glyphs in view (test_headline_goldens)
+    cam = Camera.create(pos=(0, 2.5, 6), yaw=-np.pi / 2)
+    rows, cols = 32, 96
+    key = jax.random.key(5)
+    kw = dict(pixel_aspect=0.5, spp=1, bounces=2,
+              light_color=(16.86, 10.76, 8.2), sample_batch=1)
+
+    _rgb, a_full = jax.jit(lambda s, c: render_pt(
+        s, c, 0.0, key, rows=rows, cols=cols, **kw))(scene, cam)
+
+    mesh = make_mesh((8,), ("rows",))
+
+    def band_fn(scene, camera, row_lo, n_rows):
+        rgb, a = render_pt(scene, camera, 0.0, key, rows=rows, cols=cols,
+                           row_lo=row_lo, n_rows=n_rows, **kw)
+        return a
+
+    a_band = render_rows_sharded(band_fn, scene, cam, mesh, rows, cols)
+    assert a_band.shape == (rows, cols)
+    agree = (np.asarray(a_band) == np.asarray(a_full)).mean()
+    assert agree >= 0.999, agree
+    # the band render actually found the glyph overrides (2..254 codes)
+    codes = np.unique(np.asarray(a_band))
+    assert ((codes >= 2) & (codes <= 254)).any(), codes
+
+
 def test_soft_raster_gradients_match_finite_differences():
     """The differentiable path must be MATHEMATICALLY differentiable, not
     just jax.grad-able: directional derivatives of the inverse-rendering
