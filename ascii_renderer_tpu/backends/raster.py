@@ -365,6 +365,12 @@ def count_big_small_bbox(cch, rows: int, cols: int, ty_lo=0,
 
 
 
+HEADLINE_KERNEL = "subtile3"  # the grouped-walk generation every headline
+# call site uses (bench configs, the fused frame step, RasterBackend,
+# row-band sharding): landing a measured A/B winner (tools/ab_slope) is
+# a one-line flip here plus the SHADE_TABLE_W / raster_group.CHUNK_RG
+# knobs below. All generations are bit-identical (tests/test_raster_
+# channels.py), so goldens are unaffected by the flip.
 SHADE_TABLE_W = 0  # 0 = exact 3A+3; else padded gather width (perf A/B)
 PACK_SPLIT = False  # pack kernel emits src32+shade table as CONTIGUOUS
 # arrays (ops/pack.pack_channels_split) instead of lane-slices of one
@@ -681,7 +687,7 @@ def render_soup_rows_sharded(positions, normals, colors, scene: SceneData,
                              *, big_cap: int = 64, r_cap: int = 16384,
                              pair_cap: int = 65536,
                              bin_cap: int | None = None,
-                             kernel: str = "subtile3"):
+                             kernel: str | None = None):
     """Row-band sharding of the grouped raster pipeline (the headline
     path scaling over ICI): each of the mesh's ``axis`` devices owns a
     tile-row band of ONE frame — band-local pair keys, grouped walk,
@@ -697,6 +703,8 @@ def render_soup_rows_sharded(positions, normals, colors, scene: SceneData,
     from jax import shard_map
     from jax.sharding import PartitionSpec
 
+    if kernel is None:
+        kernel = HEADLINE_KERNEL
     P_ = PartitionSpec
     n = mesh.shape[axis]
     assert rows % (TILE_H * n) == 0, (rows, TILE_H, n)
@@ -787,7 +795,7 @@ class RasterBackend:
             else:
                 fn = jax.jit(functools.partial(
                     render_soup_diag, rows=rows, cols=cols,
-                    pixel_aspect=pixel_aspect, kernel="subtile3",
+                    pixel_aspect=pixel_aspect, kernel=HEADLINE_KERNEL,
                     v_cap=caps[0], big_cap=caps[1], r_cap=caps[2],
                     pair_cap=caps[3], tile_cap=caps[4]))
             self._fns[key] = fn

@@ -89,10 +89,11 @@ def _render_rgb_a(backend: str, scene: SceneData, cam: Camera, time_s,
             # instead of silently dropping geometry: nonzero
             # FrameState.raster_overflow marks the frame inexact — rebuild
             # the step with caps from suggest_caps_grouped.
-            from ascii_renderer_tpu.backends.raster import render_soup_diag
+            from ascii_renderer_tpu.backends.raster import (HEADLINE_KERNEL,
+                                                            render_soup_diag)
             rgb, diag = render_soup_diag(
                 soup[0], soup[1], soup[2], scene, cam, rows, cols,
-                cfg.pixel_aspect, kernel="subtile3",
+                cfg.pixel_aspect, kernel=HEADLINE_KERNEL,
                 v_cap=raster_caps[0], big_cap=raster_caps[1],
                 r_cap=raster_caps[2], pair_cap=raster_caps[3],
                 tile_cap=raster_caps[4], pos9=pos9, attrs_t=attrs_t)

@@ -128,7 +128,8 @@ def _raster_ascii_fn(cfg, rows, cols, caps=None):
     import jax
     import functools
     import jax.numpy as jnp
-    from ascii_renderer_tpu.backends.raster import (render_soup,
+    from ascii_renderer_tpu.backends.raster import (HEADLINE_KERNEL,
+                                                    render_soup,
                                                     render_soup_diag,
                                                     positions_to_pos9)
     from ascii_renderer_tpu.core.frame import Frame
@@ -143,7 +144,7 @@ def _raster_ascii_fn(cfg, rows, cols, caps=None):
             v_cap, big_cap, r_cap, pair_cap, bin_cap = caps
             (idx_img, _rgb8), _diag = render_soup_diag(
                 p, n, c, scene, cam, rows, cols, cfg.pixel_aspect,
-                kernel="subtile3", v_cap=v_cap, big_cap=big_cap,
+                kernel=HEADLINE_KERNEL, v_cap=v_cap, big_cap=big_cap,
                 r_cap=r_cap, pair_cap=pair_cap, tile_cap=bin_cap,
                 pos9=pos9, attrs_t=attrs_t, emit="idx",
                 ramp_len=len(cfg.ascii_ramp))
@@ -196,7 +197,7 @@ def _probe_caps(soup, scene, cam, rows, cols, pixel_aspect):
         return caps
     fn = jax.jit(functools.partial(
         R.render_soup_diag, rows=rows, cols=cols, pixel_aspect=pixel_aspect,
-        kernel="subtile3", v_cap=n2t, big_cap=64,
+        kernel=R.HEADLINE_KERNEL, v_cap=n2t, big_cap=64,
         r_cap=R._round_up(n2t, 2048), pair_cap=4 * n2t))
     _, diag = fn(*soup, scene, cam)
     counts = tuple(int(diag[k]) for k in
@@ -422,7 +423,8 @@ def bench_config3(smoke, batch=0):
     def one_frame(_, cam):
         rgb, diag = R.render_soup_diag(
             *soup, scene, cam, rows=rows, cols=cols,
-            pixel_aspect=cfg.pixel_aspect, kernel="subtile3", v_cap=v_cap,
+            pixel_aspect=cfg.pixel_aspect, kernel=R.HEADLINE_KERNEL,
+            v_cap=v_cap,
             big_cap=big_cap, r_cap=r_cap, pair_cap=pair_cap,
             tile_cap=tile_cap, pos9=pos9, attrs_t=attrs_t)
         chars, _tint = glyph_decide(
