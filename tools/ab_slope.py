@@ -205,10 +205,14 @@ def main():
         fns.append((name, f))
 
     best = {name: None for name, _ in fns}
-    for _ in range(args.reps):
+    for rep in range(args.reps):
         for name, f in fns:
             dt = _slope(f, (cam,), args.n1, args.n2)
             best[name] = dt if best[name] is None else min(best[name], dt)
+            # incremental line: a timeout mid-run still leaves every
+            # completed measurement on disk (agenda tees this file)
+            print(f"  rep{rep} {name:12s}: {dt*1e3:7.3f} ms/frame",
+                  file=sys.stderr, flush=True)
     for name, _ in fns:
         dt = best[name]
         print(f"{name:12s}: {dt*1e3:7.3f} ms/frame ({1/dt:7.1f} FPS)")

@@ -27,23 +27,18 @@ probe() {
 run() {
   probe || return 1
   echo "=== 1/4 slope A/B: base vs shade-table widths vs chunk sizes ==="
-  timeout 2400 python tools/ab_slope.py \
-    base t24 t32 chunk16 chunk64 t24c16 t32c16 \
-    2>&1 | tee "$OUT/ab_base.txt"
-  echo "=== 2/4 slope A/B: K2/K4 walks (s5/s6) + their knob combos ==="
-  timeout 2400 python tools/ab_slope.py \
-    base s5 s5t24 s5c16 s5c64 s6 s6t24 s6c16 s6c64 \
-    2>&1 | tee "$OUT/ab_k.txt"
-  echo "=== 2b/4 slope A/B: combined landing candidates ==="
-  timeout 2400 python tools/ab_slope.py \
-    base s5t32 s6t32 s5t24c16 s6t24c16 s6t24c64 t24 s6t24 \
-    2>&1 | tee "$OUT/ab_combo.txt"
-  echo "=== 2c/4 slope A/B: contiguous split-pack candidates ==="
-  timeout 2400 python tools/ab_slope.py \
-    base split split24 s5split s6split s6split24 \
-    2>&1 | tee "$OUT/ab_split.txt"
-  echo "=== 3/4 full bench (all configs incl. PT Mrays/s fields) ==="
+  # Ordered by landing value: the ESSENTIAL run alone picks the winner.
+  # A short tunnel window should still produce ab_essential + bench.
+  echo "=== 1/5 slope A/B (ESSENTIAL): landing candidates ==="
+  timeout 2000 python tools/ab_slope.py \
+    base t24 s5t24 s6t24 split24 s6split24 s6t24c16 \
+    2>&1 | tee "$OUT/ab_essential.txt"
+  echo "=== 2/5 full bench (all configs incl. PT Mrays/s fields) ==="
   timeout 3600 python bench.py 2>&1 | tee "$OUT/bench_full.txt"
+  echo "=== 3/5 slope A/B (BROAD): single-knob grid for attribution ==="
+  timeout 2400 python tools/ab_slope.py \
+    base t32 chunk16 chunk64 s5 s6 split s5split s6split s6t24c64 \
+    2>&1 | tee "$OUT/ab_broad.txt"
   echo "=== 4/5 stage profile of the headline prefix ==="
   timeout 1200 python tools/profile_prefix.py 2>&1 | tee "$OUT/profile.txt"
   echo "=== 5/5 PT megakernel stage/variant profile ==="
