@@ -118,6 +118,10 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--n1", type=int, default=32)
     ap.add_argument("--n2", type=int, default=128)
+    ap.add_argument("--small", action="store_true",
+                    help="tiny grid/mesh smoke mode: verifies every "
+                         "variant traces, runs, and matches base on CPU "
+                         "before an unattended TPU run")
     args = ap.parse_args()
     if args.list:
         for k, v in VARIANTS.items():
@@ -142,8 +146,12 @@ def main():
     from ascii_renderer_tpu.ascii.ascii_pass import glyph_from_index
 
     cfg = Config(pixel_aspect=0.5)
-    rows, cols = 540, 960
-    v, i = meshes.bunny_like(69000)
+    if args.small:
+        rows, cols = 64, 128
+        args.n1, args.n2, args.reps = 1, 3, 1
+    else:
+        rows, cols = 540, 960
+    v, i = meshes.bunny_like(2000 if args.small else 69000)
     p, n, c3 = meshes.mesh_to_soup(v, i, color=(0.8, 0.78, 0.75))
     sb = SceneBuilder().set_env_light([0.22, 0.24, 0.28], 1.0)
     sb.add_dir_light([-0.5, -0.7, -0.6], [1, 1, 1], 0.9)
