@@ -371,7 +371,11 @@ HEADLINE_KERNEL = "subtile3"  # the grouped-walk generation every headline
 # a one-line flip here plus the SHADE_TABLE_W / raster_group.CHUNK_RG
 # knobs below. All generations are bit-identical (tests/test_raster_
 # channels.py), so goldens are unaffected by the flip.
-SHADE_TABLE_W = 0  # 0 = exact 3A+3; else padded gather width (perf A/B)
+SHADE_TABLE_W = -1  # shade-table gather width: -1 = 3A+3 rounded up to a
+# lane-aligned multiple of 8 (A/B winner "t24": 21 -> 24 measured 1.55 ->
+# 1.51 ms on the headline, stable across reps); 0 = exact 3A+3; N = fixed
+# width (perf A/B). Widths below 3A+3 would truncate the point-light
+# world-pos planes — the -1 default always covers them.
 PACK_SPLIT = False  # pack kernel emits src32+shade table as CONTIGUOUS
 # arrays (ops/pack.pack_channels_split) instead of lane-slices of one
 # wider pack — row gathers from a slice of a wider array read strided
@@ -502,7 +506,8 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
         keys = _subtile_pair_keys_bbox(
             bbox, rows, cols, big_cap=big_cap, ty_lo=ty_lo,
             tiles_y_band=tiles_y if banded else None)
-        tw = SHADE_TABLE_W if SHADE_TABLE_W else 3 * A + 3
+        tw = (_round_up(3 * A + 3, 8) if SHADE_TABLE_W < 0
+              else (SHADE_TABLE_W if SHADE_TABLE_W else 3 * A + 3))
         if PACK_SPLIT:
             from ascii_renderer_tpu.ops.pack import pack_channels_split
             src32, table = pack_channels_split(cm, [(0, 32), (16, 16 + tw)])

@@ -373,7 +373,13 @@ def _kernel_grouped_k2(rowptr_ref, depth_ref, skip_ref, data_hbm, m_ref,
     """K2 grouped walk: each [c2, 256] slab row carries 2 entries per bin,
     so the gather-built layout has half the rows of the base walk. Per-bin
     odd source offsets are absorbed by a skip window: sub-entry index
-    idx = 2*row + j is live iff skip <= idx < skip + depth."""
+    idx = 2*row + j is live iff skip <= idx < skip + depth.
+
+    data_hbm is the rows256 table viewed [r_cap2 // 8, 8, 256]: Mosaic
+    cannot prove a dynamic row start divisible by the (8, 128) tiling when
+    it places the table in VMEM, but dim 0 of the 3-D view is untiled, so
+    the DMA slices whole 8-row blocks at start // 8 (rowptr entries are
+    c2-multiples, c2 = CHUNK_RG/2 = 16, so starts are always 8-aligned)."""
     t = pl.program_id(0)
     r0 = rowptr_ref[t]
     r1 = rowptr_ref[t + 1]
@@ -393,11 +399,12 @@ def _kernel_grouped_k2(rowptr_ref, depth_ref, skip_ref, data_hbm, m_ref,
         slane = jnp.where(grp == g, skip_ref[t * N_SUB + g], slane)
 
     max_start = r_cap2 - c2
+    cb = c2 // 8  # 8-row blocks per chunk (untiled dim-0 slices)
 
     def copy_in(c, slot):
         start = jnp.minimum(r0 + c * c2, max_start)
         return pltpu.make_async_copy(
-            data_hbm.at[pl.ds(start, c2)], buf.at[slot], sem.at[slot])
+            data_hbm.at[pl.ds(start // 8, cb)], buf.at[slot], sem.at[slot])
 
     @pl.when(n_chunks > 0)
     def _():
@@ -416,7 +423,8 @@ def _kernel_grouped_k2(rowptr_ref, depth_ref, skip_ref, data_hbm, m_ref,
         copy_in(c, slot).wait()
 
         y = jax.lax.dot_general(
-            buf[slot], m_ref[...], (((1,), (0,)), ((), ())),
+            buf[slot].reshape(c2, 2 * TILE_W), m_ref[...],
+            (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)  # [c2, 2*13*128]
         # fold the per-lane x per sub-entry: P_w = C_w + A_w * xl
@@ -473,6 +481,7 @@ def tile_eval_grouped_k2(rows256: jnp.ndarray, rowptr: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
     c2 = CHUNK_RG // 2
     r_cap2 = rows256.shape[0]
+    assert c2 % 8 == 0 and r_cap2 % 8 == 0, (c2, r_cap2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(grp_cap,),
@@ -490,7 +499,7 @@ def tile_eval_grouped_k2(rows256: jnp.ndarray, rowptr: jnp.ndarray,
                    pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0),
                                 memory_space=pltpu.VMEM)),
         scratch_shapes=[
-            pltpu.VMEM((2, c2, 2 * TILE_W), jnp.float32),
+            pltpu.VMEM((2, c2 // 8, 8, 2 * TILE_W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -502,7 +511,8 @@ def tile_eval_grouped_k2(rows256: jnp.ndarray, rowptr: jnp.ndarray,
                    jax.ShapeDtypeStruct((grp_cap, TILE_H, TILE_W),
                                         jnp.float32)),
         interpret=interpret,
-    )(rowptr, gdepth, gskip, rows256, expand_matrix_g_k2(),
+    )(rowptr, gdepth, gskip,
+      rows256.reshape(r_cap2 // 8, 8, 2 * TILE_W), expand_matrix_g_k2(),
       xl[:, None, :], yl[:, None, :])
 
 
