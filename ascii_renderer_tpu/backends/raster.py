@@ -468,7 +468,8 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
     else:
         attrs = jnp.concatenate([normals, colors, positions], axis=1)
     mvp = camera_mvp(cam, rows, cols, pixel_aspect)
-    if kernel in ("subtile3", "subtile4", "subtile5", "subtile6"):
+    if kernel in ("subtile3", "subtile4", "subtile5", "subtile6",
+                  "subtile7", "subtile8"):
         # Fused-setup + depth-sorted grouped walk (the round-3 headline
         # path): setup_2dh as ONE Pallas kernel emitting the packed
         # channel block directly, bins grouped by depth instead of by
@@ -523,6 +524,16 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
                 src32, keys, tiles_x, n_tiles, pair_cap, grp_cap)
             _z, e = RG.tile_eval_direct(src_pair, goff, gdepth, gchunks,
                                         xl, yl, grp_cap)
+        elif kernel in ("subtile7", "subtile8"):  # K-gather -> base walk
+            kk = 4 if kernel == "subtile7" else 8
+            (rows128, rowptr, gdepth, gskip, xl, yl, gbins, n_rows,
+             n_pairs, n_used) = RG.build_packed_rows_grouped_kgather(
+                src32, keys, tiles_x, n_tiles, r_cap, pair_cap,
+                grp_cap, kk)
+            if banded:
+                yl = yl + (ty_lo * TILE_H).astype(jnp.float32)
+            _z, e = RG.tile_eval_grouped_skip(rows128, rowptr, gdepth,
+                                              gskip, xl, yl, grp_cap)
         elif kernel in ("subtile5", "subtile6"):  # K2/K4 multi-entry rows
             build = (RG.build_packed_rows_grouped_k2 if kernel == "subtile5"
                      else RG.build_packed_rows_grouped_k4)
@@ -647,12 +658,13 @@ def render_soup(positions, normals, colors, scene: SceneData, cam: Camera,
         method = "scatter" if positions.shape[0] // 3 * 2 > 512 else "scan"
     if (method in ("scatter", "scatter_mm", "scatter_loop", "subtile",
                    "subtile2", "subtile3", "subtile4", "subtile5",
-                   "subtile6")
+                   "subtile6", "subtile7", "subtile8")
             and v_cap is not None):
         kern = {"scatter_loop": "loop", "subtile": "subtile",
                 "subtile2": "subtile2", "subtile3": "subtile3",
                 "subtile4": "subtile4", "subtile5": "subtile5",
-                "subtile6": "subtile6"}.get(method, "mm")
+                "subtile6": "subtile6", "subtile7": "subtile7",
+                "subtile8": "subtile8"}.get(method, "mm")
         rgb, _diag = render_soup_diag(
             positions, normals, colors, scene, cam, rows, cols, pixel_aspect,
             v_cap=v_cap, big_cap=big_cap, kernel=kern, r_cap=r_cap,

@@ -199,6 +199,252 @@ def tile_eval_grouped(rows128: jnp.ndarray, rowptr: jnp.ndarray,
       xl[:, None, :], yl[:, None, :])
 
 
+def _kernel_grouped_skip(rowptr_ref, depth_ref, skip_ref, data_hbm, m_ref,
+                         xl_ref, yl_ref, z_ref, e_ref, buf, sem, *,
+                         r_cap: int):
+    """Base grouped walk + per-bin skip window: entry index idx = d0 + r
+    is live iff skip <= idx < skip + depth. This is the walk for the
+    K-gather layouts (build_packed_rows_grouped_kgather): the rows were
+    fetched K entries per gather row from K-aligned starts and relaid to
+    the base [r_cap, 128] format, so each bin's first `skip` slots belong
+    to the preceding bin in pair order and must not light its pixels.
+
+    The walk's MXU cost is IDENTICAL to _kernel_grouped (K stays 128):
+    the K2/K4 kernels' regression — expand-matrix K-dim scaling with the
+    entries-per-row factor — does not apply.
+
+    data_hbm is rows128 viewed [r_cap // 8, 8, 128] (untiled dim-0 DMA
+    slices; rowptr entries are CHUNK_RG-multiples, so starts are
+    8-aligned — same Mosaic-proof layout as the K2 kernel)."""
+    t = pl.program_id(0)
+    r0 = rowptr_ref[t]
+    r1 = rowptr_ref[t + 1]
+    n_chunks = (r1 - r0) // CHUNK_RG
+
+    xlv = xl_ref[0]  # [1, 128]
+    ylv = yl_ref[0]
+    xl = jnp.broadcast_to(xlv, (TILE_H, TILE_W))
+    vv = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+          .astype(jnp.float32) + 0.5
+          + jnp.broadcast_to(ylv, (TILE_H, TILE_W)))
+    x4 = jnp.concatenate([xlv] * 4, axis=1)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) // SUB_W
+    dlane = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+    slane = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+    for g in range(N_SUB):
+        dlane = jnp.where(grp == g, depth_ref[t * N_SUB + g], dlane)
+        slane = jnp.where(grp == g, skip_ref[t * N_SUB + g], slane)
+
+    max_start = r_cap - CHUNK_RG
+    cb = CHUNK_RG // 8
+
+    def copy_in(c, slot):
+        start = jnp.minimum(r0 + c * CHUNK_RG, max_start)
+        return pltpu.make_async_copy(
+            data_hbm.at[pl.ds(start // 8, cb)], buf.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        copy_in(0, 0).start()
+
+    def chunk_body(c, carry):
+        zb, eb = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            copy_in(c + 1, 1 - slot).start()
+
+        copy_in(c, slot).wait()
+
+        y = jax.lax.dot_general(
+            buf[slot].reshape(CHUNK_RG, TILE_W), m_ref[...],
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # [CHUNK_RG, 13*128]
+        p4 = y[:, 0:4 * TILE_W] + x4 * y[:, 4 * TILE_W:8 * TILE_W]
+        d0 = c * CHUNK_RG
+
+        for r in range(CHUNK_RG):  # static unroll
+            def wplane(w):
+                pb = jnp.broadcast_to(
+                    p4[r, w * TILE_W:(w + 1) * TILE_W][None, :],
+                    (TILE_H, TILE_W))
+                bb = jnp.broadcast_to(
+                    y[r, (8 + w) * TILE_W:(9 + w) * TILE_W][None, :],
+                    (TILE_H, TILE_W))
+                return pb + bb * vv
+
+            w0, w1, w2, z = wplane(0), wplane(1), wplane(2), wplane(3)
+            idx = d0 + r
+            ok = ((w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0)
+                  & (z >= 0.0) & (z <= 1.0)
+                  & (idx >= slane) & (idx < slane + dlane))
+            zm = jnp.where(ok, z, jnp.inf)
+            ide = jnp.broadcast_to(
+                y[r, 12 * TILE_W:13 * TILE_W][None, :], (TILE_H, TILE_W))
+            better = zm < zb  # strict: earlier (smaller tri id) wins ties
+            zb = jnp.where(better, zm, zb)
+            eb = jnp.where(better, ide, eb)
+        return zb, eb
+
+    z0 = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
+    e0 = jnp.full((TILE_H, TILE_W), -1.0, jnp.float32)
+    zb, eb = jax.lax.fori_loop(0, n_chunks, chunk_body, (z0, e0))
+    z_ref[0, ...] = zb
+    e_ref[0, ...] = eb
+
+
+def tile_eval_grouped_skip(rows128: jnp.ndarray, rowptr: jnp.ndarray,
+                           gdepth: jnp.ndarray, gskip: jnp.ndarray,
+                           xl: jnp.ndarray, yl: jnp.ndarray,
+                           grp_cap: int, interpret: bool | None = None):
+    """Skip-window base walk over a K-gathered layout
+    (build_packed_rows_grouped_kgather). Same outputs/semantics as
+    tile_eval_grouped; gskip i32 [grp_cap*8] leading dead slots per bin."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    r_cap = rows128.shape[0]
+    assert CHUNK_RG % 8 == 0 and r_cap % 8 == 0, (CHUNK_RG, r_cap)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(grp_cap,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((TILE_W, N_EXP * TILE_W), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_W), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_W), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK_RG // 8, 8, TILE_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_grouped_skip, r_cap=r_cap),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((grp_cap, TILE_H, TILE_W),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((grp_cap, TILE_H, TILE_W),
+                                        jnp.float32)),
+        interpret=interpret,
+    )(rowptr, gdepth, gskip, rows128.reshape(r_cap // 8, 8, TILE_W),
+      expand_matrix_g(), xl[:, None, :], yl[:, None, :])
+
+
+def build_packed_rows_grouped_kgather(src32: jnp.ndarray,
+                                      pair_key: jnp.ndarray,
+                                      tiles_x: int, n_tiles: int,
+                                      r_cap: int, pair_cap: int,
+                                      grp_cap: int, k: int):
+    """build_packed_rows_grouped with a K-entry slot gather RELAID to the
+    base single-entry layout.
+
+    The K2/K4 walk kernels paid for their gather-row savings with a
+    K-times-wider expand matrix (walk MXU cost scales with entries per
+    slab row) — measured a net loss on TPU. Here the saving and the walk
+    are decoupled: the slot gather fetches K consecutive bin entries per
+    row from the pair-ordered source viewed [P/k, k*16] (1/k-th of the
+    gather rows — TPU gathers are per-row-cost bound), then ONE XLA
+    transpose relays [r_cap/k, 8, k, 16] -> [r_cap, 8, 16] so the walk
+    runs the UNCHANGED-cost base kernel. Bins whose CSR offset is not
+    K-aligned start mid-row; the walk masks the leading entries via a
+    skip window (tile_eval_grouped_skip), preserving bit-identical
+    winner selection (the skipped slots belong to other bins).
+
+    Returns (rows128 [r_cap, 128], rowptr [grp_cap+1] (K1 row units,
+    CHUNK_RG multiples), gdepth, gskip [grp_cap*8], xl, yl [grp_cap,128],
+    gbins [grp_cap*8], n_rows, n_pairs, n_used) — n_rows in entry units
+    (= K1 rows), comparable against r_cap exactly like the base build."""
+    assert k in (2, 4, 8) and CHUNK_RG % k == 0 and r_cap % CHUNK_RG == 0
+    r_capk = r_cap // k
+    n_bins = n_tiles * N_SUB
+    assert n_bins <= (1 << 13)
+    bin_s = (pair_key >> SUB_SHIFT).astype(jnp.int32)
+    tri_s = (pair_key & (MAX_TRI - 1)).astype(jnp.int32)
+    P = pair_key.shape[0]
+    p_eff = min(pair_cap, P)
+    offsets = _bin_offsets(bin_s, p_eff, n_bins)
+    n_pairs = jnp.sum((bin_s < n_bins).astype(jnp.int32))
+    depth_bins = offsets[1:] - offsets[:-1]
+    n_used = jnp.sum((depth_bins > 0).astype(jnp.int32))
+
+    negd, binperm = jax.lax.sort(
+        (-depth_bins, jnp.arange(n_bins, dtype=jnp.int32)), num_keys=1)
+    nsel = grp_cap * N_SUB
+    if nsel > n_bins:
+        pad = nsel - n_bins
+        binperm = jnp.concatenate(
+            [binperm, jnp.full((pad,), n_bins, jnp.int32)])
+        negd = jnp.concatenate([negd, jnp.zeros((pad,), jnp.int32)])
+    gbins = binperm[:nsel]
+    gdepth = -negd[:nsel]
+    off_g = offsets[jnp.minimum(gbins, n_bins)]
+    gskip = jnp.where(gdepth > 0, off_g % k, 0)
+    offk = (off_g - gskip) // k        # K-aligned K-row start per bin
+    rbk = (gdepth + gskip + k - 1) // k  # K-rows needed per bin
+    gmaxk = rbk.reshape(grp_cap, N_SUB).max(axis=1)
+    # group extents in K1 rows, padded to CHUNK_RG (divisible by k)
+    d_pad = _round_up_i(gmaxk * k, CHUNK_RG)
+    rowptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(d_pad).astype(jnp.int32)])
+    n_rows = rowptr[-1]
+
+    rowptrk = rowptr // k
+    rk_ids = jnp.arange(r_capk, dtype=jnp.int32)
+    t_r = jnp.minimum(jnp.sum(
+        (rk_ids[:, None] >= rowptrk[None, 1:]).astype(jnp.int32), axis=1),
+        grp_cap - 1)
+    d_rk = rk_ids - rowptrk[:-1][t_r]
+    offk_g = offk.reshape(grp_cap, N_SUB)
+    off_rows = offk_g[t_r]                            # [r_capk, 8]
+
+    # pair-ordered 16-channel source, K entries per k*16-lane row
+    src_pair = src32[tri_s[:p_eff]][:, :N_CHAN]       # [p_eff, 16]
+    pek = _round_up_i_static(p_eff, k)
+    if pek > p_eff:
+        src_pair = jnp.concatenate(
+            [src_pair, jnp.zeros((pek - p_eff, N_CHAN), jnp.float32)],
+            axis=0)
+    srckk = src_pair.reshape(pek // k, k * N_CHAN)    # [P/k, k*16]
+    pidx = jnp.clip((off_rows + d_rk[:, None]).reshape(-1),
+                    0, pek // k - 1)
+    g = srckk[pidx]                                   # [r_capk*8, k*16]
+    # K-row q, sub-entry p, slot s -> K1 row q*k+p, slot s
+    rows128 = (g.reshape(r_capk, N_SUB, k, N_CHAN)
+               .transpose(0, 2, 1, 3)
+               .reshape(r_cap, N_SUB * N_CHAN))
+
+    safe_bins = jnp.minimum(gbins, n_bins - 1)
+    tile = safe_bins // N_SUB
+    sub = safe_bins % N_SUB
+    x0 = ((tile % tiles_x) * TILE_W + sub * SUB_W).astype(jnp.float32)
+    y0 = ((tile // tiles_x) * TILE_H).astype(jnp.float32)
+    lane_in = (jnp.arange(SUB_W, dtype=jnp.float32) + 0.5)
+    xl = (jnp.repeat(x0.reshape(grp_cap, N_SUB), SUB_W, axis=1)
+          + jnp.tile(lane_in, N_SUB)[None, :])
+    yl = jnp.repeat(y0.reshape(grp_cap, N_SUB), SUB_W, axis=1)
+
+    rowptr_k = jnp.minimum(rowptr, r_cap)
+    return (rows128, rowptr_k, gdepth, gskip, xl, yl, gbins,
+            n_rows, n_pairs, n_used)
+
+
+def _round_up_i(x, q: int):
+    return ((x + q - 1) // q) * q
+
+
+def _round_up_i_static(x: int, q: int) -> int:
+    return -(-x // q) * q
+
+
 def expand_matrix_g256() -> jnp.ndarray:
     """expand_matrix_g for the direct-DMA kernel: input lanes are the
     concatenation of the 8 bins' 32-channel source rows (lane g*32 + c =

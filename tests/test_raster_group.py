@@ -268,6 +268,17 @@ def test_subtile6_bit_identical_to_subtile3():
         _multi_entry_walk_case("subtile6", seed, T)
 
 
+def test_subtile7_subtile8_bit_identical_to_subtile3():
+    """The K-gather generations (K4/K8 slot gather relaid to the base
+    single-entry layout, walked by the skip-window base kernel) must be
+    bit-identical: the relayout is a pure permutation, the skip window
+    masks exactly the leading mid-row entries of non-K-aligned bins, and
+    the walk's visit order/merge are unchanged from subtile3."""
+    for kernel in ("subtile7", "subtile8"):
+        for seed, T in ((5, 3000), (11, 900)):
+            _multi_entry_walk_case(kernel, seed, T)
+
+
 def test_subtile6_near_plane_crossers_match_subtile3():
     s = 5.0
     floor = [(-s, 0, -s), (s, 0, -s), (s, 0, s), (-s, 0, s)]

@@ -52,6 +52,8 @@ VARIANTS = {
     "s5c16": [("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 16)],
     "s5c64": [("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 64)],
     "s6": [],  # name prefix "s6" switches the walk to kernel=subtile6 (K4)
+    "s7": [],  # name prefix "s7": kernel=subtile7 (K4 gather -> base walk)
+    "s8": [],  # name prefix "s8": kernel=subtile8 (K8 gather -> base walk)
     "s6t24": [("ascii_renderer_tpu.backends.raster", "SHADE_TABLE_W", 24)],
     "s6c16": [("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 16)],
     "s6c64": [("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 64)],
@@ -201,7 +203,9 @@ def main():
         # reuse the first variant's trace for all of them
         kern = ("subtile4" if name.startswith("s4")
                 else "subtile5" if name.startswith("s5")
-                else "subtile6" if name.startswith("s6") else "subtile3")
+                else "subtile6" if name.startswith("s6")
+                else "subtile7" if name.startswith("s7")
+                else "subtile8" if name.startswith("s8") else "subtile3")
         f = jax.jit(lambda cam, _v=name, _k=kern: frame(cam, _k))
         out = np.asarray(f(cam))  # trace NOW under this variant's flags
         if ref_out is None:
