@@ -365,12 +365,19 @@ def count_big_small_bbox(cch, rows: int, cols: int, ty_lo=0,
 
 
 
-HEADLINE_KERNEL = "subtile3"  # the grouped-walk generation every headline
+HEADLINE_KERNEL = "subtile8"  # the grouped-walk generation every headline
 # call site uses (bench configs, the fused frame step, RasterBackend,
 # row-band sharding): landing a measured A/B winner (tools/ab_slope) is
 # a one-line flip here plus the SHADE_TABLE_W / raster_group.CHUNK_RG
 # knobs below. All generations are bit-identical (tests/test_raster_
-# channels.py), so goldens are unaffected by the flip.
+# channels.py, test_raster_group.py), so goldens are unaffected by the
+# flip. subtile8 = K8 slot gather relaid to the base walk layout
+# (ops/raster_group.build_packed_rows_grouped_kgather): beat subtile3
+# in every A/B rep (median 1.26 vs 1.55 ms at 960x540/69k; the K2/K4
+# in-kernel variants lost — expand-matrix K-dim scales walk MXU cost).
+# subtile4 (per-bin direct DMA) is TPU-infeasible: its [CHUNK, 32]
+# per-bin VMEM slabs violate the 128-lane tiling (Mosaic reject);
+# interpret-mode oracle only.
 SHADE_TABLE_W = -1  # shade-table gather width: -1 = 3A+3 rounded up to a
 # lane-aligned multiple of 8 (A/B winner "t24": 21 -> 24 measured 1.55 ->
 # 1.51 ms on the headline, stable across reps); 0 = exact 3A+3; N = fixed
@@ -532,8 +539,12 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
                 grp_cap, kk)
             if banded:
                 yl = yl + (ty_lo * TILE_H).astype(jnp.float32)
-            _z, e = RG.tile_eval_grouped_skip(rows128, rowptr, gdepth,
-                                              gskip, xl, yl, grp_cap)
+            if PROBE_SKIP_WALK:
+                e = (jnp.zeros((grp_cap, TILE_H, TILE_W), jnp.float32)
+                     + jnp.sum(rows128) * 0.0)
+            else:
+                _z, e = RG.tile_eval_grouped_skip(rows128, rowptr, gdepth,
+                                                  gskip, xl, yl, grp_cap)
         elif kernel in ("subtile5", "subtile6"):  # K2/K4 multi-entry rows
             build = (RG.build_packed_rows_grouped_k2 if kernel == "subtile5"
                      else RG.build_packed_rows_grouped_k4)

@@ -49,6 +49,7 @@ COMPOSE_SLOT_GATHER = False  # trace-time flag (in-process perf A/B only)
 # slot gather to src32[tri_s[pidx]] is +0.39 ms WORSE than materializing
 # the pair-ordered copy and gathering from it — keep False
 PROBE_SKIP_SLOT_GATHER = False  # wrong-output perf probe (tools/ab_slope)
+PROBE_SKIP_PAIR_GATHER = False  # wrong-output perf probe (tools/ab_slope)
 PROBE_SKIP_DEPTHSORT = False    # wrong-output perf probe (tools/ab_slope)
 PROBE_SKIP_TR = False           # wrong-output perf probe (tools/ab_slope)
 N_EXP = 13         # expanded blocks: 4x C, 4x A, 4x B, id
@@ -376,8 +377,11 @@ def build_packed_rows_grouped_kgather(src32: jnp.ndarray,
     depth_bins = offsets[1:] - offsets[:-1]
     n_used = jnp.sum((depth_bins > 0).astype(jnp.int32))
 
-    negd, binperm = jax.lax.sort(
-        (-depth_bins, jnp.arange(n_bins, dtype=jnp.int32)), num_keys=1)
+    if PROBE_SKIP_DEPTHSORT:
+        negd, binperm = -depth_bins, jnp.arange(n_bins, dtype=jnp.int32)
+    else:
+        negd, binperm = jax.lax.sort(
+            (-depth_bins, jnp.arange(n_bins, dtype=jnp.int32)), num_keys=1)
     nsel = grp_cap * N_SUB
     if nsel > n_bins:
         pad = nsel - n_bins
@@ -407,7 +411,18 @@ def build_packed_rows_grouped_kgather(src32: jnp.ndarray,
     off_rows = offk_g[t_r]                            # [r_capk, 8]
 
     # pair-ordered 16-channel source, K entries per k*16-lane row
-    src_pair = src32[tri_s[:p_eff]][:, :N_CHAN]       # [p_eff, 16]
+    if PROBE_SKIP_PAIR_GATHER:  # wrong-output probe: pair-gather cost.
+        # A contiguous slice/pad stands in for the random gather (a
+        # broadcast would let XLA fold the downstream slot gather away).
+        Tsrc = src32.shape[0]
+        if p_eff <= Tsrc:
+            src_pair = src32[:p_eff, :N_CHAN]
+        else:
+            src_pair = jnp.concatenate(
+                [src32[:, :N_CHAN],
+                 jnp.zeros((p_eff - Tsrc, N_CHAN), jnp.float32)], axis=0)
+    else:
+        src_pair = src32[tri_s[:p_eff]][:, :N_CHAN]   # [p_eff, 16]
     pek = _round_up_i_static(p_eff, k)
     if pek > p_eff:
         src_pair = jnp.concatenate(
@@ -416,7 +431,11 @@ def build_packed_rows_grouped_kgather(src32: jnp.ndarray,
     srckk = src_pair.reshape(pek // k, k * N_CHAN)    # [P/k, k*16]
     pidx = jnp.clip((off_rows + d_rk[:, None]).reshape(-1),
                     0, pek // k - 1)
-    g = srckk[pidx]                                   # [r_capk*8, k*16]
+    if PROBE_SKIP_SLOT_GATHER:  # wrong-output probe: slot-gather cost
+        g = jnp.broadcast_to(srckk[:1], (r_capk * N_SUB, k * N_CHAN)) \
+            + jnp.float32(0) * srckk.sum()
+    else:
+        g = srckk[pidx]                               # [r_capk*8, k*16]
     # K-row q, sub-entry p, slot s -> K1 row q*k+p, slot s
     rows128 = (g.reshape(r_capk, N_SUB, k, N_CHAN)
                .transpose(0, 2, 1, 3)

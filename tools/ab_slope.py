@@ -54,6 +54,19 @@ VARIANTS = {
     "s6": [],  # name prefix "s6" switches the walk to kernel=subtile6 (K4)
     "s7": [],  # name prefix "s7": kernel=subtile7 (K4 gather -> base walk)
     "s8": [],  # name prefix "s8": kernel=subtile8 (K8 gather -> base walk)
+    # wrong-output stage probes under the s8 (subtile8) headline kernel
+    "s8skipslot": [("ascii_renderer_tpu.ops.raster_group",
+                    "PROBE_SKIP_SLOT_GATHER", True)],
+    "s8skippair": [("ascii_renderer_tpu.ops.raster_group",
+                    "PROBE_SKIP_PAIR_GATHER", True)],
+    "s8skipshade": [("ascii_renderer_tpu.backends.raster",
+                     "PROBE_SKIP_SHADE_GATHER", True)],
+    "s8skipksort": [("ascii_renderer_tpu.backends.raster",
+                     "PROBE_SKIP_KEYSORT", True)],
+    "s8skipwalk": [("ascii_renderer_tpu.backends.raster",
+                    "PROBE_SKIP_WALK", True)],
+    "s8skipdsort": [("ascii_renderer_tpu.ops.raster_group",
+                     "PROBE_SKIP_DEPTHSORT", True)],
     "s6t24": [("ascii_renderer_tpu.backends.raster", "SHADE_TABLE_W", 24)],
     "s6c16": [("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 16)],
     "s6c64": [("ascii_renderer_tpu.ops.raster_group", "CHUNK_RG", 64)],
