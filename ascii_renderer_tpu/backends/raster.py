@@ -383,6 +383,11 @@ SHADE_TABLE_W = -1  # shade-table gather width: -1 = 3A+3 rounded up to a
 # 1.51 ms on the headline, stable across reps); 0 = exact 3A+3; N = fixed
 # width (perf A/B). Widths below 3A+3 would truncate the point-light
 # world-pos planes — the -1 default always covers them.
+PACK_SPLIT16 = False  # like PACK_SPLIT but the kernel-channel array is
+# emitted 16 wide (exactly the walk channels) instead of 32: the K-gather
+# builds (subtile5-8) slice to 16 before gathering anyway, so this makes
+# the pair gather's SOURCE contiguous with no post-slice. Only valid for
+# those kernels; perf A/B knob (tools/ab_slope "s8split16").
 PACK_SPLIT = False  # pack kernel emits src32+shade table as CONTIGUOUS
 # arrays (ops/pack.pack_channels_split) instead of lane-slices of one
 # wider pack — row gathers from a slice of a wider array read strided
@@ -516,7 +521,11 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
             tiles_y_band=tiles_y if banded else None)
         tw = (_round_up(3 * A + 3, 8) if SHADE_TABLE_W < 0
               else (SHADE_TABLE_W if SHADE_TABLE_W else 3 * A + 3))
-        if PACK_SPLIT:
+        if PACK_SPLIT16 and kernel in ("subtile5", "subtile6", "subtile7",
+                                       "subtile8"):
+            from ascii_renderer_tpu.ops.pack import pack_channels_split
+            src32, table = pack_channels_split(cm, [(0, 16), (16, 16 + tw)])
+        elif PACK_SPLIT:
             from ascii_renderer_tpu.ops.pack import pack_channels_split
             src32, table = pack_channels_split(cm, [(0, 32), (16, 16 + tw)])
         else:

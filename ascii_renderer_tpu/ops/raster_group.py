@@ -44,12 +44,26 @@ from ascii_renderer_tpu.ops.raster_subtile import (
     SUB_SHIFT, SUB_W, TILE_H, TILE_W)
 
 CHUNK_RG = 32      # rows per DMA slab (16 KB)
+DEPTH_GROUPING = "sort"  # "sort" = exact lax.sort by depth desc;
+# "bucket" = sort-free counting order by ceil(depth/CHUNK_RG) bucket
+# (MXU-blocked rank cumsum + one small scatter). Within a bucket every
+# depth rounds to the same chunk count, so the grouped layout's padded
+# row total is identical to the exact sort except at bucket-boundary
+# groups — the lax.sort's fixed cost (~0.2 ms measured in-context at
+# headline scale) is what this removes. Perf A/B knob (tools/ab_slope
+# "s8bucket"); bit-identical output either way (assembly is a
+# permutation-invariant bin gather).
 COMPOSE_SLOT_GATHER = False  # trace-time flag (in-process perf A/B only)
 # measured (tools/ab_slope, slope timing, distinct traces): composing the
 # slot gather to src32[tri_s[pidx]] is +0.39 ms WORSE than materializing
 # the pair-ordered copy and gathering from it — keep False
 PROBE_SKIP_SLOT_GATHER = False  # wrong-output perf probe (tools/ab_slope)
 PROBE_SKIP_PAIR_GATHER = False  # wrong-output perf probe (tools/ab_slope)
+GATHER_BARRIER = False  # wrap the K-gather build's gathers in
+# lax.optimization_barrier: tests whether XLA consumer-fusion is what
+# makes the in-context pair gather ~30x its standalone cost (a gather
+# fused into a relayout degrades from row-DMA to per-element loads).
+# Perf A/B knob (tools/ab_slope "s8barrier"); bit-identical.
 PROBE_SKIP_DEPTHSORT = False    # wrong-output perf probe (tools/ab_slope)
 PROBE_SKIP_TR = False           # wrong-output perf probe (tools/ab_slope)
 N_EXP = 13         # expanded blocks: 4x C, 4x A, 4x B, id
@@ -378,18 +392,18 @@ def build_packed_rows_grouped_kgather(src32: jnp.ndarray,
     n_used = jnp.sum((depth_bins > 0).astype(jnp.int32))
 
     if PROBE_SKIP_DEPTHSORT:
-        negd, binperm = -depth_bins, jnp.arange(n_bins, dtype=jnp.int32)
+        binperm = jnp.arange(n_bins, dtype=jnp.int32)
+        dsorted = depth_bins
     else:
-        negd, binperm = jax.lax.sort(
-            (-depth_bins, jnp.arange(n_bins, dtype=jnp.int32)), num_keys=1)
+        binperm, dsorted = depth_group_order(depth_bins, n_bins)
     nsel = grp_cap * N_SUB
     if nsel > n_bins:
         pad = nsel - n_bins
         binperm = jnp.concatenate(
             [binperm, jnp.full((pad,), n_bins, jnp.int32)])
-        negd = jnp.concatenate([negd, jnp.zeros((pad,), jnp.int32)])
+        dsorted = jnp.concatenate([dsorted, jnp.zeros((pad,), jnp.int32)])
     gbins = binperm[:nsel]
-    gdepth = -negd[:nsel]
+    gdepth = dsorted[:nsel]
     off_g = offsets[jnp.minimum(gbins, n_bins)]
     gskip = jnp.where(gdepth > 0, off_g % k, 0)
     offk = (off_g - gskip) // k        # K-aligned K-row start per bin
@@ -423,6 +437,8 @@ def build_packed_rows_grouped_kgather(src32: jnp.ndarray,
                  jnp.zeros((p_eff - Tsrc, N_CHAN), jnp.float32)], axis=0)
     else:
         src_pair = src32[tri_s[:p_eff]][:, :N_CHAN]   # [p_eff, 16]
+    if GATHER_BARRIER:
+        src_pair = jax.lax.optimization_barrier(src_pair)
     pek = _round_up_i_static(p_eff, k)
     if pek > p_eff:
         src_pair = jnp.concatenate(
@@ -436,6 +452,8 @@ def build_packed_rows_grouped_kgather(src32: jnp.ndarray,
             + jnp.float32(0) * srckk.sum()
     else:
         g = srckk[pidx]                               # [r_capk*8, k*16]
+    if GATHER_BARRIER:
+        g = jax.lax.optimization_barrier(g)
     # K-row q, sub-entry p, slot s -> K1 row q*k+p, slot s
     rows128 = (g.reshape(r_capk, N_SUB, k, N_CHAN)
                .transpose(0, 2, 1, 3)
@@ -958,6 +976,56 @@ def build_packed_rows_grouped_k4(src32: jnp.ndarray, pair_key: jnp.ndarray,
     rowptr_k = jnp.minimum(rowptr4 * 2, r_cap2)
     return (rows256, rowptr_k, gdepth, gskip, xl, yl, gbins,
             n_rows, n_pairs, n_used)
+
+
+_N_BUCKETS = 64  # depth buckets for DEPTH_GROUPING="bucket"; depths past
+# (_N_BUCKETS-1)*CHUNK_RG share the top bucket (their groups go ragged —
+# a perf-only concern for extreme-depth outlier scenes)
+
+
+def depth_group_order(depth_bins: jnp.ndarray, n_bins: int):
+    """Bin visit order for the depth-similar grouping: returns
+    (binperm i32 [n_bins], depth_sorted i32 [n_bins]) with depths in
+    DESCENDING chunk-bucket order, ascending bin id within a bucket.
+
+    DEPTH_GROUPING="sort" is the exact stable sort; "bucket" computes the
+    same chunk-quantized order sort-free: per-bin bucket one-hot, counts,
+    MXU-blocked exclusive rank cumsum down the bin axis, and one small
+    unique-index scatter to invert the permutation."""
+    if DEPTH_GROUPING != "bucket":
+        negd, binperm = jax.lax.sort(
+            (-depth_bins, jnp.arange(n_bins, dtype=jnp.int32)), num_keys=1)
+        return binperm, -negd
+    B = _N_BUCKETS
+    # bucket 0 = deepest so bucket-ascending order is depth-descending
+    bkt = B - 1 - jnp.minimum((depth_bins + CHUNK_RG - 1) // CHUNK_RG,
+                              B - 1)
+    oh = (bkt[:, None] == jnp.arange(B, dtype=jnp.int32)[None, :]
+          ).astype(jnp.float32)                       # [n_bins, B]
+    # exclusive within-bucket rank down the bin axis, MXU-blocked
+    c = 512
+    pad = (-n_bins) % c
+    x = jnp.concatenate([oh, jnp.zeros((pad, B), jnp.float32)], axis=0)
+    x = x.reshape(-1, c, B)                           # [R, c, B]
+    m = jnp.triu(jnp.ones((c, c), jnp.float32), k=1)  # M[j, i] = 1, j < i
+    in_blk = jax.lax.dot_general(
+        x, m, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)           # [R, B, c]
+    # in_blk[r, b, i] = sum_{j<i} x[r, j, b]  (exclusive in-block rank)
+    blk_tot = x.sum(axis=1)                           # [R, B]
+    blk_off = jnp.cumsum(blk_tot, axis=0) - blk_tot   # exclusive [R, B]
+    rank = (in_blk + blk_off[:, :, None]).transpose(0, 2, 1) \
+        .reshape(-1, B)[:n_bins]                      # [n_bins, B]
+    counts = blk_tot.sum(axis=0)                      # [B]
+    bucket_off = jnp.cumsum(counts) - counts          # exclusive [B]
+    pos = (bucket_off[bkt]
+           + jnp.take_along_axis(rank, bkt[:, None], axis=1)[:, 0]
+           ).astype(jnp.int32)                        # permutation
+    ids = jnp.arange(n_bins, dtype=jnp.int32)
+    binperm = jnp.zeros((n_bins,), jnp.int32).at[pos].set(
+        ids, unique_indices=True)
+    return binperm, depth_bins[binperm]
 
 
 def _bin_offsets(bin_s: jnp.ndarray, p_eff: int, n_bins: int) -> jnp.ndarray:

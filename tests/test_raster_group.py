@@ -333,3 +333,64 @@ def test_subtile5_near_plane_crossers_match_subtile3():
     b = np.asarray(jax.jit(functools.partial(
         R.render_soup, method="subtile5", **kw))(*args))
     np.testing.assert_array_equal(a, b)
+
+
+def test_morton_reorder_is_permutation_and_renders_same():
+    """geom/reorder: the Morton pass must be a true triangle permutation,
+    and on a mesh without exact z-tie pixels at this pose the reordered
+    soup must rasterize to the identical image (submission order only
+    breaks exact depth ties — see the module docstring)."""
+    from ascii_renderer_tpu.geom.reorder import reorder_soup
+    from ascii_renderer_tpu.geom import meshes
+
+    v, i = meshes.bunny_like(1500)
+    pos, nrm, col = meshes.mesh_to_soup(v, i, color=(0.8, 0.7, 0.6))
+    p2, n2, c2, perm = reorder_soup(pos, nrm, col)
+    T = pos.shape[0] // 3
+    assert sorted(perm.tolist()) == list(range(T))
+    tri0 = np.asarray(pos).reshape(T, 9)
+    tri2 = np.asarray(p2).reshape(T, 9)
+    np.testing.assert_array_equal(tri0[perm], tri2)
+
+    scene = _rand_scene()
+    cam = Camera.create(pos=(2.4, 1.4, 2.8), yaw=-2.28, pitch=-0.3)
+    kw = dict(rows=48, cols=96, pixel_aspect=0.5, method="subtile8",
+              v_cap=4096, big_cap=64, r_cap=32 * 512,
+              pair_cap=8 * T + 4096, tile_cap=(-(-48 // 8)) * 8)
+    a = np.asarray(jax.jit(functools.partial(
+        R.render_soup, **kw))(jnp.asarray(pos), jnp.asarray(nrm),
+                              jnp.asarray(col), scene, cam))
+    b = np.asarray(jax.jit(functools.partial(
+        R.render_soup, **kw))(jnp.asarray(p2), jnp.asarray(n2),
+                              jnp.asarray(c2), scene, cam))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_bucket_depth_grouping_bit_identical():
+    """DEPTH_GROUPING='bucket' (sort-free counting order) must render
+    bit-identically to the exact depth sort: grouping is layout-only and
+    the image assembly is a permutation-invariant bin gather."""
+    from ascii_renderer_tpu.ops import raster_group as RG
+
+    pos, nrm, col = _rand_soup(1200, seed=9)
+    scene = _rand_scene()
+    cam = Camera.create(pos=(2.5, 1.5, 3.0), yaw=-2.3, pitch=-0.3)
+    T = pos.shape[0] // 3
+    args = (jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(col), scene,
+            cam)
+    kw = dict(rows=48, cols=96, pixel_aspect=0.5, method="subtile8",
+              v_cap=4096, big_cap=1024, r_cap=32 * 512,
+              pair_cap=8 * T + 1024 * 48 * 8 + 4096,
+              tile_cap=(-(-48 // 8)) * 8)
+
+    def render():
+        return np.asarray(jax.jit(
+            lambda *a: R.render_soup(*a, **kw))(*args))
+
+    base = render()
+    saved = RG.DEPTH_GROUPING
+    try:
+        RG.DEPTH_GROUPING = "bucket"
+        np.testing.assert_array_equal(render(), base)
+    finally:
+        RG.DEPTH_GROUPING = saved

@@ -54,6 +54,23 @@ VARIANTS = {
     "s6": [],  # name prefix "s6" switches the walk to kernel=subtile6 (K4)
     "s7": [],  # name prefix "s7": kernel=subtile7 (K4 gather -> base walk)
     "s8": [],  # name prefix "s8": kernel=subtile8 (K8 gather -> base walk)
+    "s8bucket": [("ascii_renderer_tpu.ops.raster_group",
+                  "DEPTH_GROUPING", "bucket")],
+    # "ro" in a variant name renders the MORTON-REORDERED soup
+    # (geom/reorder): same mesh, spatial table order -> pair-gather
+    # locality. Output can differ from the logical order at z-tie pixels
+    # (the harness prints != — expected; timing is the point).
+    "s8ro": [],
+    "s8robucket": [("ascii_renderer_tpu.ops.raster_group",
+                    "DEPTH_GROUPING", "bucket")],
+    "s8barrier": [("ascii_renderer_tpu.ops.raster_group",
+                   "GATHER_BARRIER", True)],
+    "s8split16": [("ascii_renderer_tpu.backends.raster",
+                   "PACK_SPLIT16", True)],
+    "s8split16bar": [("ascii_renderer_tpu.backends.raster",
+                      "PACK_SPLIT16", True),
+                     ("ascii_renderer_tpu.ops.raster_group",
+                      "GATHER_BARRIER", True)],
     # wrong-output stage probes under the s8 (subtile8) headline kernel
     "s8skipslot": [("ascii_renderer_tpu.ops.raster_group",
                     "PROBE_SKIP_SLOT_GATHER", True)],
@@ -191,12 +208,24 @@ def main():
     v_cap, big_cap, r_cap, pair_cap, tile_cap = caps
     print(f"caps={caps}", file=sys.stderr)
 
-    def frame(cam, kern="subtile3"):
+    # Morton-reordered twin of the soup for "ro" variants (same mesh,
+    # spatial table order; z-tie pixels may differ — see geom/reorder)
+    from ascii_renderer_tpu.geom.reorder import reorder_soup
+    p_ro, n_ro, c_ro, _perm = reorder_soup(p, n, c3)
+    p_ro, n_ro, c_ro = jnp.asarray(p_ro), jnp.asarray(n_ro), \
+        jnp.asarray(c_ro)
+    pos9_ro, attrs_t_ro = R.soup_static_prep(p_ro, n_ro, c_ro, scene)
+    pos9_ro = jnp.asarray(np.asarray(pos9_ro))
+    attrs_t_ro = jnp.asarray(np.asarray(attrs_t_ro))
+
+    def frame(cam, kern="subtile3", ro=False):
+        pp, nn, cc = (p_ro, n_ro, c_ro) if ro else (p, n, c3)
+        p9, at = (pos9_ro, attrs_t_ro) if ro else (pos9, attrs_t)
         (idx_img, _), _ = R.render_soup_diag(
-            p, n, c3, scene, cam, rows=rows, cols=cols,
+            pp, nn, cc, scene, cam, rows=rows, cols=cols,
             pixel_aspect=cfg.pixel_aspect, kernel=kern,
             v_cap=v_cap, big_cap=big_cap, r_cap=r_cap, pair_cap=pair_cap,
-            tile_cap=tile_cap, pos9=pos9, attrs_t=attrs_t, emit="idx",
+            tile_cap=tile_cap, pos9=p9, attrs_t=at, emit="idx",
             ramp_len=len(cfg.ascii_ramp))
         a_plane = jnp.ones((rows, cols), jnp.uint8)
         chars, _t = glyph_from_index(idx_img, a_plane, None,
@@ -219,7 +248,8 @@ def main():
                 else "subtile6" if name.startswith("s6")
                 else "subtile7" if name.startswith("s7")
                 else "subtile8" if name.startswith("s8") else "subtile3")
-        f = jax.jit(lambda cam, _v=name, _k=kern: frame(cam, _k))
+        ro = "ro" in name
+        f = jax.jit(lambda cam, _v=name, _k=kern, _r=ro: frame(cam, _k, _r))
         out = np.asarray(f(cam))  # trace NOW under this variant's flags
         if ref_out is None:
             ref_out = out
