@@ -383,11 +383,22 @@ SHADE_TABLE_W = -1  # shade-table gather width: -1 = 3A+3 rounded up to a
 # 1.51 ms on the headline, stable across reps); 0 = exact 3A+3; N = fixed
 # width (perf A/B). Widths below 3A+3 would truncate the point-light
 # world-pos planes — the -1 default always covers them.
-PACK_SPLIT16 = False  # like PACK_SPLIT but the kernel-channel array is
-# emitted 16 wide (exactly the walk channels) instead of 32: the K-gather
-# builds (subtile5-8) slice to 16 before gathering anyway, so this makes
-# the pair gather's SOURCE contiguous with no post-slice. Only valid for
-# those kernels; perf A/B knob (tools/ab_slope "s8split16").
+SETUP_PACKED = True  # ONE Pallas kernel fuses 2DH setup + pack: emits
+# bbox channels plus the two row-major gather tables (src16 walk rows,
+# shade table) directly (ops/setup2dh.setup_2dh_fused_packed). The
+# separate setup -> channel-major cm -> pack interface cost ~260k
+# estimated cycles (slice + 3 pads) at 960x540/69k (tools/hlo_cycles.py).
+# False restores the two-kernel path (perf A/B "s8oldsetup"); subtile4
+# (interpret-only oracle) always uses the old path (needs 32-wide rows).
+PACK_SPLIT16 = True  # the pack kernel emits the walk channels (16 wide)
+# and the shade table as two CONTIGUOUS arrays for the K-gather kernels
+# (subtile5-8) instead of lane-slices of one 40-wide pack: the compiler's
+# own cost model attributes 196k cycles (~0.21 ms, 15% of the frame) to
+# materializing the strided 24-of-40 shade-table slice
+# (tools/hlo_cycles.py: total 1.206M -> 1.010M estimated cycles).
+# Run-to-run tunnel noise (~+-0.15 ms) hid this in the slope A/B —
+# trust the deterministic cycle model for layout work. Only applies to
+# the K-gather kernels; older paths keep the single pack.
 PACK_SPLIT = False  # pack kernel emits src32+shade table as CONTIGUOUS
 # arrays (ops/pack.pack_channels_split) instead of lane-slices of one
 # wider pack — row gathers from a slice of a wider array read strided
@@ -428,14 +439,13 @@ def shade_groups(e, xl, yl, table, scene: SceneData, n_attrs: int):
         g = jnp.broadcast_to(table[:1], (idx.shape[0], table.shape[1]))
     else:
         g = table[jnp.where(hit, idx, 0)]  # non-hit rows zeroed after
-    px = jnp.broadcast_to(xl[:, None, :],
-                          (grp_cap, TILE_H, TILE_W)).reshape(-1)
+    px = jnp.broadcast_to(xl[:, None, :], (grp_cap, TILE_H, TILE_W))
     py = jnp.broadcast_to(
         yl[:, None, :] + (jnp.arange(TILE_H, dtype=jnp.float32)
                           + 0.5)[None, :, None],
-        (grp_cap, TILE_H, TILE_W)).reshape(-1)
-    rgb = _shade_rows(g, hit, px, py, scene, n_attrs)
-    return rgb.reshape(grp_cap, TILE_H, TILE_W, 3)
+        (grp_cap, TILE_H, TILE_W))
+    hit3 = (e >= 0.0)
+    return _shade_rows(g, hit3, px, py, scene, n_attrs)
 
 
 
@@ -514,26 +524,36 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
         if tile_cap is None:
             tile_cap = n_tiles * 8
         grp_cap = max(1, tile_cap // 8)
-        cm, bbox = setup_2dh_fused(pos9, attrs_t, mvp, rows, cols)
+        tw = (_round_up(3 * A + 3, 8) if SHADE_TABLE_W < 0
+              else (SHADE_TABLE_W if SHADE_TABLE_W else 3 * A + 3))
+        if SETUP_PACKED and kernel != "subtile4":
+            # one kernel emits bbox + both row-major gather tables; the
+            # channel-major intermediate and its slice/pad interface
+            # (~260k estimated cycles) never exist (tools/hlo_cycles.py)
+            from ascii_renderer_tpu.ops.setup2dh import setup_2dh_fused_packed
+            bbox, src32, table = setup_2dh_fused_packed(
+                pos9, attrs_t, mvp, rows, cols, tw)
+        else:
+            cm, bbox = setup_2dh_fused(pos9, attrs_t, mvp, rows, cols)
+            if PACK_SPLIT16 and kernel in ("subtile5", "subtile6",
+                                           "subtile7", "subtile8"):
+                from ascii_renderer_tpu.ops.pack import pack_channels_split
+                src32, table = pack_channels_split(
+                    cm, [(0, 16), (16, 16 + tw)])
+            elif PACK_SPLIT:
+                from ascii_renderer_tpu.ops.pack import pack_channels_split
+                src32, table = pack_channels_split(
+                    cm, [(0, 32), (16, 16 + tw)])
+            else:
+                pack_w = max(-(-cm.shape[0] // 8) * 8,
+                             16 + SHADE_TABLE_W if SHADE_TABLE_W else 0)
+                g40 = pack_channels(cm, width=pack_w)
+                # cols past 3A+3 are junk, never read
+                src32, table = g40[:, :32], g40[:, 16:16 + tw]
         n_valid = jnp.sum(bbox["valid"].astype(jnp.int32))
         keys = _subtile_pair_keys_bbox(
             bbox, rows, cols, big_cap=big_cap, ty_lo=ty_lo,
             tiles_y_band=tiles_y if banded else None)
-        tw = (_round_up(3 * A + 3, 8) if SHADE_TABLE_W < 0
-              else (SHADE_TABLE_W if SHADE_TABLE_W else 3 * A + 3))
-        if PACK_SPLIT16 and kernel in ("subtile5", "subtile6", "subtile7",
-                                       "subtile8"):
-            from ascii_renderer_tpu.ops.pack import pack_channels_split
-            src32, table = pack_channels_split(cm, [(0, 16), (16, 16 + tw)])
-        elif PACK_SPLIT:
-            from ascii_renderer_tpu.ops.pack import pack_channels_split
-            src32, table = pack_channels_split(cm, [(0, 32), (16, 16 + tw)])
-        else:
-            pack_w = max(-(-cm.shape[0] // 8) * 8,
-                         16 + SHADE_TABLE_W if SHADE_TABLE_W else 0)
-            g40 = pack_channels(cm, width=pack_w)
-            # cols past 3A+3 are junk, never read
-            src32, table = g40[:, :32], g40[:, 16:16 + tw]
         if kernel == "subtile4":  # direct-DMA walk: no aligned layout
             (src_pair, goff, gdepth, gchunks, xl, yl, gbins, n_rows,
              n_pairs, n_used) = RG.build_groups_direct(

@@ -61,26 +61,43 @@ def shade_from_table(tid, table, scene: SceneData, rows: int, cols: int,
     (lightless-scene specialization; point lights require 9)."""
     R_ = rows * cols
     tidf = tid.reshape(R_)
-    hit = tidf >= 0
-    g = table[jnp.where(hit, tidf, table.shape[0] - 1)]  # [R, W]
+    g = table[jnp.where(tidf >= 0, tidf, table.shape[0] - 1)]  # [R, W]
+    hit = tid >= 0
     px = jnp.broadcast_to((jnp.arange(cols, dtype=jnp.float32) + 0.5)[None],
-                          (rows, cols)).reshape(R_)
-    py = jnp.broadcast_to((jnp.arange(rows, dtype=jnp.float32) + 0.5)[:, None],
-                          (rows, cols)).reshape(R_)
-    rgb = _shade_rows(g, hit, px, py, scene, n_attrs)
-    return rgb.reshape(rows, cols, 3)
+                          (rows, cols))
+    py = jnp.broadcast_to((jnp.arange(rows, dtype=jnp.float32)
+                           + 0.5)[:, None], (rows, cols))
+    return _shade_rows(g, hit, px, py, scene, n_attrs)
 
 
 def _shade_rows(g, hit, px, py, scene: SceneData, n_attrs: int):
-    """Plane evaluation + lighting over flat pixel rows: g [R, W] gathered
-    plane rows, hit [R], px/py [R] pixel centers -> rgb f32 [R, 3]."""
+    """Plane evaluation + lighting over gathered pixel rows: g [R, W]
+    gathered plane rows; hit/px/py pixel predicates/centers of ANY shape
+    S with prod(S) = R (pass 2-D/3-D tile-friendly shapes — flat 1-D or
+    [1, R] operands get degenerate T(1,128) layouts on TPU). Returns
+    rgb f32 [*S, 3].
+
+    Channels are read from ONE explicit MXU transpose of the gathered
+    block (rows of gT) instead of column slices of g: per-column reads of
+    a row-major [R, W] make XLA materialize a column-major copy and then
+    run every lighting op in a degenerate [R, 1]{0,1:T(1,128)} layout
+    (1/128 lane utilization — 226k estimated cycles at headline scale,
+    tools/hlo_cycles.py). A plain .T fuses into an even worse
+    slice-reduce (1.57M cycles); the identity-matrix dot runs the
+    relayout on the MXU and is exact (0/1 matrix, HIGHEST precision)."""
+    W = g.shape[1]
+    gT = jax.lax.dot_general(                         # [W, R]
+        jnp.eye(W, dtype=g.dtype), g, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=g.dtype)
+    gT = gT.reshape((W,) + px.shape)                  # [W, *S] (bitcast)
     dn = 3 * n_attrs
-    d = g[:, dn] * px + g[:, dn + 1] * py + g[:, dn + 2]
+    d = gT[dn] * px + gT[dn + 1] * py + gT[dn + 2]
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
 
     def attr(j):
-        return (g[:, 3 * j] * px + g[:, 3 * j + 1] * py
-                + g[:, 3 * j + 2]) * inv_d
+        return (gT[3 * j] * px + gT[3 * j + 1] * py
+                + gT[3 * j + 2]) * inv_d
 
     nx, ny, nz = attr(0), attr(1), attr(2)
     cr, cg, cb = attr(3), attr(4), attr(5)
@@ -120,4 +137,4 @@ def _shade_rows(g, hit, px, py, scene: SceneData, n_attrs: int):
 
     rgb = jnp.stack([jnp.clip(out_r, 0.0, 1.0), jnp.clip(out_g, 0.0, 1.0),
                      jnp.clip(out_b, 0.0, 1.0)], axis=-1)
-    return jnp.where(hit[:, None], rgb, 0.0)
+    return jnp.where(hit[..., None], rgb, 0.0)

@@ -64,6 +64,21 @@ GATHER_BARRIER = False  # wrap the K-gather build's gathers in
 # makes the in-context pair gather ~30x its standalone cost (a gather
 # fused into a relayout degrades from row-DMA to per-element loads).
 # Perf A/B knob (tools/ab_slope "s8barrier"); bit-identical.
+# MEASURED: no effect (medians 1.47 vs 1.49 ms) — consumer fusion is
+# not the cause; neither is source stride (split16 ~equal) nor index
+# locality (Morton reorder ~equal).
+GATHER_INPUT_BARRIER = False  # barrier on the gather INDEX operands
+# instead (tri_s from the key sort, pidx from the layout math): tests
+# whether index-producer fusion into the gather forces a slow lowering.
+# Perf A/B knob (tools/ab_slope "s8ibar"); bit-identical.
+# MEASURED: no effect either (1.36 vs 1.40 ms) — not index fusion.
+GATHER_SRC_COPY = False  # force a physical copy (x + 0.0) of the pair
+# gather's SOURCE before gathering: the same random gather is 24 us
+# standalone from a plain parameter but ~340 us in context from the
+# pack kernel's output slice, so this tests whether the source buffer's
+# producer/layout is what falls off the fast gather path. Perf A/B knob
+# (tools/ab_slope "s8srccopy"); bit-identical (+0.0 is kept by XLA for
+# signed-zero semantics and is exact on all finite values).
 PROBE_SKIP_DEPTHSORT = False    # wrong-output perf probe (tools/ab_slope)
 PROBE_SKIP_TR = False           # wrong-output perf probe (tools/ab_slope)
 N_EXP = 13         # expanded blocks: 4x C, 4x A, 4x B, id
@@ -381,7 +396,7 @@ def build_packed_rows_grouped_kgather(src32: jnp.ndarray,
     assert k in (2, 4, 8) and CHUNK_RG % k == 0 and r_cap % CHUNK_RG == 0
     r_capk = r_cap // k
     n_bins = n_tiles * N_SUB
-    assert n_bins <= (1 << 13)
+    assert n_bins < (1 << 13)  # sentinel key (n_bins << 18) must fit int32
     bin_s = (pair_key >> SUB_SHIFT).astype(jnp.int32)
     tri_s = (pair_key & (MAX_TRI - 1)).astype(jnp.int32)
     P = pair_key.shape[0]
@@ -436,7 +451,12 @@ def build_packed_rows_grouped_kgather(src32: jnp.ndarray,
                 [src32[:, :N_CHAN],
                  jnp.zeros((p_eff - Tsrc, N_CHAN), jnp.float32)], axis=0)
     else:
-        src_pair = src32[tri_s[:p_eff]][:, :N_CHAN]   # [p_eff, 16]
+        tri_idx = tri_s[:p_eff]
+        if GATHER_INPUT_BARRIER:
+            tri_idx = jax.lax.optimization_barrier(tri_idx)
+        src_g = src32[:, :N_CHAN] + 0.0 if GATHER_SRC_COPY \
+            else src32
+        src_pair = src_g[tri_idx][:, :N_CHAN]         # [p_eff, 16]
     if GATHER_BARRIER:
         src_pair = jax.lax.optimization_barrier(src_pair)
     pek = _round_up_i_static(p_eff, k)
@@ -447,6 +467,8 @@ def build_packed_rows_grouped_kgather(src32: jnp.ndarray,
     srckk = src_pair.reshape(pek // k, k * N_CHAN)    # [P/k, k*16]
     pidx = jnp.clip((off_rows + d_rk[:, None]).reshape(-1),
                     0, pek // k - 1)
+    if GATHER_INPUT_BARRIER:
+        pidx = jax.lax.optimization_barrier(pidx)
     if PROBE_SKIP_SLOT_GATHER:  # wrong-output probe: slot-gather cost
         g = jnp.broadcast_to(srckk[:1], (r_capk * N_SUB, k * N_CHAN)) \
             + jnp.float32(0) * srckk.sum()
@@ -821,7 +843,7 @@ def build_packed_rows_grouped_k2(src32: jnp.ndarray, pair_key: jnp.ndarray,
     assert r_cap % CHUNK_RG == 0
     r_cap2 = r_cap // 2
     n_bins = n_tiles * N_SUB
-    assert n_bins <= (1 << 13)
+    assert n_bins < (1 << 13)  # sentinel key (n_bins << 18) must fit int32
     bin_s = (pair_key >> SUB_SHIFT).astype(jnp.int32)
     tri_s = (pair_key & (MAX_TRI - 1)).astype(jnp.int32)
     P = pair_key.shape[0]
@@ -909,7 +931,7 @@ def build_packed_rows_grouped_k4(src32: jnp.ndarray, pair_key: jnp.ndarray,
     r_cap2 = r_cap // 2
     r_cap4 = r_cap // 4
     n_bins = n_tiles * N_SUB
-    assert n_bins <= (1 << 13)
+    assert n_bins < (1 << 13)  # sentinel key (n_bins << 18) must fit int32
     bin_s = (pair_key >> SUB_SHIFT).astype(jnp.int32)
     tri_s = (pair_key & (MAX_TRI - 1)).astype(jnp.int32)
     P = pair_key.shape[0]
@@ -1070,7 +1092,7 @@ def build_groups_direct(src32: jnp.ndarray, pair_key: jnp.ndarray,
     walk's total slot count, for capacity accounting only — there is no
     r_cap to overflow)."""
     n_bins = n_tiles * N_SUB
-    assert n_bins <= (1 << 13)
+    assert n_bins < (1 << 13)  # sentinel key (n_bins << 18) must fit int32
     bin_s = (pair_key >> SUB_SHIFT).astype(jnp.int32)
     tri_s = (pair_key & (MAX_TRI - 1)).astype(jnp.int32)
     P = pair_key.shape[0]
@@ -1129,7 +1151,7 @@ def build_packed_rows_grouped(src32: jnp.ndarray, pair_key: jnp.ndarray,
       n_pairs = true pair count (vs pair_cap)."""
     assert r_cap % CHUNK_RG == 0
     n_bins = n_tiles * N_SUB
-    assert n_bins <= (1 << 13), "bin id must fit 13 bits for the depth sort"
+    assert n_bins < (1 << 13), "sentinel bin n_bins must keep (n_bins << SUB_SHIFT) | tri inside int32"
     bin_s = (pair_key >> SUB_SHIFT).astype(jnp.int32)
     tri_s = (pair_key & (MAX_TRI - 1)).astype(jnp.int32)
     P = pair_key.shape[0]

@@ -279,6 +279,45 @@ def test_subtile7_subtile8_bit_identical_to_subtile3():
             _multi_entry_walk_case(kernel, seed, T)
 
 
+def test_setup_packed_and_srccopy_bit_identical():
+    """The fused setup+pack kernel (SETUP_PACKED, ops/setup2dh
+    setup_2dh_fused_packed) and the gather source copy (GATHER_SRC_COPY,
+    +0.0 is exact on all finite values and kept by XLA) are layout-only
+    perf knobs: render the K8 headline kernel under each toggle and
+    require bitwise equality with the defaults."""
+    from ascii_renderer_tpu.ops import raster_group as RG
+
+    pos, nrm, col = _rand_soup(900, seed=13)
+    scene = _rand_scene()
+    cam = Camera.create(pos=(2.5, 1.5, 3.0), yaw=-2.3, pitch=-0.3)
+    T = pos.shape[0] // 3
+    args = (jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(col), scene,
+            cam)
+    kw = dict(rows=48, cols=96, pixel_aspect=0.5, method="subtile8",
+              v_cap=4096, big_cap=1024, r_cap=32 * 512,
+              pair_cap=8 * T + 1024 * 48 * 8 + 4096,
+              tile_cap=(-(-48 // 8)) * (-(-96 // 128) or 1) * 8)
+
+    def render():
+        return np.asarray(jax.jit(
+            lambda *a: R.render_soup(*a, **kw))(*args))
+
+    base = render()
+    saved = (R.SETUP_PACKED, R.PACK_SPLIT16, RG.GATHER_SRC_COPY)
+    try:
+        R.SETUP_PACKED = not saved[0]
+        if not R.SETUP_PACKED:
+            R.PACK_SPLIT16 = True  # the two-kernel alternative
+        np.testing.assert_array_equal(render(), base)
+        R.PACK_SPLIT16 = False  # single wide pack, lane slices
+        np.testing.assert_array_equal(render(), base)
+        R.SETUP_PACKED, R.PACK_SPLIT16 = saved[0], saved[1]
+        RG.GATHER_SRC_COPY = True
+        np.testing.assert_array_equal(render(), base)
+    finally:
+        R.SETUP_PACKED, R.PACK_SPLIT16, RG.GATHER_SRC_COPY = saved
+
+
 def test_subtile6_near_plane_crossers_match_subtile3():
     s = 5.0
     floor = [(-s, 0, -s), (s, 0, -s), (s, 0, s), (-s, 0, s)]

@@ -65,6 +65,16 @@ VARIANTS = {
                     "DEPTH_GROUPING", "bucket")],
     "s8barrier": [("ascii_renderer_tpu.ops.raster_group",
                    "GATHER_BARRIER", True)],
+    "s8ibar": [("ascii_renderer_tpu.ops.raster_group",
+                "GATHER_INPUT_BARRIER", True)],
+    "s8srccopy": [("ascii_renderer_tpu.ops.raster_group",
+                   "GATHER_SRC_COPY", True)],
+    "s8oldsetup": [("ascii_renderer_tpu.backends.raster",
+                    "SETUP_PACKED", False)],
+    "s8oldsrccopy": [("ascii_renderer_tpu.backends.raster",
+                      "SETUP_PACKED", False),
+                     ("ascii_renderer_tpu.ops.raster_group",
+                      "GATHER_SRC_COPY", True)],
     "s8split16": [("ascii_renderer_tpu.backends.raster",
                    "PACK_SPLIT16", True)],
     "s8split16bar": [("ascii_renderer_tpu.backends.raster",
