@@ -28,6 +28,15 @@ from ascii_renderer_tpu.core import quantize
 from ascii_renderer_tpu.ascii import glyphs as glyphs_mod
 from ascii_renderer_tpu.ascii.modal import modal_filter
 
+# Trace-time perf knob (A/B'd by tools/ab_slope.py): run the ramp-code
+# select chain in s32 lanes instead of packed u8. Bit-identical either way.
+# MEASURED (ab_slope s8g32 vs s8g8, 9 reps over two runs, headline frame):
+# the u8 chain is equal-or-faster in-context (medians 1.61 vs 1.66 ms) —
+# the HLO cycle model's 16x packed-layout penalty for the ROOT fusion does
+# not show up in wall time (the glyph stage overlaps the raster tail), so
+# the packed-u8 default stands and the hypothesis is kept only as a knob.
+GLYPH_SELECT_S32 = False
+
 
 def glyph_decide(frame: Frame, *, ramp: str, mode_on: bool, mode_radius: int,
                  mode_thresh: int, grayscale: bool,
@@ -58,7 +67,14 @@ def glyph_from_index(base_idx: jnp.ndarray, a_plane: jnp.ndarray,
     layout and assemble the 1-plane index image instead of the f32 RGB
     image — bit-identical, 4x less assembled traffic (the quantize rule
     is per-cell; only the modal stencil needs image space)."""
-    codes = jnp.asarray(quantize.ramp_codes(ramp))  # u8 [L]
+    # Ramp codes as s32, not u8: XLA expands this tiny-table gather into a
+    # compare+select chain, and on TPU a u8 chain runs in the packed
+    # T(8,128)(4,1) byte layout that the compiler costs ~16x a native
+    # 32-bit lane op (206k vs 13k estimated cycles for the 960x540 ROOT
+    # fusion, tools/hlo_cycles.py). Selecting in s32 and converting once
+    # at the end is exact (codes <= 255) and bit-identical.
+    code_dtype = np.int32 if GLYPH_SELECT_S32 else np.uint8
+    codes = jnp.asarray(np.asarray(quantize.ramp_codes(ramp), code_dtype))
 
     override = quantize.is_override(a_plane)
     idx = base_idx
@@ -72,8 +88,9 @@ def glyph_from_index(base_idx: jnp.ndarray, a_plane: jnp.ndarray,
         else:
             idx = modal_filter(base_idx, override, mode_radius, mode_thresh)
 
-    ramp_chars = codes[idx]  # u8 via gather
-    chars = jnp.where(override, a_plane, ramp_chars).astype(jnp.uint8)
+    ramp_chars = codes[idx]  # compare+select chain (tiny table)
+    chars = jnp.where(override, a_plane.astype(ramp_chars.dtype),
+                      ramp_chars).astype(jnp.uint8)
 
     if tint_rgb_u8 is None:
         tint = None

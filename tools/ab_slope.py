@@ -122,6 +122,11 @@ VARIANTS = {
     "s6split24": [("ascii_renderer_tpu.backends.raster", "PACK_SPLIT", True),
                   ("ascii_renderer_tpu.backends.raster",
                    "SHADE_TABLE_W", 24)],
+    # glyph-select lane width: s32 chain (native lanes) vs packed u8 chain
+    "s8g32": [("ascii_renderer_tpu.ascii.ascii_pass",
+               "GLYPH_SELECT_S32", True)],
+    "s8g8": [("ascii_renderer_tpu.ascii.ascii_pass",
+              "GLYPH_SELECT_S32", False)],
 }
 
 
