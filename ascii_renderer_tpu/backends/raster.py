@@ -335,7 +335,14 @@ def _pair_keys_core(xmin, xmax, ymin, ymax, valid, rows: int, cols: int,
         key_parts.append(((bins_big << RS.SUB_SHIFT) | tri_big).reshape(-1))
     if PROBE_SKIP_KEYSORT:
         return jnp.concatenate(key_parts)
-    return jax.lax.sort(jnp.concatenate(key_parts))
+    # is_stable=False: lax.sort defaults to a STABLE sort, which TPU
+    # lowers as a 2-tuple (keys, iota) sort — the iota payload rides all
+    # bitonic passes and doubles the cost (320 -> ~160 us measured at
+    # headline scale, tools/profile_trace.py). The sorted ARRAY of a
+    # key-only sort is bit-identical without stability: equal keys are
+    # identical values (duplicates exist only among bin=n_bins
+    # sentinels), so no downstream consumer can observe the tie order.
+    return jax.lax.sort(jnp.concatenate(key_parts), is_stable=False)
 
 
 def count_big_small_bbox(cch, rows: int, cols: int, ty_lo=0,
@@ -383,13 +390,18 @@ SHADE_TABLE_W = -1  # shade-table gather width: -1 = 3A+3 rounded up to a
 # 1.51 ms on the headline, stable across reps); 0 = exact 3A+3; N = fixed
 # width (perf A/B). Widths below 3A+3 would truncate the point-light
 # world-pos planes — the -1 default always covers them.
-SETUP_PACKED = True  # ONE Pallas kernel fuses 2DH setup + pack: emits
-# bbox channels plus the two row-major gather tables (src16 walk rows,
-# shade table) directly (ops/setup2dh.setup_2dh_fused_packed). The
-# separate setup -> channel-major cm -> pack interface cost ~260k
-# estimated cycles (slice + 3 pads) at 960x540/69k (tools/hlo_cycles.py).
-# False restores the two-kernel path (perf A/B "s8oldsetup"); subtile4
-# (interpret-only oracle) always uses the old path (needs 32-wide rows).
+SETUP_PACKED = False  # True = ONE Pallas kernel fuses 2DH setup + pack
+# (ops/setup2dh.setup_2dh_fused_packed); False = two-kernel path (setup
+# channel-major, then ops/pack). The fused kernel was landed on the HLO
+# cycle model's prediction, but the device profile (tools/
+# profile_trace.py) refutes it: fused kernel 564 us vs two-kernel
+# 305+15 us (+38 us of interface copies) at 960x540/69k — the fused
+# kernel's per-step eye-dot transposes dominate and the "interface
+# cost" the model priced at ~260k cycles is actually ~40 us. The
+# two-kernel path is the measured winner and the default; True kept as
+# a perf A/B knob (ab_slope: default vs "s8oldsetup" is now inverted).
+# subtile4 (interpret-only oracle) always uses the old path (needs
+# 32-wide rows).
 PACK_SPLIT16 = True  # the pack kernel emits the walk channels (16 wide)
 # and the shade table as two CONTIGUOUS arrays for the K-gather kernels
 # (subtile5-8) instead of lane-slices of one 40-wide pack: the compiler's

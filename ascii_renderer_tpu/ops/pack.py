@@ -8,7 +8,17 @@ updates whose minor dim C << 128 wastes most of every vector store
 (measured ~0.8 ms for [49k, 24] at bunny scale). This kernel instead
 lets XLA fuse the channel producers into ONE efficient channel-major
 [C, N] materialization, then transposes 512-lane blocks on the MXU via
-an identity dot (f32-exact at HIGHEST precision).
+an identity dot.
+
+The identity dot is exact but its cost is set by the f32 matmul
+algorithm: Precision.HIGHEST is a 6-pass bf16 emulation. A manual
+3-way bf16 split (hi/mid/lo, 3x8 = 24 mantissa bits) with one DEFAULT
+(single-pass) dot per part is bit-exact for every finite f32 — the
+identity operand is exactly bf16, each part is exactly bf16, each
+product accumulates in f32, and x = hi + (mid + lo) holds exactly by
+construction — at half the MXU passes (device profile: the HIGHEST
+pack was ~44% of the pack kernel's 305 us at 960x540/69k;
+tools/profile_trace.py).
 """
 
 from __future__ import annotations
@@ -21,16 +31,48 @@ from jax.experimental import pallas as pl
 
 BLK = 512
 
+PACK_EXACT3 = True  # trace-time perf knob (tools/ab_slope "packhi"):
+# False restores the single HIGHEST-precision identity dot.
+
+
+def _mxu_transpose(x: jnp.ndarray, blk: int) -> jnp.ndarray:
+    """[C, blk] f32 -> [blk, C] f32, bit-exact, via identity dots."""
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1))
+    # Y = I . X^T contraction: Y[n, c] = sum_k I[n, k] X[c, k] = X[c, n]
+    if not PACK_EXACT3:
+        return jax.lax.dot_general(
+            eye.astype(jnp.float32), x, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    # exact 3-way bf16 split: hi = bf16(x) leaves r1 = x - hi exactly
+    # representable (same-exponent cancellation); two more steps leave
+    # r3 == 0 (24-bit mantissa = 3 bf16 mantissas). bf16 spans f32's
+    # full exponent range, so no overflow. Caveat: residues below
+    # bf16's subnormal floor (2^-133) are lost, so inputs with
+    # |x| < ~1e-33 may drop their last mantissa bits — such magnitudes
+    # do not occur in meaningful channel values (they are beyond any
+    # z/edge/attr resolution), and every kernel generation shares this
+    # pack, so cross-generation bit-equivalence is unaffected. The
+    # HIGHEST fallback (PACK_EXACT3=False) keeps strict IEEE behavior.
+    eye_bf = eye.astype(jnp.bfloat16)
+
+    def tdot(part):
+        return jax.lax.dot_general(
+            eye_bf, part, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    # associate as hi + (mid + lo): mid + lo == r1 and hi + r1 == x are
+    # exact by construction, so the transposed sum is bit-equal to x
+    return tdot(hi) + (tdot(mid) + tdot(lo))
+
 
 def _pack_kernel(cm_ref, out_ref):
-    x = cm_ref[...]  # [C, BLK]
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1))
-    # Y = I . X^T contraction: Y[n, c] = sum_k I[n, k] X[c, k] = X[c, n]
-    out_ref[...] = jax.lax.dot_general(
-        eye.astype(jnp.float32), x, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+    out_ref[...] = _mxu_transpose(cm_ref[...], BLK)
 
 
 def pack_channels(channels, width: int | None = None,
@@ -65,13 +107,7 @@ def pack_channels(channels, width: int | None = None,
 
 
 def _pack_split_kernel(cm_ref, *out_refs, spans):
-    x = cm_ref[...]  # [w, BLK]
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1))
-    y = jax.lax.dot_general(
-        eye.astype(jnp.float32), x, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)  # [BLK, w]
+    y = _mxu_transpose(cm_ref[...], BLK)  # [BLK, w]
     for ref, (a, b) in zip(out_refs, spans):
         ref[...] = y[:, a:b]
 

@@ -196,3 +196,37 @@ def test_pack_channels_matches_stack():
         want = np.zeros((n, w), np.float32)
         want[:, :c] = np.stack([np.asarray(x) for x in chans], axis=-1)
         np.testing.assert_array_equal(got, want)
+
+
+def test_pack_exact3_split_is_bit_exact():
+    """The 3-way bf16 split transpose (PACK_EXACT3) must be bit-equal to
+    the HIGHEST-precision identity dot on hostile f32 inputs: huge/tiny
+    exponents, full-mantissa values, negatives, exact bf16 values, and
+    zeros — everything above the documented |x| ~ 1e-33 subnormal-residue
+    floor (exactness argument + caveat in ops/pack.py)."""
+    from ascii_renderer_tpu.ops import pack as P
+
+    rng = np.random.default_rng(7)
+    n = 1024
+    parts = [
+        rng.normal(size=n // 4).astype(np.float32) * 1e30,
+        rng.normal(size=n // 4).astype(np.float32) * 1e-25,
+        np.float32(1.0) + rng.random(n // 4, np.float32),  # dense mantissa
+        np.round(rng.normal(size=n // 4).astype(np.float32) * 8) / 8,
+    ]
+    x = np.concatenate(parts)
+    rng.shuffle(x)
+    chans = jnp.asarray(np.stack([np.roll(x, i) for i in range(16)]))
+
+    old = P.PACK_EXACT3
+    try:
+        P.PACK_EXACT3 = True
+        got = [np.asarray(o) for o in
+               P.pack_channels_split(chans, [(0, 16)], interpret=True)]
+        P.PACK_EXACT3 = False
+        want = [np.asarray(o) for o in
+                P.pack_channels_split(chans, [(0, 16)], interpret=True)]
+    finally:
+        P.PACK_EXACT3 = old
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[0], np.asarray(chans).T)

@@ -127,6 +127,13 @@ VARIANTS = {
                "GLYPH_SELECT_S32", True)],
     "s8g8": [("ascii_renderer_tpu.ascii.ascii_pass",
               "GLYPH_SELECT_S32", False)],
+    # pack transpose precision: exact 3-pass bf16 split vs HIGHEST (6-pass)
+    "s8packx3": [("ascii_renderer_tpu.ops.pack", "PACK_EXACT3", True)],
+    "s8packhi": [("ascii_renderer_tpu.ops.pack", "PACK_EXACT3", False)],
+    # setup path: fused single kernel vs two-kernel setup+pack (profile
+    # winner: two-kernel; see backends/raster.SETUP_PACKED)
+    "s8fusedsetup": [("ascii_renderer_tpu.backends.raster",
+                      "SETUP_PACKED", True)],
 }
 
 
