@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ascii_renderer_tpu.ops import mxu
+
 from ascii_renderer_tpu.scene.builder import SceneData
 
 NEAR, FAR = 0.05, 100.0
@@ -35,17 +37,15 @@ def _cumsum_i32(mask: jnp.ndarray) -> jnp.ndarray:
     2.2 ms at N=589k — as expensive as a full sort). Blocking into [N/512,
     512] rows and multiplying by a constant upper-triangular matrix runs the
     whole scan on the MXU in ~0.1 ms. Exact: counts < 2^24 are exact in f32
-    and HIGHEST-precision dots are f32-faithful."""
+    and 0/1-mask dots are exact at any precision (ops/mxu.count_dot)."""
     n = mask.shape[0]
     c = 512
     pad = (-n) % c
     x = jnp.concatenate([mask.astype(jnp.float32),
                          jnp.zeros((pad,), jnp.float32)]).reshape(-1, c)
     triu = jnp.triu(jnp.ones((c, c), jnp.float32))  # M[j,i]=1 for j<=i
-    row_cum = jax.lax.dot_general(
-        x, triu, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)  # [R, C] within-row inclusive
+    row_cum = mxu.count_dot(
+        x, triu, (((1,), (0,)), ((), ())))  # [R, C] within-row inclusive
     offs = jnp.cumsum(row_cum[:, -1]) - row_cum[:, -1]  # exclusive row offset
     out = (row_cum + offs[:, None]).reshape(-1)[:n]
     return out.astype(jnp.int32)
@@ -84,12 +84,11 @@ def _shade_rows(g, hit, px, py, scene: SceneData, n_attrs: int):
     (1/128 lane utilization — 226k estimated cycles at headline scale,
     tools/hlo_cycles.py). A plain .T fuses into an even worse
     slice-reduce (1.57M cycles); the identity-matrix dot runs the
-    relayout on the MXU and is exact (0/1 matrix, HIGHEST precision)."""
+    relayout on the MXU and is exact (ops/mxu.select_dot)."""
     W = g.shape[1]
-    gT = jax.lax.dot_general(                         # [W, R]
-        jnp.eye(W, dtype=g.dtype), g, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=g.dtype)
+    gT = mxu.select_dot(                              # [W, R]
+        g, jnp.eye(W, dtype=g.dtype), (((1,), (1,)), ((), ())),
+        sel_on_left=True)
     gT = gT.reshape((W,) + px.shape)                  # [W, *S] (bitcast)
     dn = 3 * n_attrs
     d = gT[dn] * px + gT[dn + 1] * py + gT[dn + 2]

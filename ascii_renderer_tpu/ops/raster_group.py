@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ascii_renderer_tpu.ops import mxu
 from ascii_renderer_tpu.ops.raster_subtile import (
     CH_A, CH_B, CH_G, CH_PAIR, CH_ZC, CH_ZX, CH_ZY, MAX_TRI, N_CHAN, N_SUB,
     SUB_SHIFT, SUB_W, TILE_H, TILE_W)
@@ -151,11 +152,9 @@ def _kernel_grouped(rowptr_ref, depth_ref, data_hbm, m_ref, xl_ref, yl_ref,
 
         copy_in(c, slot).wait()
 
-        y = jax.lax.dot_general(
-            buf[slot], m_ref[...], (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)  # [CHUNK_RG, 13*128]
-        # fold the per-lane x: P_w = C_w + A_w * xl
+        y = mxu.select_dot(
+            buf[slot], m_ref[...], (((1,), (0,)), ((), ())))
+        # y [CHUNK_RG, 13*128]; fold the per-lane x: P_w = C_w + A_w * xl
         p4 = y[:, 0:4 * TILE_W] + x4 * y[:, 4 * TILE_W:8 * TILE_W]
         d0 = c * CHUNK_RG
 
@@ -287,11 +286,9 @@ def _kernel_grouped_skip(rowptr_ref, depth_ref, skip_ref, data_hbm, m_ref,
 
         copy_in(c, slot).wait()
 
-        y = jax.lax.dot_general(
+        y = mxu.select_dot(
             buf[slot].reshape(CHUNK_RG, TILE_W), m_ref[...],
-            (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)  # [CHUNK_RG, 13*128]
+            (((1,), (0,)), ((), ())))  # [CHUNK_RG, 13*128]
         p4 = y[:, 0:4 * TILE_W] + x4 * y[:, 4 * TILE_W:8 * TILE_W]
         d0 = c * CHUNK_RG
 
@@ -568,10 +565,8 @@ def _kernel_direct(goff_ref, gdepth_ref, gchunks_ref, data_hbm, m_ref,
             copy_in(c, slot, g).wait()
 
         x = jnp.concatenate([buf[slot, g] for g in range(N_SUB)], axis=1)
-        y = jax.lax.dot_general(
-            x, m_ref[...], (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)  # [CHUNK_RG, 13*128]
+        y = mxu.select_dot(
+            x, m_ref[...], (((1,), (0,)), ((), ())))  # [CHUNK_RG, 13*128]
         p4 = y[:, 0:4 * TILE_W] + x4 * y[:, 4 * TILE_W:8 * TILE_W]
         d0 = c * CHUNK_RG
 
@@ -727,11 +722,9 @@ def _kernel_grouped_k2(rowptr_ref, depth_ref, skip_ref, data_hbm, m_ref,
 
         copy_in(c, slot).wait()
 
-        y = jax.lax.dot_general(
+        y = mxu.select_dot(
             buf[slot].reshape(c2, 2 * TILE_W), m_ref[...],
-            (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)  # [c2, 2*13*128]
+            (((1,), (0,)), ((), ())))  # [c2, 2*13*128]
         # fold the per-lane x per sub-entry: P_w = C_w + A_w * xl
         p4 = [y[:, j * nb + 0:j * nb + 4 * TILE_W]
               + x4 * y[:, j * nb + 4 * TILE_W:j * nb + 8 * TILE_W]
@@ -1030,10 +1023,8 @@ def depth_group_order(depth_bins: jnp.ndarray, n_bins: int):
     x = jnp.concatenate([oh, jnp.zeros((pad, B), jnp.float32)], axis=0)
     x = x.reshape(-1, c, B)                           # [R, c, B]
     m = jnp.triu(jnp.ones((c, c), jnp.float32), k=1)  # M[j, i] = 1, j < i
-    in_blk = jax.lax.dot_general(
-        x, m, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)           # [R, B, c]
+    in_blk = mxu.count_dot(
+        x, m, (((1,), (0,)), ((), ())))               # [R, B, c]
     # in_blk[r, b, i] = sum_{j<i} x[r, j, b]  (exclusive in-block rank)
     blk_tot = x.sum(axis=1)                           # [R, B]
     blk_off = jnp.cumsum(blk_tot, axis=0) - blk_tot   # exclusive [R, B]

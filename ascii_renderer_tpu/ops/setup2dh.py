@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ascii_renderer_tpu.ops import mxu
+
 BT = 1024           # triangles per padding quantum, as an [8, 128] tile
 BT_STEP = 8192      # triangles per grid step (BT multiple; [64, 128] rows)
 EPS_W = 1e-4        # near-guard for bbox projections (= raster.EPS_W)
@@ -284,14 +286,10 @@ def _setup_kernel_packed(mvp_ref, pos_ref, attr_ref, bbox_ref, src_ref,
     xt = jnp.concatenate([c.reshape(1, S) for c in cht], axis=0)
     for j in range(S // BLKT):
         sl = slice(j * BLKT, (j + 1) * BLKT)
-        src_ref[sl, :] = jax.lax.dot_general(
-            eye, x16[:, sl], (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        tbl_ref[sl, :] = jax.lax.dot_general(
-            eye, xt[:, sl], (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+        src_ref[sl, :] = mxu.select_dot(
+            x16[:, sl], eye, (((1,), (1,)), ((), ())), sel_on_left=True)
+        tbl_ref[sl, :] = mxu.select_dot(
+            xt[:, sl], eye, (((1,), (1,)), ((), ())), sel_on_left=True)
 
     # ---- binning bbox + validity (channel-major, 5 rows) ----
     big = jnp.float32(1e9)

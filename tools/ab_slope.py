@@ -134,6 +134,10 @@ VARIANTS = {
     # winner: two-kernel; see backends/raster.SETUP_PACKED)
     "s8fusedsetup": [("ascii_renderer_tpu.backends.raster",
                       "SETUP_PACKED", True)],
+    # 0/1-matrix dots (walk expand, shade transpose, counting masks):
+    # exact 1/3-pass bf16 vs Precision.HIGHEST 6-pass (ops/mxu)
+    "s8mxux3": [("ascii_renderer_tpu.ops.mxu", "EXACT3", True)],
+    "s8mxuhi": [("ascii_renderer_tpu.ops.mxu", "EXACT3", False)],
 }
 
 
