@@ -37,6 +37,16 @@ from ascii_renderer_tpu.ascii.modal import modal_filter
 # the packed-u8 default stands and the hypothesis is kept only as a knob.
 GLYPH_SELECT_S32 = False
 
+# Run the modal stencil as the Pallas kernel (ops/ascii_kernel) instead
+# of the XLA jnp formulation when no explicit use_pallas is passed.
+# TPU-only: interpret-mode Pallas would be slower on CPU and the XLA
+# path is the cross-backend reference. Bit-identical either way
+# (tests/test_pallas_kernels.py). MEASURED off: the device profile puts
+# the Pallas kernel at 269 us vs 89 us for XLA's fused stencil+select
+# at 960x540 (tools/profile_trace.py --set ...MODAL_PALLAS=True) — XLA
+# fuses the whole vote into one pass; the manual band DMA loses.
+MODAL_PALLAS = False
+
 
 def glyph_decide(frame: Frame, *, ramp: str, mode_on: bool, mode_radius: int,
                  mode_thresh: int, grayscale: bool,
@@ -80,7 +90,7 @@ def glyph_from_index(base_idx: jnp.ndarray, a_plane: jnp.ndarray,
     idx = base_idx
     if mode_on:
         if use_pallas is None:
-            use_pallas = False
+            use_pallas = MODAL_PALLAS and jax.default_backend() == "tpu"
         if use_pallas:
             from ascii_renderer_tpu.ops.ascii_kernel import modal_filter_pallas
             idx = modal_filter_pallas(base_idx, override, mode_radius,
