@@ -429,12 +429,23 @@ def build_packed_rows_grouped_kgather(src32: jnp.ndarray,
 
     rowptrk = rowptr // k
     rk_ids = jnp.arange(r_capk, dtype=jnp.int32)
-    t_r = jnp.minimum(jnp.sum(
-        (rk_ids[:, None] >= rowptrk[None, 1:]).astype(jnp.int32), axis=1),
-        grp_cap - 1)
-    d_rk = rk_ids - rowptrk[:-1][t_r]
+    # group-of-row map as a one-hot MXU product: [r_capk]-long gathers
+    # indexed by t_r ran at descriptor rate (21.5 us for the group-start
+    # lookup alone in the device profile); the [r_capk, grp_cap] one-hot
+    # against the per-group start/offset tables is a few us of MXU and
+    # exact (offsets < 2^24, ops/mxu.select_dot).
+    cmp = (rk_ids[:, None] >= rowptrk[None, 1:]).astype(jnp.float32)
+    t_r = jnp.minimum(jnp.sum(cmp, axis=1).astype(jnp.int32), grp_cap - 1)
+    oh = (t_r[:, None] == jnp.arange(grp_cap, dtype=jnp.int32)[None, :])
     offk_g = offk.reshape(grp_cap, N_SUB)
-    off_rows = offk_g[t_r]                            # [r_capk, 8]
+    # [r_capk, 1+8]: group K-row start | per-bin K-aligned source starts
+    gtab = jnp.concatenate(
+        [rowptrk[:-1, None].astype(jnp.float32),
+         offk_g.astype(jnp.float32)], axis=1)
+    rows_tab = mxu.select_dot(gtab, oh.astype(jnp.float32),
+                              (((1,), (0,)), ((), ())), sel_on_left=True)
+    d_rk = rk_ids - rows_tab[:, 0].astype(jnp.int32)
+    off_rows = rows_tab[:, 1:].astype(jnp.int32)      # [r_capk, 8]
 
     # pair-ordered 16-channel source, K entries per k*16-lane row
     if PROBE_SKIP_PAIR_GATHER:  # wrong-output probe: pair-gather cost.
