@@ -546,20 +546,25 @@ def render_soup_diag(positions, normals, colors, scene: SceneData,
             bbox, src32, table = setup_2dh_fused_packed(
                 pos9, attrs_t, mvp, rows, cols, tw)
         else:
+            # cm arrives in the setup kernel's blocked [c, N/128, 128]
+            # tiling; the blocked pack reads it without relayout copies
             cm, bbox = setup_2dh_fused(pos9, attrs_t, mvp, rows, cols)
             if PACK_SPLIT16 and kernel in ("subtile5", "subtile6",
                                            "subtile7", "subtile8"):
-                from ascii_renderer_tpu.ops.pack import pack_channels_split
-                src32, table = pack_channels_split(
+                from ascii_renderer_tpu.ops.pack import (
+                    pack_channels_split_blocked)
+                src32, table = pack_channels_split_blocked(
                     cm, [(0, 16), (16, 16 + tw)])
             elif PACK_SPLIT:
-                from ascii_renderer_tpu.ops.pack import pack_channels_split
-                src32, table = pack_channels_split(
+                from ascii_renderer_tpu.ops.pack import (
+                    pack_channels_split_blocked)
+                src32, table = pack_channels_split_blocked(
                     cm, [(0, 32), (16, 16 + tw)])
             else:
-                pack_w = max(-(-cm.shape[0] // 8) * 8,
+                cm2 = cm.reshape(cm.shape[0], -1)
+                pack_w = max(-(-cm2.shape[0] // 8) * 8,
                              16 + SHADE_TABLE_W if SHADE_TABLE_W else 0)
-                g40 = pack_channels(cm, width=pack_w)
+                g40 = pack_channels(cm2, width=pack_w)
                 # cols past 3A+3 are junk, never read
                 src32, table = g40[:, :32], g40[:, 16:16 + tw]
         n_valid = jnp.sum(bbox["valid"].astype(jnp.int32))

@@ -32,11 +32,22 @@ import jax.numpy as jnp
 EXACT3 = True
 
 
-def _split3(x: jnp.ndarray):
-    hi = x.astype(jnp.bfloat16)
+def _split3(x: jnp.ndarray, in_kernel: bool = False):
+    # Outside Pallas, each bf16 part is wrapped in an
+    # optimization_barrier: XLA's excess-precision simplification folds
+    # the f32->bf16->f32 round-trip to identity, which rewrites
+    # r1 = x - f32(bf16(x)) to zero and silently degrades the split to
+    # plain bf16 (invisible under the test suite's global
+    # highest-precision config; canary test in test_pallas_kernels).
+    # Inside Pallas kernels (in_kernel=True) optimization_barrier is
+    # not lowerable; Mosaic does not run XLA's excess-precision pass —
+    # verified on the real device by tools/check_exact_tpu.py (run it
+    # whenever ops/mxu or ops/pack change).
+    bar = (lambda v: v) if in_kernel else jax.lax.optimization_barrier
+    hi = bar(x.astype(jnp.bfloat16))
     r1 = x - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    mid = bar(r1.astype(jnp.bfloat16))
+    lo = bar((r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16))
     return hi, mid, lo
 
 
@@ -53,10 +64,12 @@ def count_dot(a01: jnp.ndarray, b01: jnp.ndarray, dn) -> jnp.ndarray:
 
 
 def select_dot(x: jnp.ndarray, sel01: jnp.ndarray, dn,
-               sel_on_left: bool = False) -> jnp.ndarray:
+               sel_on_left: bool = False,
+               in_kernel: bool = False) -> jnp.ndarray:
     """dot_general(x, sel01, dn) (or dot_general(sel01, x, dn) with
     sel_on_left) where sel01 is exactly bf16: three default passes over
-    the 3-way bf16 split of x, summed as hi + (mid + lo)."""
+    the 3-way bf16 split of x, summed as hi + (mid + lo). Pass
+    in_kernel=True from inside a Pallas kernel body (see _split3)."""
     if not EXACT3:
         a, b = (sel01, x) if sel_on_left else (x, sel01)
         return jax.lax.dot_general(
@@ -69,5 +82,5 @@ def select_dot(x: jnp.ndarray, sel01: jnp.ndarray, dn,
         return jax.lax.dot_general(a, b, dn,
                                    preferred_element_type=jnp.float32)
 
-    hi, mid, lo = _split3(x)
+    hi, mid, lo = _split3(x, in_kernel=in_kernel)
     return one(hi) + (one(mid) + one(lo))

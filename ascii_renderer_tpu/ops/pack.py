@@ -31,20 +31,36 @@ from jax.experimental import pallas as pl
 
 BLK = 512
 
+
+def _split3_kernel(x):
+    from ascii_renderer_tpu.ops.mxu import _split3
+    return _split3(x, in_kernel=True)
+
+
 PACK_EXACT3 = True  # trace-time perf knob (tools/ab_slope "packhi"):
 # False restores the single HIGHEST-precision identity dot.
 
 
 def _mxu_transpose(x: jnp.ndarray, blk: int) -> jnp.ndarray:
-    """[C, blk] f32 -> [blk, C] f32, bit-exact, via identity dots."""
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1))
+    """[C, blk] f32 -> [blk, C] f32, bit-exact, via identity dots.
+
+    The identity spans TEYE = 128 rows, not the whole block: eye-dot
+    MACs scale as blk * TEYE * C, so transposing a 512-lane block as
+    four 128-row sub-dots does 4x less MXU work than one 512x512 eye
+    (the MXU is fully occupied either way — M = 128 fills its rows).
+    Measured: the split pack kernel 168 -> 62 us at 960x540/69k."""
+    TEYE = 128
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (TEYE, TEYE), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (TEYE, TEYE), 1))
     # Y = I . X^T contraction: Y[n, c] = sum_k I[n, k] X[c, k] = X[c, n]
     if not PACK_EXACT3:
-        return jax.lax.dot_general(
-            eye.astype(jnp.float32), x, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+        return jnp.concatenate([
+            jax.lax.dot_general(
+                eye.astype(jnp.float32), x[:, j * TEYE:(j + 1) * TEYE],
+                (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            for j in range(blk // TEYE)], axis=0)
     # exact 3-way bf16 split: hi = bf16(x) leaves r1 = x - hi exactly
     # representable (same-exponent cancellation); two more steps leave
     # r3 == 0 (24-bit mantissa = 3 bf16 mantissas). bf16 spans f32's
@@ -62,13 +78,18 @@ def _mxu_transpose(x: jnp.ndarray, blk: int) -> jnp.ndarray:
             eye_bf, part, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    hi = x.astype(jnp.bfloat16)
-    r1 = x - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    # the pack transpose only runs inside Pallas kernels: Mosaic does
+    # not run XLA's excess-precision fold, so the split needs no
+    # barriers here (and optimization_barrier cannot lower in Mosaic) —
+    # see ops/mxu._split3 + the on-TPU exactness canary
+    hi, mid, lo = _split3_kernel(x)
     # associate as hi + (mid + lo): mid + lo == r1 and hi + r1 == x are
     # exact by construction, so the transposed sum is bit-equal to x
-    return tdot(hi) + (tdot(mid) + tdot(lo))
+    return jnp.concatenate([
+        tdot(hi[:, j * TEYE:(j + 1) * TEYE])
+        + (tdot(mid[:, j * TEYE:(j + 1) * TEYE])
+           + tdot(lo[:, j * TEYE:(j + 1) * TEYE]))
+        for j in range(blk // TEYE)], axis=0)
 
 
 def _pack_kernel(cm_ref, out_ref):
@@ -143,4 +164,51 @@ def pack_channels_split(cm: jnp.ndarray, spans,
     )(cm)
     if n_pad > n:
         outs = tuple(o[:n] for o in outs)
+    return outs
+
+
+def _pack_split_kernel_blk(cm_ref, *out_refs, spans, w, sb):
+    # slice the [w, sb, 128] block per 128-lane sub-block instead of
+    # reshaping to [w, sb*128]: the reshape is a sublane->lane relayout
+    # inside the kernel; slices are free
+    y = jnp.concatenate(
+        [_mxu_transpose(cm_ref[:, j, :], 128) for j in range(sb)],
+        axis=0)  # [sb*128, w]
+    for ref, (a, b) in zip(out_refs, spans):
+        ref[...] = y[:, a:b]
+
+
+def pack_channels_split_blocked(cm3: jnp.ndarray, spans,
+                                interpret: bool | None = None):
+    """pack_channels_split over a BLOCKED channel-major input
+    [C, R, 128] (R*128 = N), reading (BLK/128)-row slabs of the setup
+    kernel's native output tiling directly. Keeping the operand in the
+    producer's layout removes the two interface relayout copies XLA
+    inserted between setup_2dh_fused and the flat [C, N] view (38 us at
+    960x540/69k, tools/profile_trace.py). Bit-identical to
+    pack_channels_split(cm3.reshape(C, -1), spans)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    c, r, l = cm3.shape
+    # Mosaic requires the block's last two dims divisible by (8, 128):
+    # slabs are 8 sublane-rows = 1024 triangles per grid step
+    rb = 8
+    assert l == 128 and r % rb == 0, (c, r, l)
+    w = max(b for _, b in spans)
+    assert w >= c, (c, w, spans)
+    if w > c:
+        cm3 = jnp.concatenate(
+            [cm3, jnp.zeros((w - c, r, l), jnp.float32)], axis=0)
+    n = r * l
+    outs = pl.pallas_call(
+        functools.partial(_pack_split_kernel_blk, spans=tuple(spans),
+                          w=w, sb=rb),
+        grid=(r // rb,),
+        in_specs=[pl.BlockSpec((w, rb, 128), lambda i: (0, i, 0))],
+        out_specs=tuple(pl.BlockSpec((rb * 128, b - a), lambda i: (i, 0))
+                        for a, b in spans),
+        out_shape=tuple(jax.ShapeDtypeStruct((n, b - a), jnp.float32)
+                        for a, b in spans),
+        interpret=interpret,
+    )(cm3)
     return outs

@@ -153,7 +153,8 @@ def _kernel_grouped(rowptr_ref, depth_ref, data_hbm, m_ref, xl_ref, yl_ref,
         copy_in(c, slot).wait()
 
         y = mxu.select_dot(
-            buf[slot], m_ref[...], (((1,), (0,)), ((), ())))
+            buf[slot], m_ref[...], (((1,), (0,)), ((), ())),
+            in_kernel=True)
         # y [CHUNK_RG, 13*128]; fold the per-lane x: P_w = C_w + A_w * xl
         p4 = y[:, 0:4 * TILE_W] + x4 * y[:, 4 * TILE_W:8 * TILE_W]
         d0 = c * CHUNK_RG
@@ -288,7 +289,7 @@ def _kernel_grouped_skip(rowptr_ref, depth_ref, skip_ref, data_hbm, m_ref,
 
         y = mxu.select_dot(
             buf[slot].reshape(CHUNK_RG, TILE_W), m_ref[...],
-            (((1,), (0,)), ((), ())))  # [CHUNK_RG, 13*128]
+            (((1,), (0,)), ((), ())), in_kernel=True)  # [CHUNK_RG, 13*128]
         p4 = y[:, 0:4 * TILE_W] + x4 * y[:, 4 * TILE_W:8 * TILE_W]
         d0 = c * CHUNK_RG
 
@@ -577,7 +578,8 @@ def _kernel_direct(goff_ref, gdepth_ref, gchunks_ref, data_hbm, m_ref,
 
         x = jnp.concatenate([buf[slot, g] for g in range(N_SUB)], axis=1)
         y = mxu.select_dot(
-            x, m_ref[...], (((1,), (0,)), ((), ())))  # [CHUNK_RG, 13*128]
+            x, m_ref[...], (((1,), (0,)), ((), ())),
+            in_kernel=True)  # [CHUNK_RG, 13*128]
         p4 = y[:, 0:4 * TILE_W] + x4 * y[:, 4 * TILE_W:8 * TILE_W]
         d0 = c * CHUNK_RG
 
@@ -735,7 +737,7 @@ def _kernel_grouped_k2(rowptr_ref, depth_ref, skip_ref, data_hbm, m_ref,
 
         y = mxu.select_dot(
             buf[slot].reshape(c2, 2 * TILE_W), m_ref[...],
-            (((1,), (0,)), ((), ())))  # [c2, 2*13*128]
+            (((1,), (0,)), ((), ())), in_kernel=True)  # [c2, 2*13*128]
         # fold the per-lane x per sub-entry: P_w = C_w + A_w * xl
         p4 = [y[:, j * nb + 0:j * nb + 4 * TILE_W]
               + x4 * y[:, j * nb + 4 * TILE_W:j * nb + 8 * TILE_W]

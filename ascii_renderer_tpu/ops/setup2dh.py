@@ -195,10 +195,18 @@ def setup_2dh_fused(pos9: jnp.ndarray, attrs_t: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((c_out, nb, ts, 128), jnp.float32),
         interpret=interpret,
     )(mvp, pos9.reshape(9, nb, ts, 128), attrs_t.reshape(A3, nb, ts, 128))
-    out = out.reshape(c_out, tp)
-    bbox = {"bx0": out[n_g], "bx1": out[n_g + 1], "by0": out[n_g + 2],
-            "by1": out[n_g + 3], "valid": out[n_g + 4] > 0.5}
-    return out[:n_g], bbox
+    # [c, nb, ts, 128] -> [c, tp//128, 128] is a free (contiguous)
+    # reshape; callers that need the flat [c, tp] view reshape again.
+    # Keeping the channel block 3-D lets ops/pack consume the setup
+    # kernel's native tiling directly (pack_channels_split_blocked),
+    # avoiding the 38 us of relayout copies XLA inserts for the flat
+    # [c, N] operand view (tools/profile_trace.py).
+    out3 = out.reshape(c_out, tp // 128, 128)
+    bbox = {"bx0": out3[n_g].reshape(tp), "bx1": out3[n_g + 1].reshape(tp),
+            "by0": out3[n_g + 2].reshape(tp),
+            "by1": out3[n_g + 3].reshape(tp),
+            "valid": out3[n_g + 4].reshape(tp) > 0.5}
+    return out3[:n_g], bbox
 
 
 def _setup_kernel_packed(mvp_ref, pos_ref, attr_ref, bbox_ref, src_ref,

@@ -230,3 +230,23 @@ def test_pack_exact3_split_is_bit_exact():
         P.PACK_EXACT3 = old
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_array_equal(got[0], np.asarray(chans).T)
+
+
+def test_exact3_split_barriers_survive_lowering():
+    """The exact-3-split's correctness on TPU depends on the
+    optimization_barrier around each bf16 part: XLA's excess-precision
+    pass otherwise folds the f32->bf16->f32 round-trip to identity and
+    collapses the split to bf16(x) (TPU pipeline only — the CPU
+    backend does not fold, so this canary checks the lowered IR
+    instead of values). Guards ops/mxu._split3 and ops/pack."""
+    import jax
+    from ascii_renderer_tpu.ops import mxu
+
+    def f(x):
+        return mxu.select_dot(
+            x, jnp.eye(128, dtype=jnp.float32), (((1,), (1,)), ((), ())),
+            sel_on_left=True)
+
+    x = jnp.zeros((8, 128), jnp.float32)
+    txt = jax.jit(f).lower(x).as_text()
+    assert txt.count("optimization_barrier") >= 3, txt[:2000]

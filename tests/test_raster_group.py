@@ -43,7 +43,7 @@ def test_fused_setup_matches_xla_setup():
     mvp = R.camera_mvp(cam, 48, 96, 0.5)
     ach = R.setup_2dh(pos9, attrs_t, mvp, 48, 96)
     cm, bbox = setup_2dh_fused(pos9, attrs_t, mvp, 48, 96)
-    cm = np.asarray(cm)[:, :T]
+    cm = np.asarray(cm).reshape(cm.shape[0], -1)[:, :T]
     ok = np.asarray(ach["valid"])
     assert np.array_equal(np.asarray(bbox["valid"])[:T], ok)
     names = ("e0a", "e0b", "e0c", "e1a", "e1b", "e1c", "e2a", "e2b",

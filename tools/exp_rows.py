@@ -66,6 +66,7 @@ def main():
     def base(cam):
         mvp = R.camera_mvp(cam, rows, cols, cfg.pixel_aspect)
         cm, bbox = setup_2dh_fused(pos9, attrs_t, mvp, rows, cols)
+        cm = cm.reshape(cm.shape[0], -1)
         keys = R._subtile_pair_keys_bbox(bbox, rows, cols, big_cap=0)
         g40 = pack_channels(cm, width=-(-cm.shape[0] // 8) * 8)
         return g40, keys

@@ -70,12 +70,14 @@ def main():
     # 3. kernel + reduce cm + valid (profiler's exact stage)
     def red(m):
         cm, bbox = setup_2dh_fused(pos9, attrs_t, m, rows, cols)
+        cm = cm.reshape(cm.shape[0], -1)
         return sm(cm) + sm(bbox["valid"])
     f3 = jax.jit(red)
     # 4. same but cam arg + camera_mvp inside (= profiler exactly)
     def red_cam(cam):
         mvp = R.camera_mvp(cam, rows, cols, cfg.pixel_aspect)
         cm, bbox = setup_2dh_fused(pos9, attrs_t, mvp, rows, cols)
+        cm = cm.reshape(cm.shape[0], -1)
         return sm(cm) + sm(bbox["valid"])
     f4 = jax.jit(red_cam)
     # 5. reduce-only over a materialized same-size array
