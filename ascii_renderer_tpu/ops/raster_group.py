@@ -45,6 +45,14 @@ from ascii_renderer_tpu.ops.raster_subtile import (
     SUB_SHIFT, SUB_W, TILE_H, TILE_W)
 
 CHUNK_RG = 32      # rows per DMA slab (16 KB)
+WALK_BCAST = False  # build the walk's 13 plane blocks with per-16-lane
+# VPU broadcasts instead of the MXU expand dot (pure selection either
+# way — bit-identical in interpret mode; ab_slope knobs s8bc/s8bcdot).
+# DEFAULT OFF: Mosaic rejects the [C,128]->[C,8,16] vector shape cast
+# ("infer-vector-layout: unsupported shape cast"), so the broadcast
+# form cannot lower on real TPU today — kept as the documented next
+# step if Mosaic grows lane-granule reshapes (the expand dot is ~70 us
+# of the walk's 148; a VPU broadcast would cut most of it).
 DEPTH_GROUPING = "sort"  # "sort" = exact lax.sort by depth desc;
 # "bucket" = sort-free counting order by ceil(depth/CHUNK_RG) bucket
 # (MXU-blocked rank cumsum + one small scatter). Within a bucket every
@@ -287,9 +295,33 @@ def _kernel_grouped_skip(rowptr_ref, depth_ref, skip_ref, data_hbm, m_ref,
 
         copy_in(c, slot).wait()
 
-        y = mxu.select_dot(
-            buf[slot].reshape(CHUNK_RG, TILE_W), m_ref[...],
-            (((1,), (0,)), ((), ())), in_kernel=True)  # [CHUNK_RG, 13*128]
+        if WALK_BCAST:
+            # The expand "matmul" is a pure selection: every output
+            # lane copies ONE input channel (expand_matrix_g has one
+            # nonzero per column). Build the 13 plane blocks with
+            # per-16-lane-group broadcasts on the VPU instead of an
+            # MXU dot — identical values, zero MXU work.
+            x3 = buf[slot].reshape(CHUNK_RG, N_SUB, 16)
+
+            def bc(ch):
+                return jnp.broadcast_to(
+                    x3[:, :, ch:ch + 1], (CHUNK_RG, N_SUB, 16)
+                ).reshape(CHUNK_RG, TILE_W)
+
+            w_src = ((CH_A[0], CH_B[0], CH_G[0]),
+                     (CH_A[1], CH_B[1], CH_G[1]),
+                     (CH_A[2], CH_B[2], CH_G[2]),
+                     (CH_ZX, CH_ZY, CH_ZC))
+            y = jnp.concatenate(
+                [bc(cc) for _, _, cc in w_src]
+                + [bc(ca) for ca, _, _ in w_src]
+                + [bc(cb) for _, cb, _ in w_src]
+                + [bc(CH_PAIR)], axis=1)  # [CHUNK_RG, 13*128]
+        else:
+            y = mxu.select_dot(
+                buf[slot].reshape(CHUNK_RG, TILE_W), m_ref[...],
+                (((1,), (0,)), ((), ())),
+                in_kernel=True)  # [CHUNK_RG, 13*128]
         p4 = y[:, 0:4 * TILE_W] + x4 * y[:, 4 * TILE_W:8 * TILE_W]
         d0 = c * CHUNK_RG
 

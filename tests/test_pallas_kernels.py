@@ -250,3 +250,21 @@ def test_exact3_split_barriers_survive_lowering():
     x = jnp.zeros((8, 128), jnp.float32)
     txt = jax.jit(f).lower(x).as_text()
     assert txt.count("optimization_barrier") >= 3, txt[:2000]
+
+
+def test_pack_split_blocked_matches_flat():
+    """pack_channels_split_blocked over the setup kernel's native
+    [C, N/128, 128] tiling must equal pack_channels_split over the flat
+    [C, N] view bit-exactly (it exists purely to avoid XLA's operand
+    relayout copies; ops/pack.py docstring)."""
+    from ascii_renderer_tpu.ops import pack as P
+
+    rng = np.random.default_rng(11)
+    c, n = 40, 8192
+    cm = jnp.asarray(rng.normal(size=(c, n)).astype(np.float32) * 1e3)
+    spans = [(0, 16), (16, 40)]
+    flat = P.pack_channels_split(cm, spans, interpret=True)
+    blocked = P.pack_channels_split_blocked(
+        cm.reshape(c, n // 128, 128), spans, interpret=True)
+    for f, b in zip(flat, blocked):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(b))

@@ -138,6 +138,10 @@ VARIANTS = {
     # exact 1/3-pass bf16 vs Precision.HIGHEST 6-pass (ops/mxu)
     "s8mxux3": [("ascii_renderer_tpu.ops.mxu", "EXACT3", True)],
     "s8mxuhi": [("ascii_renderer_tpu.ops.mxu", "EXACT3", False)],
+    # walk expand: VPU lane-group broadcasts vs MXU selection dot
+    "s8bc": [("ascii_renderer_tpu.ops.raster_group", "WALK_BCAST", True)],
+    "s8bcdot": [("ascii_renderer_tpu.ops.raster_group",
+                 "WALK_BCAST", False)],
 }
 
 
