@@ -83,6 +83,28 @@ def build_headline(kernel: str = "subtile8"):
     return jax.jit(frame), cam
 
 
+def build_pt(spp: int = 64, rows: int = 36, cols: int = 96):
+    """Bench config-0's path-traced frame (demo scene + atlas,
+    5 bounces, Pallas megakernel). Returns (jitted fn, args)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from ascii_renderer_tpu.backends.pathtrace import render_pt
+    from ascii_renderer_tpu.scene.demo import create_demo_scene
+    from ascii_renderer_tpu.atlas.io import demo_atlas
+
+    sb = create_demo_scene()
+    sb.set_atlas(demo_atlas())
+    scene = sb.build(min_pad=1)
+    fn = jax.jit(functools.partial(
+        render_pt, rows=rows, cols=cols, pixel_aspect=0.5, spp=spp,
+        bounces=5, light_color=(16.86, 10.76, 8.2),
+        sample_batch=min(64, spp),
+        use_kernel=jax.default_backend() == "tpu"))
+    key = jax.random.key(0)
+    return (lambda: fn(scene, scene.camera, jnp.float32(0.0), key)), ()
+
+
 def parse_trace(trace_dir: str):
     """Newest vm.trace.json.gz under trace_dir -> list of device op
     events (dicts with name, dur_us, args)."""
@@ -106,6 +128,10 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--kernel", default=None,
                     help="raster kernel generation (default: headline)")
+    ap.add_argument("--pt", action="store_true",
+                    help="profile the path-traced frame (bench config 0) "
+                         "instead of the raster headline")
+    ap.add_argument("--pt-spp", type=int, default=64)
     ap.add_argument("--by-category", action="store_true")
     ap.add_argument("--trace-dir", default="/tmp/xprof_headline")
     ap.add_argument("--set", action="append", default=[],
@@ -127,17 +153,23 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
-    from ascii_renderer_tpu.backends import raster as R
-    fn, cam = build_headline(args.kernel or R.HEADLINE_KERNEL)
-    out = fn(cam)
+    if args.pt:
+        fn0, fargs = build_pt(args.pt_spp)
+        fn, fargs = (lambda: fn0()), ()
+        call = fn0
+    else:
+        from ascii_renderer_tpu.backends import raster as R
+        fn, cam = build_headline(args.kernel or R.HEADLINE_KERNEL)
+        call = lambda: fn(cam)  # noqa: E731
+    out = call()
     np.asarray(out)  # compile + settle
     for _ in range(8):
-        out = fn(cam)
+        out = call()
     np.asarray(out)
 
     with jax.profiler.trace(args.trace_dir):
         for _ in range(args.iters):
-            out = fn(cam)
+            out = call()
         np.asarray(out)
 
     ops = parse_trace(args.trace_dir)
