@@ -463,9 +463,16 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
 
     # ---- phase 1: center-ray probe (fetched flag + primary glyph hits) ----
     if use_kernel:
-        col0, ov0, fetched = trace_eye_paths_kernel(
+        # packed channel layout end-to-end (see
+        # trace_eye_paths_kernel_packed): phase-1/2 reductions run on
+        # flat [pc]/[B, pc] arrays; ONE unpack to [band, cols(, 3)] at
+        # the end of the frame
+        lor0, log0, lob0, ov0f, fet0 = trace_eye_paths_kernel_packed(
             scene, ro0, rd0, frame_seed, light_center, light_radius,
             bounces=bounces, light_color=lcol, nee=nee)
+        ov0 = jnp.round(ov0f).astype(jnp.int32)        # [pc]
+        fetched = (fet0 > 0.5).reshape(band, cols)     # jitter mask (image)
+        col0 = None
     else:
         col0, ov0, fetched = trace_eye_paths(
             scene, ro0, rd0, jax.random.fold_in(key, 0xC0FFEE), light_center,
@@ -474,10 +481,10 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
     # ---- phase 2: batched samples ----
     B = max(1, min(sample_batch, spp))
     n_batches = -(-spp // B)
+    pc = band * cols
     ro_b = jnp.broadcast_to(cam.pos, (B, band, cols, 3))
 
-    def batch_step(carry, b):
-        tot, override, ovcol = carry
+    def batch_rays(b):
         kb = jax.random.fold_in(key, b)
         k_jit, k_path = jax.random.split(kb)
         s_idx = b * B + jnp.arange(B)
@@ -491,18 +498,69 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
         rd = ((px[None] + jx)[..., None] * uu
               + (py[None] + jy)[..., None] * vv + focal * ww)
         rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        return rd, s_idx, k_path
 
-        if use_kernel:
+    if use_kernel:
+        def batch_step(carry, b):
+            tr, tg, tb, override, ocr, ocg, ocb = carry
+            rd, s_idx, _k = batch_rays(b)
             # golden-ratio stride decorrelates batches under one frame key
             batch_seed = frame_seed + (b + 1) * jnp.int32(-1640531527)
-            col, ov, _pf = trace_eye_paths_kernel(
+            cr, cg, cb, ovf, _pf = trace_eye_paths_kernel_packed(
                 scene, ro_b, rd, batch_seed, light_center, light_radius,
                 bounces=bounces, light_color=lcol, nee=nee)
-        else:
-            col, ov, _pf = trace_eye_paths(scene, ro_b, rd, k_path,
-                                           light_center, light_radius,
-                                           bounces=bounces, light_color=lcol,
-                                           nee=nee)
+            cr, cg, cb = (c.reshape(B, pc) for c in (cr, cg, cb))
+            ov = jnp.round(ovf).astype(jnp.int32).reshape(B, pc)
+            valid_s = (s_idx < spp)[:, None]
+            tr = tr + jnp.sum(jnp.where(valid_s, cr, 0.0), axis=0)
+            tg = tg + jnp.sum(jnp.where(valid_s, cg, 0.0), axis=0)
+            tb = tb + jnp.sum(jnp.where(valid_s, cb, 0.0), axis=0)
+            has_s = (ov > 0) & valid_s
+            first = jnp.argmax(has_s, axis=0)  # [pc]
+            has = jnp.any(has_s, axis=0)
+            # select row `first` per column as a mask-sum: exactly one
+            # nonzero term per column, so the sum IS the selected value
+            # (take_along_axis lowers to [pc] scalar gathers at
+            # descriptor rate — 34 us each here; this is a vector op)
+            onehot = (jnp.arange(B, dtype=jnp.int32)[:, None]
+                      == first[None])
+            sel = lambda arr: jnp.sum(  # noqa: E731
+                jnp.where(onehot, arr, jnp.zeros((), arr.dtype)), axis=0)
+            new = has & (override == 0)
+            override = jnp.where(new, sel(ov), override)
+            ocr = jnp.where(new, sel(cr), ocr)
+            ocg = jnp.where(new, sel(cg), ocg)
+            ocb = jnp.where(new, sel(cb), ocb)
+            return (tr, tg, tb, override, ocr, ocg, ocb), None
+
+        zc = jnp.zeros((pc,), jnp.float32)
+        init = (zc, zc, zc, jnp.zeros((pc,), jnp.int32), zc, zc, zc)
+        (tr, tg, tb, override_b, ocr, ocg, ocb), _ = jax.lax.scan(
+            batch_step, init, jnp.arange(n_batches))
+
+        # phase-1 overrides (center ray) take precedence — sample 0
+        has0 = ov0 > 0
+        override = jnp.where(has0, ov0, override_b)
+        ocr = jnp.where(has0, lor0, ocr)
+        ocg = jnp.where(has0, log0, ocg)
+        ocb = jnp.where(has0, lob0, ocb)
+        has_ov = override > 0
+        inv_spp = 1.0 / jnp.float32(spp)
+        chans = [jnp.where(has_ov, jnp.clip(oc, 0.0, 1.0),
+                           jnp.clip(t * inv_spp, 0.0, 1.0))
+                 for oc, t in ((ocr, tr), (ocg, tg), (ocb, tb))]
+        rgb = jnp.stack(chans, axis=-1).reshape(band, cols, 3)
+        a = jnp.where(has_ov, override, 255).astype(jnp.uint8) \
+            .reshape(band, cols)
+        return rgb, a
+
+    def batch_step(carry, b):
+        tot, override, ovcol = carry
+        rd, s_idx, k_path = batch_rays(b)
+        col, ov, _pf = trace_eye_paths(scene, ro_b, rd, k_path,
+                                       light_center, light_radius,
+                                       bounces=bounces, light_color=lcol,
+                                       nee=nee)
         valid_s = (s_idx < spp)[:, None, None]
         tot = tot + jnp.sum(jnp.where(valid_s[..., None], col, 0.0), axis=0)
         # first overriding sample in this batch (smallest s)
@@ -704,3 +762,46 @@ def trace_eye_paths_kernel(scene: SceneData, ro, rd, seed_base, light_center,
     ov = ov.reshape(-1)[:R].reshape(shp)
     fet = fet.reshape(-1)[:R].reshape(shp)
     return lo, jnp.round(ov).astype(jnp.int32), fet > 0.5
+
+
+def trace_eye_paths_kernel_packed(scene: SceneData, ro, rd, seed_base,
+                                  light_center, light_radius, *,
+                                  bounces: int, light_color, nee: bool,
+                                  interpret=None):
+    """trace_eye_paths_kernel staying in the kernel's packed channel
+    layout: returns (lor, log, lob, ov, fet), each f32 FLAT [R] in ray
+    order (R = prod(rd.shape[:-1])). Converting the kernel outputs to
+    image-space [..., 3] arrays costs ~0.5 ms/frame of degenerate
+    [B, H, W, 1] relayouts at the bench workload and the sample-reduce
+    another ~0.5 ms in [..., 3] minor-dim-3 layout (tools/
+    profile_trace.py --pt) — render_pt reduces over samples in THIS
+    layout and unpacks once per frame."""
+    from ascii_renderer_tpu.ops import pt_kernel as PK
+
+    shp = rd.shape[:-1]
+    R = 1
+    for s in shp:
+        R *= s
+    nblk = -(-R // (PK.BH * PK.BW))
+    pad = nblk * PK.BH * PK.BW - R
+
+    def blockify(a):
+        flat = a.reshape(R, 3)
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad, 3), flat.dtype)], axis=0)
+        return flat.reshape(nblk, PK.BH, PK.BW, 3)
+
+    prim_packed, atlas_flat, aw, ah, sph_rows = pack_scene_entries(scene)
+    lcol = jnp.asarray(light_color, jnp.float32)
+    params = jnp.concatenate([
+        light_center, light_radius[None], lcol,
+        jnp.asarray([EPS], jnp.float32)])
+    seeds = (jnp.arange(nblk, dtype=jnp.int32)
+             + jnp.int32(seed_base) * jnp.int32(1 + nblk))
+    outs = PK.trace_blocks_raw(
+        params, prim_packed, blockify(ro), blockify(rd), seeds, atlas_flat,
+        bounces=bounces, nee=nee, atlas_w=aw, atlas_h=ah,
+        sph_rows=sph_rows, interpret=interpret)
+    # [nblk, 8, 128] -> [nblk*1024] -> [:R]: contiguous, no relayout
+    return tuple(o.reshape(-1)[:R] for o in outs)

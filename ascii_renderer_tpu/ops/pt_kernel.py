@@ -508,6 +508,24 @@ def trace_blocks(params, prim_packed, ro, rd, seeds, atlas_flat, *,
     zero block and atlas_w = atlas_h = 0.
 
     Returns (lo [B,8,128,3], override [B,8,128], fetched [B,8,128])."""
+    lor, log, lob, ov, fet = trace_blocks_raw(
+        params, prim_packed, ro, rd, seeds, atlas_flat, bounces=bounces,
+        nee=nee, atlas_w=atlas_w, atlas_h=atlas_h, sph_rows=sph_rows,
+        interpret=interpret)
+    lo = jnp.stack([lor, log, lob], axis=-1)
+    return lo, ov, fet
+
+
+def trace_blocks_raw(params, prim_packed, ro, rd, seeds, atlas_flat, *,
+                     bounces: int, nee: bool, atlas_w: int, atlas_h: int,
+                     sph_rows: int, interpret: bool | None = None):
+    """trace_blocks without the [..., 3] stack: returns the kernel's
+    native channel-separate outputs (lor, log, lob, ov, fet), each f32
+    [B, 8, 128]. The stack to image-space [..., 3] arrays costs ~0.5 ms
+    of degenerate-layout relayouts per 64-sample batch at the bench
+    workload (tools/profile_trace.py --pt) — consumers that reduce over
+    samples should stay in this packed channel layout
+    (backends/pathtrace.render_pt)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B = ro.shape[0]
@@ -527,21 +545,19 @@ def trace_blocks(params, prim_packed, ro, rd, seeds, atlas_flat, *,
         num_scalar_prefetch=0,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # params [8]
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # prim rows (full)
-            comp_spec(), comp_spec(), comp_spec(),  # ro xyz
-            comp_spec(), comp_spec(), comp_spec(),  # rd xyz
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seeds (full, [B])
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # atlas
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            comp_spec(), comp_spec(), comp_spec(),
+            comp_spec(), comp_spec(), comp_spec(),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(comp_spec() for _ in range(5)),
     )
     outs = (jax.ShapeDtypeStruct((B, BH, BW), jnp.float32),) * 5
-    lor, log, lob, ov, fet = pl.pallas_call(
+    return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=outs, interpret=interpret,
     )(params, prim_packed,
       ro[..., 0], ro[..., 1], ro[..., 2],
       rd[..., 0], rd[..., 1], rd[..., 2],
       seeds, atlas_flat)
-    lo = jnp.stack([lor, log, lob], axis=-1)
-    return lo, ov, fet

@@ -161,16 +161,21 @@ def main():
         from ascii_renderer_tpu.backends import raster as R
         fn, cam = build_headline(args.kernel or R.HEADLINE_KERNEL)
         call = lambda: fn(cam)  # noqa: E731
+    import jax.tree_util as jtu
+
+    def settle(o):
+        np.asarray(jtu.tree_leaves(o)[0])
+
     out = call()
-    np.asarray(out)  # compile + settle
+    settle(out)  # compile + settle
     for _ in range(8):
         out = call()
-    np.asarray(out)
+    settle(out)
 
     with jax.profiler.trace(args.trace_dir):
         for _ in range(args.iters):
             out = call()
-        np.asarray(out)
+        settle(out)
 
     ops = parse_trace(args.trace_dir)
     total_us = sum(e["dur"] for e in ops)
