@@ -40,7 +40,9 @@ def test_term_mode_mouse_look_and_clean_exit():
         os.write(master, b"\x1b[<35;14;6M")
         time.sleep(0.5)
         os.write(master, b"q")
-        deadline = time.time() + 30
+        # generous: a loaded machine (parallel compiles) can stall the
+        # frame loop long past a human-scale deadline
+        deadline = time.time() + 120
         while proc.poll() is None and time.time() < deadline:
             r, _, _ = select.select([master], [], [], 0.2)
             if r:
@@ -63,7 +65,7 @@ def test_term_mode_mouse_look_and_clean_exit():
     finally:
         os.close(master)
         try:
-            proc.wait(timeout=30)
+            proc.wait(timeout=120)
         except subprocess.TimeoutExpired:
             proc.kill()
     stderr = proc.stderr.read().decode()
