@@ -2,11 +2,14 @@
 """Compile-only cost attribution for the headline frame: sums the TPU
 compiler's per-fusion `estimated_cycles` from the optimized HLO.
 
-This is the noise-free complement to tools/ab_slope.py: the tunnel adds
-+-0.15 ms of run-to-run noise to measured slopes, while estimated_cycles
-is deterministic compiler output that (measured) tracks the real frame
-within ~10%. Use it to rank layout/fusion work and to A/B variants
-structurally; confirm winners with one ab_slope run.
+DEPRECATED FOR DECISIONS (round 3b). The model's estimated_cycles
+mispriced real ops by up to 30x in both directions: it costed the fused
+setup kernel's interface at ~260k cycles (actually ~40 us) while
+missing the kernel's own 564 us, and priced the packed-u8 glyph select
+at 16x native (actually equal wall time). Two landings based on it were
+reverted after tools/profile_trace.py (real per-HLO device timings via
+jax.profiler, which DOES work through the tunnel) contradicted it.
+Keep for curiosity only; the profiler is the budget of record.
 
 Usage: python tools/hlo_cycles.py [variant ...]   (names from ab_slope)
        python tools/hlo_cycles.py s8 s8split16 --top 12

@@ -1,18 +1,30 @@
 #!/bin/bash
-# Unattended TPU measurement agenda for round 3. Run whenever the axon
-# tunnel is reachable; every step tees its output under /tmp/tpu_r3/ so a
+# Unattended TPU measurement agenda (round 4). Run whenever the axon
+# tunnel is reachable; every step tees its output under /tmp/tpu_r4/ so a
 # short tunnel window still yields durable measurements.
 #
 #   bash tools/tpu_agenda.sh probe   # fast reachability check (exit 0 = up)
-#   bash tools/tpu_agenda.sh run     # full agenda (slope A/Bs, bench, PT)
+#   bash tools/tpu_agenda.sh run     # full agenda (profiles, bench, A/Bs)
+#
+# Measurement doctrine (learned in round 3):
+# - tools/profile_trace.py is the budget of record: jax.profiler carries
+#   full per-HLO device timings through the tunnel. Sanity-check an
+#   unchanged op (e.g. the key sort ~136 us at headline scale) against
+#   its prior reading — a contended tunnel inflates every op uniformly.
+# - ab_slope is for END-TO-END deltas and on-device bit-identity checks
+#   (it prints output ==/!=); its per-rep noise is +-0.3 ms, so only
+#   trust effects that survive per-rep pairing across >=5 reps.
+# - NEVER run two TPU jobs at once (A/Bs go to garbage).
+# - tools/hlo_cycles.py (static cycle model) is DEPRECATED for decisions
+#   — it mispriced the fused setup kernel 30x and the glyph select 16x.
 set -u
 cd "$(dirname "$0")/.."
-OUT=/tmp/tpu_r3
+OUT=/tmp/tpu_r4
 mkdir -p "$OUT"
 
 probe() {
   # import jax under the axon platform with a hard kill: when the relay is
-  # down the import itself hangs forever (memory: sitecustomize re-routes)
+  # down the import itself hangs forever
   timeout 75 python -c "import jax; print(jax.devices())" \
     > "$OUT/probe.txt" 2>&1
   rc=$?
@@ -26,23 +38,19 @@ probe() {
 
 run() {
   probe || return 1
-  echo "=== 1/4 slope A/B: base vs shade-table widths vs chunk sizes ==="
-  # Ordered by landing value: the ESSENTIAL run alone picks the winner.
-  # A short tunnel window should still produce ab_essential + bench.
-  echo "=== 1/5 slope A/B (ESSENTIAL): landing candidates ==="
-  timeout 2000 python tools/ab_slope.py \
-    base t24 s5t24 s6t24 split24 s6split24 s6t24c16 \
-    2>&1 | tee "$OUT/ab_essential.txt"
-  echo "=== 2/5 full bench (all configs incl. PT Mrays/s fields) ==="
+  echo "=== 1/5 headline per-HLO profile (budget of record) ==="
+  timeout 1200 python tools/profile_trace.py --top 25 \
+    2>&1 | tee "$OUT/profile_headline.txt"
+  echo "=== 2/5 PT per-HLO profile ==="
+  timeout 1200 python tools/profile_trace.py --pt --iters 12 --top 12 \
+    2>&1 | tee "$OUT/profile_pt.txt"
+  echo "=== 3/5 exactness canary (run after any ops/mxu or ops/pack change) ==="
+  timeout 600 python tools/check_exact_tpu.py 2>&1 | tee "$OUT/exact.txt"
+  echo "=== 4/5 full bench (all configs) ==="
   timeout 3600 python bench.py 2>&1 | tee "$OUT/bench_full.txt"
-  echo "=== 3/5 slope A/B (BROAD): single-knob grid for attribution ==="
-  timeout 2400 python tools/ab_slope.py \
-    base t32 chunk16 chunk64 s5 s6 split s5split s6split s6t24c64 \
-    2>&1 | tee "$OUT/ab_broad.txt"
-  echo "=== 4/5 stage profile of the headline prefix ==="
-  timeout 1200 python tools/profile_prefix.py 2>&1 | tee "$OUT/profile.txt"
-  echo "=== 5/5 PT megakernel stage/variant profile ==="
-  timeout 2400 python tools/profile_pt.py 2>&1 | tee "$OUT/profile_pt.txt"
+  echo "=== 5/5 end-to-end identity + slope of the landed defaults ==="
+  timeout 1500 python tools/ab_slope.py s8 s8mxuhi s8packhi --reps 5 \
+    2>&1 | tee "$OUT/ab_identity.txt"
   echo "agenda done; outputs in $OUT"
 }
 
