@@ -671,18 +671,43 @@ def pack_scene_entries(scene: SceneData):
         pk.is_spec_m[m].astype(jnp.float32))
 
     tm = jnp.maximum(pk.tri_mat, 0)
+    # world->barycentric transform per tri (ops/pt_kernel channel-layout
+    # comment): unit normal n = (e1 x e2)/|e1 x e2|, plane offset d0 = n.a,
+    # barycentric rows r1 = (e2 x n)/|e1 x e2| (u = r1.(p - a)) and
+    # r2 = (n x e1)/|e1 x e2|; bad_scale = 1e-6/|e1 x e2| reproduces MT's
+    # |det| < 1e-6 cutoff. Degenerate/inert tris get bad_scale = 3e38 so
+    # the kernel's guarded 1/ndotd never sees a live infinity.
+    a_ = jnp.stack([pk.tri.a.x, pk.tri.a.y, pk.tri.a.z], axis=-1)
+    e1_ = jnp.stack([pk.tri.e1.x, pk.tri.e1.y, pk.tri.e1.z], axis=-1)
+    e2_ = jnp.stack([pk.tri.e2.x, pk.tri.e2.y, pk.tri.e2.z], axis=-1)
+    cn_ = jnp.cross(e1_, e2_)
+    area2 = jnp.linalg.norm(cn_, axis=-1)
+    ok = area2 > 1e-30
+    inv_area = jnp.where(ok, 1.0 / jnp.where(ok, area2, 1.0), 0.0)
+    n_ = cn_ * inv_area[:, None]
+    d0_ = jnp.sum(n_ * a_, axis=-1)
+    r1_ = jnp.cross(e2_, n_) * inv_area[:, None]
+    r2_ = jnp.cross(n_, e1_) * inv_area[:, None]
+    c1_ = -jnp.sum(r1_ * a_, axis=-1)
+    c2_ = -jnp.sum(r2_ * a_, axis=-1)
+    bads_ = jnp.where(ok, 1e-6 * inv_area, 3e38)
+
     tri_block = jnp.zeros((Tn, PK.N_CHAN), jnp.float32)
     tri_block = tri_block.at[:, PK.C_KIND].set(
         jnp.where(pk.tri.valid, 2.0, 0.0))
-    tri_block = tri_block.at[:, PK.C_AX].set(pk.tri.a.x)
-    tri_block = tri_block.at[:, PK.C_AY].set(pk.tri.a.y)
-    tri_block = tri_block.at[:, PK.C_AZ].set(pk.tri.a.z)
-    tri_block = tri_block.at[:, PK.C_E1X].set(pk.tri.e1.x)
-    tri_block = tri_block.at[:, PK.C_E1Y].set(pk.tri.e1.y)
-    tri_block = tri_block.at[:, PK.C_E1Z].set(pk.tri.e1.z)
-    tri_block = tri_block.at[:, PK.C_E2X].set(pk.tri.e2.x)
-    tri_block = tri_block.at[:, PK.C_E2Y].set(pk.tri.e2.y)
-    tri_block = tri_block.at[:, PK.C_E2Z].set(pk.tri.e2.z)
+    tri_block = tri_block.at[:, PK.C_NX].set(n_[:, 0])
+    tri_block = tri_block.at[:, PK.C_NY].set(n_[:, 1])
+    tri_block = tri_block.at[:, PK.C_NZ].set(n_[:, 2])
+    tri_block = tri_block.at[:, PK.C_D0].set(d0_)
+    tri_block = tri_block.at[:, PK.C_R1X].set(r1_[:, 0])
+    tri_block = tri_block.at[:, PK.C_R1Y].set(r1_[:, 1])
+    tri_block = tri_block.at[:, PK.C_R1Z].set(r1_[:, 2])
+    tri_block = tri_block.at[:, PK.C_C1].set(c1_)
+    tri_block = tri_block.at[:, PK.C_R2X].set(r2_[:, 0])
+    tri_block = tri_block.at[:, PK.C_R2Y].set(r2_[:, 1])
+    tri_block = tri_block.at[:, PK.C_R2Z].set(r2_[:, 2])
+    tri_block = tri_block.at[:, PK.C_C2].set(c2_)
+    tri_block = tri_block.at[:, PK.C_BADS].set(bads_)
     tri_block = tri_block.at[:, PK.C_SHR].set(pk.shade_m[tm, 0])
     tri_block = tri_block.at[:, PK.C_SHG].set(pk.shade_m[tm, 1])
     tri_block = tri_block.at[:, PK.C_SHB].set(pk.shade_m[tm, 2])

@@ -43,9 +43,20 @@ MAX_ATLAS_TEXELS = 65536
 # entry channels (shared by spheres and tris; unused fields zero)
 # kind: 0 = inert, 1 = sphere, 2 = triangle
 C_KIND = 0
-C_AX, C_AY, C_AZ = 1, 2, 3          # sphere center | tri vertex a
-C_E1X, C_E1Y, C_E1Z = 4, 5, 6       # tri edge1     | sphere: radius in E1X
-C_E2X, C_E2Y, C_E2Z = 7, 8, 9
+C_AX, C_AY, C_AZ = 1, 2, 3          # sphere center | tri unit normal
+C_E1X = 4                           # sphere radius | tri plane offset n.a
+# Triangles are stored as a precomputed world->barycentric transform
+# (normal + plane offset + two affine barycentric rows) instead of
+# (a, e1, e2): the in-kernel test needs ~2/3 of Moller-Trumbore's vector
+# ops and the geometric normal comes for free. bad_scale = 1e-6/|e1 x e2|
+# reproduces MT's |det| < 1e-6 degenerate/parallel cutoff exactly
+# (det_MT = -(d.n)*|e1 x e2|).
+C_NX, C_NY, C_NZ = 1, 2, 3
+C_D0 = 4
+C_R1X, C_R1Y, C_R1Z = 5, 6, 7       # u = r1 . p + c1
+C_C1 = 8
+C_R2X, C_R2Y, C_R2Z = 9, 22, 23     # v = r2 . p + c2
+C_C2, C_BADS = 24, 25
 C_SHR, C_SHG, C_SHB = 10, 11, 12    # shading albedo (LUT semantics)
 C_ISLIGHT, C_ISSPEC, C_TEXTURABLE = 13, 14, 15
 C_UVAX, C_UVAY, C_UVBX, C_UVBY, C_UVCX, C_UVCY = 16, 17, 18, 19, 20, 21
@@ -125,13 +136,13 @@ def _kernel(params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
     def prim_stream(ox, oy, oz, dx, dy, dz, want_attrs: bool):
         """Stream primitives in two specialized passes (sphere rows then
         triangle rows — each entry only pays its own math). Winner carry:
-        [t, nx, ny, nz, uvx0, uvy0, shr, shg, shb, is_light_f, is_spec_f,
+        [t, nx, ny, nz, shr, shg, shb, is_light_f, is_spec_f,
         texturable_f, uvx, uvy] (flags as f32 0/1; Mosaic cannot select i1
         vectors through a fori carry). Without want_attrs: (t,)."""
         big = jnp.full((BH, BW), jnp.float32(3e38))
         init = [big]
         if want_attrs:
-            init += [jnp.zeros((BH, BW), jnp.float32) for _ in range(13)]
+            init += [jnp.zeros((BH, BW), jnp.float32) for _ in range(11)]
 
         def sphere_row(r, carry):
             out = list(carry)
@@ -161,7 +172,7 @@ def _kernel(params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
                     nx = (ox + t * dx - ax) * inv_r
                     ny = (oy + t * dy - ay) * inv_r
                     nz = (oz + t * dz - az) * inv_r
-                    vals = [nx, ny, nz, 0.0, 0.0,
+                    vals = [nx, ny, nz,
                             buf(C_SHR), buf(C_SHG), buf(C_SHB),
                             buf(C_ISLIGHT), buf(C_ISSPEC), 0.0, 0.0, 0.0]
                     for q, val in enumerate(vals):
@@ -169,59 +180,49 @@ def _kernel(params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
             return tuple(out)
 
         def tri_row(r, carry):
+            # precomputed-transform test (see the channel-layout comment):
+            #   t = (d0 - n.o) / (n.d);  p = o + t d;
+            #   u = r1.p + c1;  v = r2.p + c2
+            # Same miss conditions as Moller-Trumbore (incl. the redundant
+            # u > 1 for exact parity of NaN/edge behavior); the geometric
+            # normal is the stored n, flipped against the ray like MT's
+            # normalized e1 x e2.
             out = list(carry)
             for k in range(PACK):
                 ln = k * N_CHAN
                 buf = lambda c: prim_hbm[r, ln + c]
                 live = buf(C_KIND) > 0.0
-                ax = buf(C_AX)
-                ay = buf(C_AY)
-                az = buf(C_AZ)
-                e1x = buf(C_E1X)
-                e1y = buf(C_E1Y)
-                e1z = buf(C_E1Z)
-                e2x = buf(C_E2X)
-                e2y = buf(C_E2Y)
-                e2z = buf(C_E2Z)
-                px_ = dy * e2z - dz * e2y
-                py_ = dz * e2x - dx * e2z
-                pz_ = dx * e2y - dy * e2x
-                det = e1x * px_ + e1y * py_ + e1z * pz_
-                bad = jnp.abs(det) < 1e-6
-                inv = 1.0 / jnp.where(bad, 1.0, det)
-                tvx = ox - ax
-                tvy = oy - ay
-                tvz = oz - az
-                u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
-                qx = tvy * e1z - tvz * e1y
-                qy = tvz * e1x - tvx * e1z
-                qz = tvx * e1y - tvy * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                nx_ = buf(C_NX)
+                ny_ = buf(C_NY)
+                nz_ = buf(C_NZ)
+                ndotd = nx_ * dx + ny_ * dy + nz_ * dz
+                bad = jnp.abs(ndotd) < buf(C_BADS)
+                inv = 1.0 / jnp.where(bad, 1.0, ndotd)
+                ndoto = nx_ * ox + ny_ * oy + nz_ * oz
+                t = (buf(C_D0) - ndoto) * inv
+                hpx = ox + t * dx
+                hpy = oy + t * dy
+                hpz = oz + t * dz
+                u = (buf(C_R1X) * hpx + buf(C_R1Y) * hpy
+                     + buf(C_R1Z) * hpz + buf(C_C1))
+                v = (buf(C_R2X) * hpx + buf(C_R2Y) * hpy
+                     + buf(C_R2Z) * hpz + buf(C_C2))
                 miss = (bad | (u < 0.0) | (u > 1.0) | (v < 0.0)
                         | (u + v > 1.0) | (t <= eps) | jnp.logical_not(live))
                 t = jnp.where(miss, 3e38, t)
                 better = t < out[0]
                 out[0] = jnp.where(better, t, out[0])
                 if want_attrs:
-                    cnx = e1y * e2z - e1z * e2y
-                    cny = e1z * e2x - e1x * e2z
-                    cnz = e1x * e2y - e1y * e2x
-                    innl = jax.lax.rsqrt(jnp.maximum(
-                        cnx * cnx + cny * cny + cnz * cnz, 1e-24))
-                    cnx = cnx * innl
-                    cny = cny * innl
-                    cnz = cnz * innl
-                    flip = (cnx * dx + cny * dy + cnz * dz) > 0.0
-                    cnx = jnp.where(flip, -cnx, cnx)
-                    cny = jnp.where(flip, -cny, cny)
-                    cnz = jnp.where(flip, -cnz, cnz)
+                    flip = ndotd > 0.0
+                    cnx = jnp.where(flip, -nx_, nx_)
+                    cny = jnp.where(flip, -ny_, ny_)
+                    cnz = jnp.where(flip, -nz_, nz_)
                     w0 = 1.0 - u - v
                     uvx = (w0 * buf(C_UVAX) + u * buf(C_UVBX)
                            + v * buf(C_UVCX))
                     uvy = (w0 * buf(C_UVAY) + u * buf(C_UVBY)
                            + v * buf(C_UVCY))
-                    vals = [cnx, cny, cnz, uvx, uvy,
+                    vals = [cnx, cny, cnz,
                             buf(C_SHR), buf(C_SHG), buf(C_SHB),
                             buf(C_ISLIGHT), buf(C_ISSPEC),
                             buf(C_TEXTURABLE), uvx, uvy]
@@ -282,7 +283,7 @@ def _kernel(params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
         return r_ * inv255, g_ * inv255, b_ * inv255, ab, inb
 
     for j in range(bounces):
-        (t, nx, ny, nz, _uvx0, _uvy0, shr, shg, shb, is_light_f, is_spec_f,
+        (t, nx, ny, nz, shr, shg, shb, is_light_f, is_spec_f,
          texturable_f, uvx, uvy) = prim_stream(rox, roy, roz, rdx, rdy, rdz,
                                                True)
         is_light = is_light_f > 0.5

@@ -247,11 +247,14 @@ def bench_config0(smoke):
         light_color=(16.86, 10.76, 8.2), sample_batch=min(64, spp),
         use_kernel=use_kernel))
     key = jax.random.key(0)
-    # iters=32: amortize the single end-of-loop host readback (~30 ms
-    # tunnel RTT) like config 3, else it adds ~2 ms/frame to a ~13 ms frame
-    dt = _time_fn(lambda: fn(scene, scene.camera, jnp.float32(0.0), key), (),
-                  iters=32)
+    # queue-depth slope like configs 1-3: amortized iters=N still carried
+    # RTT/N (~1 ms/frame at N=32 on a ~6 ms frame, i.e. the recorded
+    # round-3a "125 FPS" was really ~167)
+    dt, _rtt, spread = _time_fn_slope(
+        lambda: fn(scene, scene.camera, jnp.float32(0.0), key), (),
+        n1=(4, 16)[not smoke], n2=(16, 64)[not smoke])
     out = {"fps": 1.0 / dt, "spp": spp, "grid": "96x36",
+           "spread": round(spread, 3),
            "vs_ref_60fps": round(1.0 / dt / 60.0, 3)}
 
     # ---- honest Mrays/s: measure the TRUE per-path ray count once (eye
@@ -283,9 +286,9 @@ def bench_config0(smoke):
             render_pt, rows=540, cols=960, pixel_aspect=0.5, spp=spp_hd,
             bounces=5, light_color=(16.86, 10.76, 8.2),
             sample_batch=spp_hd, use_kernel=use_kernel))
-        dt_hd = _time_fn(
+        dt_hd, _rtt, _sp = _time_fn_slope(
             lambda: fn_hd(scene, scene.camera, jnp.float32(0.0), key), (),
-            warmup=1, iters=4)
+            n1=2, n2=8, reps=2)
         out["fps_960x540_spp8"] = round(1.0 / dt_hd, 2)
         out["mrays_s_960x540"] = round(
             (1.0 / dt_hd) * 540 * 960 * spp_hd * rays_per_path / 1e6, 2)
@@ -303,18 +306,18 @@ def bench_config0(smoke):
             render_pt, rows=36, cols=96, pixel_aspect=0.5, spp=spp,
             bounces=5, light_color=(16.86, 10.76, 8.2),
             sample_batch=min(64, spp), use_kernel=use_kernel))
-        dt_bigk = _time_fn(
+        dt_bigk, _rtt, _sp = _time_fn_slope(
             lambda: fn_bigk(scene2, scene2.camera, jnp.float32(0.0), key),
-            (), iters=16)
+            (), n1=4, n2=16, reps=2)
         out["fps_atlas64_kernel"] = round(1.0 / dt_bigk, 2)
         out["atlas64_kernel_ratio"] = round(dt_bigk / dt, 2)
         fn_big = jax.jit(functools.partial(
             render_pt, rows=36, cols=96, pixel_aspect=0.5, spp=spp,
             bounces=5, light_color=(16.86, 10.76, 8.2),
             sample_batch=min(64, spp), use_kernel=False))
-        dt_big = _time_fn(
+        dt_big, _rtt, _sp = _time_fn_slope(
             lambda: fn_big(scene2, scene2.camera, jnp.float32(0.0), key),
-            (), iters=16)
+            (), n1=4, n2=16, reps=2)
         out["fps_atlas64_fallback"] = round(1.0 / dt_big, 2)
         out["atlas_fallback_ratio"] = round(dt_big / dt, 2)
     return out
