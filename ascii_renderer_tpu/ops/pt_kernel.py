@@ -35,6 +35,15 @@ from jax.experimental.pallas import tpu as pltpu
 BH, BW = 8, 128  # ray block
 N_CHAN = 32
 PACK = 4  # entries per 128-lane row
+# Entry-stream layout. "vec": entries are lane-replicated [E, N_CHAN, 128]
+# vector rows — each channel access is one (1, 128) row slice + sublane
+# broadcast on the VPU. "scalar": the packed [rows, 128] descriptor form —
+# each channel access is a VMEM scalar read + splat (~20/entry), which the
+# round-3 per-HLO profile isolated as the kernel bottleneck (PARITY.md:
+# "scalar-read-bound"). vec costs 128x the VMEM (16 KB/entry), so it is
+# gated at MAX_VEC_ENTRIES and large scenes fall back to scalar.
+PRIM_LAYOUT = "vec"
+MAX_VEC_ENTRIES = 256
 # Two-level gather budget: atlas lives in VMEM as [2*128, texels/128]
 # (8 bytes/texel) and the per-ray cost is O(texels/128 + 128), so the cap
 # is VMEM-bound at a 256x256 atlas rather than compute-bound at 32x32.
@@ -99,7 +108,8 @@ def _kernel(params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
             seed_r, atlas_r,
             lor_r, log_r, lob_r, ov_r, fet_r,
             *, bounces: int, sph_rows: int, n_rows: int, nee: bool,
-            atlas_texels: int, atlas_w: int, atlas_h: int, use_prng: bool):
+            atlas_texels: int, atlas_w: int, atlas_h: int, use_prng: bool,
+            vec_layout: bool):
     blk = pl.program_id(0)
     if use_prng:
         pltpu.prng_seed(seed_r[blk])
@@ -138,17 +148,29 @@ def _kernel(params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
         triangle rows — each entry only pays its own math). Winner carry:
         [t, nx, ny, nz, shr, shg, shb, is_light_f, is_spec_f,
         texturable_f, uvx, uvy] (flags as f32 0/1; Mosaic cannot select i1
-        vectors through a fori carry). Without want_attrs: (t,)."""
+        vectors through a fori carry). Without want_attrs: (t,).
+
+        Channel access per layout: vec — one (N_CHAN, 128) entry block
+        loaded per entry, channels are (1, 128) row slices that sublane-
+        broadcast against the (8, 128) ray block; scalar — per-channel
+        VMEM scalar reads + splats (the round-3 bottleneck, kept only for
+        scenes beyond the vec VMEM budget)."""
         big = jnp.full((BH, BW), jnp.float32(3e38))
         init = [big]
         if want_attrs:
             init += [jnp.zeros((BH, BW), jnp.float32) for _ in range(11)]
 
+        def entry_buf(r, k):
+            if vec_layout:
+                blk = prim_hbm[r * PACK + k]  # (N_CHAN, 128)
+                return lambda c: blk[c:c + 1, :]
+            ln = k * N_CHAN
+            return lambda c: prim_hbm[r, ln + c]
+
         def sphere_row(r, carry):
             out = list(carry)
             for k in range(PACK):
-                ln = k * N_CHAN
-                buf = lambda c: prim_hbm[r, ln + c]
+                buf = entry_buf(r, k)
                 live = buf(C_KIND) > 0.0
                 ax = buf(C_AX)
                 ay = buf(C_AY)
@@ -189,8 +211,7 @@ def _kernel(params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
             # normalized e1 x e2.
             out = list(carry)
             for k in range(PACK):
-                ln = k * N_CHAN
-                buf = lambda c: prim_hbm[r, ln + c]
+                buf = entry_buf(r, k)
                 live = buf(C_KIND) > 0.0
                 nx_ = buf(C_NX)
                 ny_ = buf(C_NY)
@@ -519,24 +540,43 @@ def trace_blocks(params, prim_packed, ro, rd, seeds, atlas_flat, *,
 
 def trace_blocks_raw(params, prim_packed, ro, rd, seeds, atlas_flat, *,
                      bounces: int, nee: bool, atlas_w: int, atlas_h: int,
-                     sph_rows: int, interpret: bool | None = None):
+                     sph_rows: int, interpret: bool | None = None,
+                     layout: str | None = None):
     """trace_blocks without the [..., 3] stack: returns the kernel's
     native channel-separate outputs (lor, log, lob, ov, fet), each f32
     [B, 8, 128]. The stack to image-space [..., 3] arrays costs ~0.5 ms
     of degenerate-layout relayouts per 64-sample batch at the bench
     workload (tools/profile_trace.py --pt) — consumers that reduce over
     samples should stay in this packed channel layout
-    (backends/pathtrace.render_pt)."""
+    (backends/pathtrace.render_pt).
+
+    layout: None = auto (PRIM_LAYOUT, falling back to "scalar" beyond
+    MAX_VEC_ENTRIES); "vec"/"scalar" force one (tests, A/Bs). Both
+    layouts are bit-identical: same candidate order, same arithmetic —
+    only the channel-access instruction class differs."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B = ro.shape[0]
     n_rows = prim_packed.shape[0]
+    n_entries = n_rows * PACK
+    if layout is None:
+        layout = ("vec" if PRIM_LAYOUT == "vec"
+                  and n_entries <= MAX_VEC_ENTRIES else "scalar")
+    if layout == "vec":
+        # lane-replicate on device: packing runs inside the jitted frame,
+        # so this is a [E, N_CHAN] -> [E, N_CHAN, 128] broadcast per trace
+        # (~16 KB/entry of VMEM; scene-size gated above)
+        prim_in = jnp.broadcast_to(
+            prim_packed.reshape(n_entries, N_CHAN)[:, :, None],
+            (n_entries, N_CHAN, BW))
+    else:
+        prim_in = prim_packed
     atlas_texels = atlas_w * atlas_h if atlas_w > 0 else 0
     assert atlas_texels <= atlas_flat.shape[1] * 128
     kernel = functools.partial(
         _kernel, bounces=bounces, sph_rows=sph_rows, n_rows=n_rows, nee=nee,
         atlas_texels=atlas_texels, atlas_w=atlas_w, atlas_h=atlas_h,
-        use_prng=not interpret)
+        use_prng=not interpret, vec_layout=(layout == "vec"))
 
     def comp_spec():
         return pl.BlockSpec((1, BH, BW), lambda i, *_: (i, 0, 0),
@@ -558,7 +598,7 @@ def trace_blocks_raw(params, prim_packed, ro, rd, seeds, atlas_flat, *,
     outs = (jax.ShapeDtypeStruct((B, BH, BW), jnp.float32),) * 5
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=outs, interpret=interpret,
-    )(params, prim_packed,
+    )(params, prim_in,
       ro[..., 0], ro[..., 1], ro[..., 2],
       rd[..., 0], rd[..., 1], rd[..., 2],
       seeds, atlas_flat)

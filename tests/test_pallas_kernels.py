@@ -268,3 +268,38 @@ def test_pack_split_blocked_matches_flat():
         cm.reshape(c, n // 128, 128), spans, interpret=True)
     for f, b in zip(flat, blocked):
         np.testing.assert_array_equal(np.asarray(f), np.asarray(b))
+
+
+def test_pt_megakernel_layouts_bit_identical():
+    """The scalar (packed descriptor rows) and vec (lane-replicated
+    entries) stream layouts must be bit-identical: same candidate order,
+    same arithmetic — only the channel-access instruction class differs.
+    (Also keeps the scalar fallback path — used beyond MAX_VEC_ENTRIES —
+    under test now that vec is the default.)"""
+    from ascii_renderer_tpu.backends import pathtrace as PT
+    from ascii_renderer_tpu.ops import pt_kernel as PK
+    from ascii_renderer_tpu.scene.demo import create_demo_scene
+    from ascii_renderer_tpu.atlas.io import demo_atlas
+    from ascii_renderer_tpu.core.camera import Camera, primary_ray_dirs
+
+    sb = create_demo_scene()
+    sb.set_atlas(demo_atlas())
+    scene = sb.build()
+    cam = Camera.create(pos=(0, 2.5, 5.2), yaw=-np.pi / 2)
+    rd = primary_ray_dirs(cam, 16, 32, 0.5)
+    ro = jnp.broadcast_to(jnp.asarray(cam.pos), rd.shape)
+    lc, lr = PT.get_light_sphere(scene, 0.0)
+    lcol = jnp.asarray((16.86, 10.76, 8.2)) * 1.3
+
+    outs = {}
+    for layout in ("scalar", "vec"):
+        old = PK.PRIM_LAYOUT
+        PK.PRIM_LAYOUT = layout
+        try:
+            outs[layout] = PT.trace_eye_paths_kernel(
+                scene, ro, rd, 3, lc, lr, bounces=3, light_color=lcol,
+                nee=True, interpret=True)
+        finally:
+            PK.PRIM_LAYOUT = old
+    for a, b in zip(outs["scalar"], outs["vec"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
