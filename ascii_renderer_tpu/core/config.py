@@ -53,6 +53,10 @@ class AdaptiveConfig:
     max_tolerance: float = 0.10
     max_samples: int = 64
     reset_on_camera_change: bool = True
+    # "rgb": per-channel Welford, mean-of-channels CI (default; catches
+    # chroma-only noise). "perceptual": reference-parity scalar-luminance
+    # Welford (0.3/0.59/0.11, js/render/renderer.js:179-183).
+    stats_mode: str = "rgb"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -9,6 +9,17 @@ path, SURVEY §2 row 21) as first-class functional state:
   - convergence test: 95% confidence interval 1.96 * sigma / sqrt(k)
     against a RELATIVE tolerance (ADAPTIVE.MAX_TOLERANCE, default 10%)
     of the mean, capped at MAX_SAMPLES;
+  - two statistics modes (stats_mode): "rgb" (default) Welford-tracks
+    linear per-channel RGB and tests a mean-of-channels CI — a deliberate
+    divergence from the reference, which Welford-tracks a single
+    PERCEPTUAL luminance (0.3/0.59/0.11 weights after inverse display
+    gamma, js/render/renderer.js:179-183; per-channel stats cannot hide
+    chroma-only noise under a luminance test). "perceptual" is the
+    reference-parity mode: scalar y = 0.3r + 0.59g + 0.11b statistics
+    with the reference's max(mean, 1e-8) floor — computed on the linear
+    radiance directly, which is what the reference's invGamma pow
+    recovers from its gamma-encoded display bytes (the byte-quantization
+    round trip is not reproduced);
   - an active-pixel mask (the reference's LUMINANCE mask texture) gating
     further accumulation — converged pixels freeze, which both stops
     their variance drift and documents progress;
@@ -36,6 +47,12 @@ class AccumState:
     mean: jnp.ndarray  # f32 [H, W, 3]
     m2: jnp.ndarray  # f32 [H, W, 3] — sum of squared deviations
     cam_sig: jnp.ndarray  # f32 [5] — (pos, yaw, pitch) signature
+    # scalar perceptual-luminance Welford stats (the reference's single
+    # 0.3/0.59/0.11 channel, renderer.js:179-183) — maintained alongside
+    # the RGB stats so stats_mode="perceptual" is available without a
+    # state-shape change at mode switch
+    mean_y: jnp.ndarray  # f32 [H, W]
+    m2_y: jnp.ndarray  # f32 [H, W]
 
     @staticmethod
     def create(rows: int, cols: int) -> "AccumState":
@@ -44,6 +61,8 @@ class AccumState:
             mean=jnp.zeros((rows, cols, 3), jnp.float32),
             m2=jnp.zeros((rows, cols, 3), jnp.float32),
             cam_sig=jnp.full((5,), jnp.inf, jnp.float32),
+            mean_y=jnp.zeros((rows, cols), jnp.float32),
+            m2_y=jnp.zeros((rows, cols), jnp.float32),
         )
 
 
@@ -55,14 +74,26 @@ def luminance(rgb: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(rgb, axis=-1)
 
 
+def perceptual_luminance(rgb: jnp.ndarray) -> jnp.ndarray:
+    """The reference's adaptive-sampling channel (renderer.js:183)."""
+    return 0.3 * rgb[..., 0] + 0.59 * rgb[..., 1] + 0.11 * rgb[..., 2]
+
+
 def active_mask(state: AccumState, *, max_tolerance: float,
-                max_samples: int) -> jnp.ndarray:
+                max_samples: int, stats_mode: str = "rgb") -> jnp.ndarray:
     """Pixels still needing samples: CI(95%) > tol * mean, k < cap
-    (renderer.js:179-199)."""
+    (renderer.js:179-199). stats_mode: see the module docstring —
+    "rgb" tests mean-of-channel variances; "perceptual" is the
+    reference-parity scalar-luminance test incl. its 1e-8 mean floor."""
     k = jnp.maximum(state.count, 1.0)
-    var = state.m2 / jnp.maximum(k - 1.0, 1.0)[..., None]
-    ci = 1.96 * jnp.sqrt(jnp.maximum(luminance(var), 0.0) / k)
-    ref = jnp.maximum(luminance(jnp.abs(state.mean)), 1e-3)
+    if stats_mode == "perceptual":
+        var = state.m2_y / jnp.maximum(k - 1.0, 1.0)
+        ci = 1.96 * jnp.sqrt(jnp.maximum(var, 0.0) / k)
+        ref = jnp.maximum(state.mean_y, 1e-8)
+    else:
+        var = luminance(state.m2 / jnp.maximum(k - 1.0, 1.0)[..., None])
+        ci = 1.96 * jnp.sqrt(jnp.maximum(var, 0.0) / k)
+        ref = jnp.maximum(luminance(jnp.abs(state.mean)), 1e-3)
     unconverged = ci > max_tolerance * ref
     warmup = state.count < 2.0  # need >= 2 samples for a variance estimate
     return (warmup | unconverged) & (state.count < max_samples)
@@ -70,7 +101,8 @@ def active_mask(state: AccumState, *, max_tolerance: float,
 
 def accumulate(state: AccumState, sample_rgb: jnp.ndarray, cam: Camera,
                *, max_tolerance: float, max_samples: int,
-               reset_on_camera_change: bool = True):
+               reset_on_camera_change: bool = True,
+               stats_mode: str = "rgb"):
     """Fold one sample batch (mean of a batch counts as ONE sample here,
     matching the reference accumulating per-frame results). Returns
     (state', display_rgb, active_mask)."""
@@ -83,17 +115,23 @@ def accumulate(state: AccumState, sample_rgb: jnp.ndarray, cam: Camera,
             zero.replace(cam_sig=sig), state.replace(cam_sig=sig))
 
     act = active_mask(state, max_tolerance=max_tolerance,
-                      max_samples=max_samples)
+                      max_samples=max_samples, stats_mode=stats_mode)
     k1 = state.count + 1.0
     delta = sample_rgb - state.mean
     mean1 = state.mean + delta / k1[..., None]
     m21 = state.m2 + delta * (sample_rgb - mean1)
+    y = perceptual_luminance(sample_rgb)
+    delta_y = y - state.mean_y
+    mean_y1 = state.mean_y + delta_y / k1
+    m2_y1 = state.m2_y + delta_y * (y - mean_y1)
 
     upd = act[..., None]
     new = state.replace(
         count=jnp.where(act, k1, state.count),
         mean=jnp.where(upd, mean1, state.mean),
         m2=jnp.where(upd, m21, state.m2),
+        mean_y=jnp.where(act, mean_y1, state.mean_y),
+        m2_y=jnp.where(act, m2_y1, state.m2_y),
     )
     display = jnp.where(new.count[..., None] > 0, new.mean, sample_rgb)
     return new, display, act
@@ -125,7 +163,8 @@ class ProgressivePathTracer:
         self._accum = jax.jit(functools.partial(
             accumulate, max_tolerance=ad.max_tolerance,
             max_samples=ad.max_samples,
-            reset_on_camera_change=ad.reset_on_camera_change))
+            reset_on_camera_change=ad.reset_on_camera_change,
+            stats_mode=ad.stats_mode))
         self.state = AccumState.create(self.rows, self.cols)
         self._batch = 0
 
@@ -141,5 +180,6 @@ class ProgressivePathTracer:
     def done(self) -> bool:
         act = active_mask(self.state,
                           max_tolerance=self.cfg.adaptive.max_tolerance,
-                          max_samples=self.cfg.adaptive.max_samples)
+                          max_samples=self.cfg.adaptive.max_samples,
+                          stats_mode=self.cfg.adaptive.stats_mode)
         return not bool(jnp.any(act))

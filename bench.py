@@ -323,6 +323,30 @@ def bench_config0(smoke):
     return out
 
 
+def _rate_fields(dt, floor, tris, grid, spread, rtt):
+    """Per-config throughput record, honest about the dispatch floor.
+
+    When the fitted per-frame slope is at or below the measured
+    empty-program dispatch floor, the 'FPS' is extrapolation noise, not
+    a device-compute measurement: report dispatch_bound=true with the
+    floor as the honest bound and demote the raw extrapolated numbers
+    to a sub-key a reader cannot mistake for a measurement (VERDICT r3
+    item 7)."""
+    out = {"tris": tris, "grid": grid, "spread": round(spread, 3),
+           "floor_ms": round(floor * 1e3, 4),
+           "floor_frac": round(floor / dt, 3) if dt > 0 else None,
+           "rtt_ms": round(rtt * 1e3, 2)}
+    if dt <= floor:
+        out["dispatch_bound"] = True
+        out["fps_bound"] = f"<= {1.0 / floor:.0f} (dispatch floor)"
+        out["raw_extrapolated"] = {"fps": 1.0 / dt,
+                                   "mtris_s": tris / dt / 1e6}
+    else:
+        out["fps"] = 1.0 / dt
+        out["mtris_s"] = tris / dt / 1e6
+    return out
+
+
 def bench_config1(smoke):
     """Spinning cube, 80x24 grid, full frame pipeline."""
     from ascii_renderer_tpu.core.config import Config
@@ -338,11 +362,7 @@ def bench_config1(smoke):
                                      n1=256, n2=1024)
     floor = _dispatch_floor()
     tris = soup[0].shape[0] // 3
-    return {"fps": 1.0 / dt, "tris": tris, "grid": f"{cols}x{rows}",
-            "mtris_s": tris / dt / 1e6, "spread": round(spread, 3),
-            "floor_ms": round(floor * 1e3, 4),
-            "floor_frac": round(floor / dt, 3),
-            "rtt_ms": round(rtt * 1e3, 2)}
+    return _rate_fields(dt, floor, tris, f"{cols}x{rows}", spread, rtt)
 
 
 def bench_config2(smoke):
@@ -360,11 +380,7 @@ def bench_config2(smoke):
                                      n1=192, n2=768)
     floor = _dispatch_floor()
     tris = soup[0].shape[0] // 3
-    return {"fps": 1.0 / dt, "tris": tris, "grid": f"{cols}x{rows}",
-            "mtris_s": tris / dt / 1e6, "spread": round(spread, 3),
-            "floor_ms": round(floor * 1e3, 4),
-            "floor_frac": round(floor / dt, 3),
-            "rtt_ms": round(rtt * 1e3, 2)}
+    return _rate_fields(dt, floor, tris, f"{cols}x{rows}", spread, rtt)
 
 
 def bench_config3(smoke, batch=0):
@@ -529,6 +545,34 @@ def bench_config5(smoke):
             "devices": dp, "steps_per_dispatch": n_scan}
 
 
+def _exactness_verdict():
+    """Run the on-device exact-3-split canary (utils/exactness) before
+    recording the headline. TPU-only: the bug class it guards against —
+    a compiler pass folding the f32->bf16->f32 split to plain bf16 —
+    cannot occur on the CPU backend, and the suite can't see it either
+    (conftest forces HIGHEST matmul precision globally)."""
+    import jax
+    if jax.default_backend() != "tpu":
+        return "skipped (cpu backend)"
+    from ascii_renderer_tpu.utils.exactness import run_checks, verdict
+    return verdict(run_checks())
+
+
+def _headline_record(value, metric, exactness):
+    """Assemble the JSON headline line; a failed exactness canary zeroes
+    the record so BENCH_r*.json can never report a number produced by a
+    numerically wrong program (VERDICT r3 item 3)."""
+    rec = {"metric": metric, "value": round(value, 3),
+           "unit": "frames/sec", "vs_baseline": round(value / 1000.0, 4),
+           "exactness": exactness}
+    if exactness.startswith("FAIL"):
+        rec["value"] = 0.0
+        rec["vs_baseline"] = 0.0
+        rec["error"] = ("exactness canary failed on device; the measured "
+                        "program's output is not trustworthy")
+    return rec
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
@@ -584,19 +628,24 @@ def main(argv=None):
             _log(f"config {i} FAILED: {type(e).__name__}: {e}")
             results[i] = None
 
+    try:
+        exactness = _exactness_verdict()
+    except Exception as e:  # canary must never silently vanish
+        exactness = f"FAIL:canary-crashed:{type(e).__name__}"
+    _log(f"exactness canary: {exactness}")
+
     head = results.get(3) if results.get(3) else None
     if head is None:
         # fall back to config 2 scaled expectation (still report something)
         head = results.get(2) or results.get(1) or {"fps": 0.0}
-    value = round(head["fps"], 3)
-    print(json.dumps({
-        "metric": "fps_960x540_bunny69k_raster_to_glyphs"
-                  if not args.smoke else "fps_smoke_raster_to_glyphs",
-        "value": value,
-        "unit": "frames/sec",
-        "vs_baseline": round(value / 1000.0, 4),
-    }))
-    return 0
+    value = round(head.get("fps", 0.0), 3)
+    rec = _headline_record(
+        value,
+        "fps_960x540_bunny69k_raster_to_glyphs"
+        if not args.smoke else "fps_smoke_raster_to_glyphs",
+        exactness)
+    print(json.dumps(rec))
+    return 1 if exactness.startswith("FAIL") else 0
 
 
 if __name__ == "__main__":
