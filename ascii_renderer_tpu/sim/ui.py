@@ -46,22 +46,31 @@ def border_plane(cfg: Config, rows: int, cols: int):
     return jnp.asarray(chars), jnp.asarray(mask)
 
 
+FPS_MAX_DIGITS = 7  # int32-safe; the reference prints String(fps) unbounded
+
+
 def fps_plane(fps, rows: int, cols: int):
     """FPS counter bottom-right (renderUI:140-147): decimal digits of
-    round(fps), right-aligned at x = cols - len - 1, y = rows - 1."""
-    f = jnp.clip(jnp.round(fps).astype(jnp.int32), 0, 9999)
-    digits = jnp.stack([f // 1000 % 10, f // 100 % 10, f // 10 % 10, f % 10])
-    ndig = jnp.where(f >= 1000, 4, jnp.where(f >= 100, 3,
-                     jnp.where(f >= 10, 2, 1)))
+    round(fps), right-aligned at x = cols - len - 1, y = rows - 1.
+
+    Digit count follows the value like the reference's String(fps)
+    (an earlier 4-digit clamp misreported this framework's own measured
+    rates, e.g. >8000 FPS on the cube config). Values are clamped at
+    10^FPS_MAX_DIGITS - 1 to stay int32-exact."""
+    nd = FPS_MAX_DIGITS
+    f = jnp.clip(jnp.round(fps).astype(jnp.int32), 0, 10 ** nd - 1)
+    pows = 10 ** jnp.arange(nd - 1, -1, -1)  # [10^(nd-1) ... 1]
+    digits = (f // pows) % 10
+    ndig = 1 + jnp.sum((f >= pows[:-1]).astype(jnp.int32))
     start_x = cols - ndig - 1
     chars = jnp.zeros((rows, cols), jnp.uint8)
     mask = jnp.zeros((rows, cols), bool)
     xg = jnp.arange(cols)
-    # digit at column x is digits[4 - ndig + (x - start_x)]
-    di = 4 - ndig + (xg - start_x)
+    # digit at column x is digits[nd - ndig + (x - start_x)]
+    di = nd - ndig + (xg - start_x)
     sel = (xg >= start_x) & (xg < start_x + ndig)
     dchar = (jnp.asarray(ord("0"), jnp.uint8)
-             + digits[jnp.clip(di, 0, 3)].astype(jnp.uint8))
+             + digits[jnp.clip(di, 0, nd - 1)].astype(jnp.uint8))
     chars = chars.at[rows - 1].set(jnp.where(sel, dchar, 0))
     mask = mask.at[rows - 1].set(sel)
     return chars, mask

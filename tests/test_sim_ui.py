@@ -64,8 +64,12 @@ def test_border_is_pi_digits():
 
 
 def test_fps_digits_right_aligned():
+    # digit count follows the value like the reference's String(fps)
+    # (js/renderer.js:140-147) — 8195 FPS is this framework's own measured
+    # cube-config rate, so 5+ digits are realistic inputs, not edge cases
     for fps, s in [(60.0, "60"), (7.0, "7"), (123.0, "123"), (1234.0, "1234"),
-                   (99999.0, "9999"), (0.0, "0")]:
+                   (99999.0, "99999"), (8195.0, "8195"),
+                   (1234567.0, "1234567"), (0.0, "0")]:
         ch, m = U.fps_plane(jnp.float32(fps), 8, 30)
         ch, m = np.asarray(ch), np.asarray(m)
         start = 30 - len(s) - 1
