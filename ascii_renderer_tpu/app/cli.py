@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(the reference's dormant adaptive pipeline, "
                         "js/render/renderer.js:101-210, revived)")
     p.add_argument("--out", default=None, help="output file (text or png)")
+    p.add_argument("--pixel-aspect", type=float, default=None,
+                   help="character cell width/height ratio; default: "
+                        "measured from the terminal in --mode term "
+                        "(TIOCGWINSZ), else the config default (0.5)")
     p.add_argument("--fps", type=float, default=None, help="target fps cap")
     p.add_argument("--scene", default=None,
                    help="unified-schema scene JSON to render instead of the "
@@ -89,7 +93,35 @@ def config_from_args(args) -> Config:
         kw["default_backend"] = _ALIASES.get(args.backend, args.backend)
     if args.spp:
         kw["path_tracer"] = PathTracerConfig(samples_per_batch=args.spp)
+    if getattr(args, "pixel_aspect", None):
+        kw["pixel_aspect"] = args.pixel_aspect
     return cfg.replace(**kw) if kw else cfg
+
+
+def measure_terminal_pixel_aspect(fd=None, fallback: float = 0.5) -> float:
+    """Measured character-cell aspect (width/height) of the attached
+    terminal via TIOCGWINSZ's ws_xpixel/ws_ypixel — the reference
+    measures a live DOM glyph for the same purpose (js/main.js:166-171,
+    217: PIXEL_ASPECT feeds every backend's camera mapping; without the
+    measurement, circles render as ellipses on any font that isn't
+    exactly 1:2). Terminals that don't report pixel sizes (xpixel/ypixel
+    of 0 is common) fall back to `fallback`."""
+    import fcntl
+    import struct
+    import termios
+    try:
+        if fd is None:
+            fd = sys.stdout.fileno()
+        buf = fcntl.ioctl(fd, termios.TIOCGWINSZ, b"\0" * 8)
+        rows_, cols_, xpx, ypx = struct.unpack("HHHH", buf)
+        if rows_ > 0 and cols_ > 0 and xpx > 0 and ypx > 0:
+            cw = xpx / cols_
+            ch = ypx / rows_
+            if ch > 0 and 0.1 <= cw / ch <= 2.0:  # sanity bounds
+                return cw / ch
+    except (OSError, ValueError):
+        pass
+    return fallback
 
 
 
@@ -367,6 +399,10 @@ def run_term(args) -> int:
         return 2
 
     cfg = config_from_args(args)
+    if args.pixel_aspect is None:
+        # measure the real cell aspect (reference: js/main.js:166-171)
+        cfg = cfg.replace(pixel_aspect=measure_terminal_pixel_aspect(
+            fallback=cfg.pixel_aspect))
     cfg, scene, state, step = demo_setup(cfg, builder=_builder_from_args(args))
     tb = TermBlitter(cfg.grid_height, cfg.grid_width,
                      color=not cfg.use_grayscale)

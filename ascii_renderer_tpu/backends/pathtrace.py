@@ -419,9 +419,17 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
               cols: int, pixel_aspect: float, spp: int, bounces: int,
               light_color, nee: bool = True, sample_batch: int = 32,
               use_kernel: bool = False, row_lo=0,
-              n_rows: int | None = None):
+              n_rows: int | None = None, pixel_active=None):
     """Full mainImage (pathtrace_shader.js:187-263): the sample loop with
     the center-ray/fetched-texel AA rule + glyph override short-circuit.
+
+    pixel_active: optional [band, cols] bool (adaptive sampling,
+    sim/accum active mask). On the kernel path, sample batches skip any
+    1024-ray device block whose pixels are all inactive (their outputs
+    read zero — which the accumulator never folds, so converged output
+    is identical to a full render); the phase-1 center-ray probe always
+    runs in full, keeping the alpha/override plane exact. The XLA core
+    ignores the mask (no block-skip structure to exploit).
 
     row_lo/n_rows render only the horizontal band [row_lo, row_lo+n_rows)
     of the global grid (row-band sharding hook, parallel.mesh.
@@ -501,6 +509,12 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
         return rd, s_idx, k_path
 
     if use_kernel:
+        ray_active = None
+        if pixel_active is not None:
+            # ray index = s*pc + p (batch_rays flattening order), so the
+            # per-pixel mask tiles across the sample axis
+            ray_active = jnp.tile(pixel_active.reshape(-1), B)
+
         def batch_step(carry, b):
             tr, tg, tb, override, ocr, ocg, ocb = carry
             rd, s_idx, _k = batch_rays(b)
@@ -508,7 +522,8 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
             batch_seed = frame_seed + (b + 1) * jnp.int32(-1640531527)
             cr, cg, cb, ovf, _pf = trace_eye_paths_kernel_packed(
                 scene, ro_b, rd, batch_seed, light_center, light_radius,
-                bounces=bounces, light_color=lcol, nee=nee)
+                bounces=bounces, light_color=lcol, nee=nee,
+                ray_active=ray_active)
             cr, cg, cb = (c.reshape(B, pc) for c in (cr, cg, cb))
             ov = jnp.round(ovf).astype(jnp.int32).reshape(B, pc)
             valid_s = (s_idx < spp)[:, None]
@@ -652,7 +667,13 @@ def pack_scene_entries(scene: SceneData):
     Tn = pk.n_tris
     S_pad = -(-S // PK.PACK) * PK.PACK  # spheres end on a row boundary
     n_pad = S_pad + (-(-Tn // PK.PACK) * PK.PACK)
-    ent = jnp.zeros((n_pad, PK.N_CHAN), jnp.float32)
+    # Padding entries must satisfy the same bad-always invariant as
+    # degenerate tris (C_BADS = 3e38 -> the kernel's guarded 1/ndotd
+    # never sees a live infinity): an all-zero tail entry would compute
+    # inv = 1/0 = inf and t = 0*inf = NaN, correct only by the grace of
+    # the miss-combination order. Live blocks below overwrite full rows.
+    ent = jnp.zeros((n_pad, PK.N_CHAN), jnp.float32).at[
+        :, PK.C_BADS].set(3e38)
 
     m = jnp.maximum(scene.sph_mat, 0)
     sph_block = jnp.zeros((S, PK.N_CHAN), jnp.float32)
@@ -792,7 +813,7 @@ def trace_eye_paths_kernel(scene: SceneData, ro, rd, seed_base, light_center,
 def trace_eye_paths_kernel_packed(scene: SceneData, ro, rd, seed_base,
                                   light_center, light_radius, *,
                                   bounces: int, light_color, nee: bool,
-                                  interpret=None):
+                                  interpret=None, ray_active=None):
     """trace_eye_paths_kernel staying in the kernel's packed channel
     layout: returns (lor, log, lob, ov, fet), each f32 FLAT [R] in ray
     order (R = prod(rd.shape[:-1])). Converting the kernel outputs to
@@ -800,7 +821,12 @@ def trace_eye_paths_kernel_packed(scene: SceneData, ro, rd, seed_base,
     [B, H, W, 1] relayouts at the bench workload and the sample-reduce
     another ~0.5 ms in [..., 3] minor-dim-3 layout (tools/
     profile_trace.py --pt) — render_pt reduces over samples in THIS
-    layout and unpacks once per frame."""
+    layout and unpacks once per frame.
+
+    ray_active: optional flat [R] bool (adaptive sampling, sim/accum):
+    a 1024-ray kernel block whose rays are ALL inactive is skipped on
+    device and returns zeros — accumulate() never folds those pixels,
+    so adaptive output is identical to a full trace for live pixels."""
     from ascii_renderer_tpu.ops import pt_kernel as PK
 
     shp = rd.shape[:-1]
@@ -824,9 +850,16 @@ def trace_eye_paths_kernel_packed(scene: SceneData, ro, rd, seed_base,
         jnp.asarray([EPS], jnp.float32)])
     seeds = (jnp.arange(nblk, dtype=jnp.int32)
              + jnp.int32(seed_base) * jnp.int32(1 + nblk))
+    block_active = None
+    if ray_active is not None:
+        flat = ray_active.reshape(-1).astype(jnp.int32)
+        if pad:
+            flat = jnp.concatenate([flat, jnp.zeros((pad,), jnp.int32)])
+        block_active = jnp.max(
+            flat.reshape(nblk, PK.BH * PK.BW), axis=1)  # any() per block
     outs = PK.trace_blocks_raw(
         params, prim_packed, blockify(ro), blockify(rd), seeds, atlas_flat,
         bounces=bounces, nee=nee, atlas_w=aw, atlas_h=ah,
-        sph_rows=sph_rows, interpret=interpret)
+        sph_rows=sph_rows, interpret=interpret, block_active=block_active)
     # [nblk, 8, 128] -> [nblk*1024] -> [:R]: contiguous, no relayout
     return tuple(o.reshape(-1)[:R] for o in outs)

@@ -90,7 +90,10 @@ class Config:
 
     # Measured character cell aspect (width/height). The reference measures a
     # DOM glyph at runtime (js/main.js:166-171,217); we default to the baked
-    # glyph-atlas cell aspect and allow override.
+    # glyph-atlas cell aspect and allow override. `--mode term` measures the
+    # REAL terminal cell via TIOCGWINSZ at startup
+    # (app/cli.measure_terminal_pixel_aspect) and overrides this value, so
+    # non-1:2 fonts render circles round; `--pixel-aspect` forces a value.
     pixel_aspect: float = 0.5
 
     path_tracer: PathTracerConfig = dataclasses.field(default_factory=PathTracerConfig)

@@ -104,16 +104,51 @@ def _make_uniform(seed_scalar, use_prng: bool):
     return uniform
 
 
-def _kernel(params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
-            seed_r, atlas_r,
+def _kernel(params_ref, bact_r, prim_hbm, rox_r, roy_r, roz_r, rdx_r,
+            rdy_r, rdz_r, seed_r, atlas_r,
             lor_r, log_r, lob_r, ov_r, fet_r,
             *, bounces: int, sph_rows: int, n_rows: int, nee: bool,
             atlas_texels: int, atlas_w: int, atlas_h: int, use_prng: bool,
             vec_layout: bool):
     blk = pl.program_id(0)
+
+    # Per-block adaptive gate (sim/accum active mask -> block granularity):
+    # an inactive block writes zeros and skips the whole path loop. The
+    # zeros are never folded — accumulate() freezes exactly the pixels
+    # whose rays made their block inactive — so adaptive runs follow the
+    # IDENTICAL state trajectory as full runs (tested in
+    # tests/test_aux_subsystems.py).
+    @pl.when(bact_r[blk] == 0)
+    def _skip_block():
+        zero = jnp.zeros((BH, BW), jnp.float32)
+        lor_r[0] = zero
+        log_r[0] = zero
+        lob_r[0] = zero
+        ov_r[0] = zero
+        fet_r[0] = zero
+
+    @pl.when(bact_r[blk] != 0)
+    def _run_block():
+        # seed read hoisted here: pl.program_id is not resolvable inside
+        # the interpreter's cond lowering of pl.when
+        _kernel_body(seed_r[blk], params_ref, prim_hbm, rox_r, roy_r,
+                     roz_r, rdx_r, rdy_r, rdz_r, atlas_r,
+                     lor_r, log_r, lob_r, ov_r, fet_r,
+                     bounces=bounces, sph_rows=sph_rows, n_rows=n_rows,
+                     nee=nee, atlas_texels=atlas_texels, atlas_w=atlas_w,
+                     atlas_h=atlas_h, use_prng=use_prng,
+                     vec_layout=vec_layout)
+
+
+def _kernel_body(seed, params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r,
+                 rdy_r, rdz_r, atlas_r,
+                 lor_r, log_r, lob_r, ov_r, fet_r,
+                 *, bounces: int, sph_rows: int, n_rows: int, nee: bool,
+                 atlas_texels: int, atlas_w: int, atlas_h: int,
+                 use_prng: bool, vec_layout: bool):
     if use_prng:
-        pltpu.prng_seed(seed_r[blk])
-    _uniform = _make_uniform(seed_r[blk], use_prng)
+        pltpu.prng_seed(seed)
+    _uniform = _make_uniform(seed, use_prng)
 
     # scalar params: light cx, cy, cz, radius, lcol r g b, eps
     lcx = params_ref[0]
@@ -206,9 +241,15 @@ def _kernel(params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
             #   t = (d0 - n.o) / (n.d);  p = o + t d;
             #   u = r1.p + c1;  v = r2.p + c2
             # Same miss conditions as Moller-Trumbore (incl. the redundant
-            # u > 1 for exact parity of NaN/edge behavior); the geometric
-            # normal is the stored n, flipped against the ray like MT's
-            # normalized e1 x e2.
+            # u > 1, which MT needs for its NaN/edge behavior); the
+            # geometric normal is the stored n, flipped against the ray
+            # like MT's normalized e1 x e2. Precision caveat: evaluating
+            # the barycentric affine form at the world-space hit point
+            # loses ~eps*|p|/edge_length relative to MT's translate-first
+            # (o - a) form, so edge hit/miss decisions can differ from MT
+            # in fp for scenes far from the origin — fine at this
+            # framework's scene scales; store vertex a and evaluate
+            # r.(p - a) if large-coordinate scenes ever matter.
             out = list(carry)
             for k in range(PACK):
                 buf = entry_buf(r, k)
@@ -522,18 +563,20 @@ def _kernel(params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
 
 def trace_blocks(params, prim_packed, ro, rd, seeds, atlas_flat, *,
                  bounces: int, nee: bool, atlas_w: int, atlas_h: int,
-                 sph_rows: int, interpret: bool | None = None):
+                 sph_rows: int, interpret: bool | None = None,
+                 block_active=None):
     """params f32 [8]; prim_packed f32 [rows, 128]; ro/rd f32 [B, 8, 128, 3]
     (B ray blocks); seeds i32 [B]; atlas_flat f32 [2*128, ceil(texels/128)]
     transposed two-channel layout (see _kernel.atlas_fetch; packed-rgb
     sublanes then alpha-byte sublanes); if the atlas is disabled pass any
-    zero block and atlas_w = atlas_h = 0.
+    zero block and atlas_w = atlas_h = 0. block_active: optional i32 [B]
+    adaptive gate (0 = skip the block, outputs zero).
 
     Returns (lo [B,8,128,3], override [B,8,128], fetched [B,8,128])."""
     lor, log, lob, ov, fet = trace_blocks_raw(
         params, prim_packed, ro, rd, seeds, atlas_flat, bounces=bounces,
         nee=nee, atlas_w=atlas_w, atlas_h=atlas_h, sph_rows=sph_rows,
-        interpret=interpret)
+        interpret=interpret, block_active=block_active)
     lo = jnp.stack([lor, log, lob], axis=-1)
     return lo, ov, fet
 
@@ -541,7 +584,7 @@ def trace_blocks(params, prim_packed, ro, rd, seeds, atlas_flat, *,
 def trace_blocks_raw(params, prim_packed, ro, rd, seeds, atlas_flat, *,
                      bounces: int, nee: bool, atlas_w: int, atlas_h: int,
                      sph_rows: int, interpret: bool | None = None,
-                     layout: str | None = None):
+                     layout: str | None = None, block_active=None):
     """trace_blocks without the [..., 3] stack: returns the kernel's
     native channel-separate outputs (lor, log, lob, ov, fet), each f32
     [B, 8, 128]. The stack to image-space [..., 3] arrays costs ~0.5 ms
@@ -582,10 +625,15 @@ def trace_blocks_raw(params, prim_packed, ro, rd, seeds, atlas_flat, *,
         return pl.BlockSpec((1, BH, BW), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    if block_active is None:
+        block_active = jnp.ones((B,), jnp.int32)
+    else:
+        block_active = block_active.astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(B,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             comp_spec(), comp_spec(), comp_spec(),
@@ -598,7 +646,7 @@ def trace_blocks_raw(params, prim_packed, ro, rd, seeds, atlas_flat, *,
     outs = (jax.ShapeDtypeStruct((B, BH, BW), jnp.float32),) * 5
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=outs, interpret=interpret,
-    )(params, prim_in,
+    )(params, block_active, prim_in,
       ro[..., 0], ro[..., 1], ro[..., 2],
       rd[..., 0], rd[..., 1], rd[..., 2],
       seeds, atlas_flat)

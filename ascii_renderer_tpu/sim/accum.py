@@ -140,10 +140,20 @@ def accumulate(state: AccumState, sample_rgb: jnp.ndarray, cam: Camera,
 class ProgressivePathTracer:
     """Progressive refinement driver over the PT backend: each call adds one
     spp batch to the accumulator; `done` when every pixel converged. The
-    functional analog of the dead accum/adaptive pipeline's render loop."""
+    functional analog of the dead accum/adaptive pipeline's render loop.
+
+    Adaptive WORK-saving (not just display): with adaptive_skip (default,
+    kernel path only) the pre-batch active mask is fed to render_pt as
+    pixel_active — device ray blocks whose pixels have all converged are
+    skipped inside the megakernel (ops/pt_kernel block gate). Because
+    accumulate() freezes exactly those pixels, the accumulator trajectory
+    is IDENTICAL to a full render (tested); only the wall-clock drops as
+    the image converges. A camera move forces a full batch so the
+    post-reset frame re-samples everything."""
 
     def __init__(self, cfg: Config, scene, rows: int | None = None,
-                 cols: int | None = None, use_kernel: bool | None = None):
+                 cols: int | None = None, use_kernel: bool | None = None,
+                 adaptive_skip: bool = True):
         import functools
         from ascii_renderer_tpu.backends.pathtrace import render_pt
 
@@ -155,16 +165,31 @@ class ProgressivePathTracer:
         ad = cfg.adaptive
         if use_kernel is None:  # megakernel on real TPU, channel core else
             use_kernel = jax.default_backend() == "tpu"
-        self._render = jax.jit(functools.partial(
+        render = functools.partial(
             render_pt, rows=self.rows, cols=self.cols,
             pixel_aspect=cfg.pixel_aspect, spp=pt.samples_per_batch,
             bounces=pt.max_bounces, light_color=pt.light_color,
-            nee=pt.direct_light_sampling, use_kernel=use_kernel))
-        self._accum = jax.jit(functools.partial(
-            accumulate, max_tolerance=ad.max_tolerance,
-            max_samples=ad.max_samples,
-            reset_on_camera_change=ad.reset_on_camera_change,
-            stats_mode=ad.stats_mode))
+            nee=pt.direct_light_sampling, use_kernel=use_kernel)
+        skip = adaptive_skip and ad.enabled and use_kernel
+
+        def _step(state, scene, camera, t, key):
+            pa = None
+            if skip:
+                act_pre = active_mask(
+                    state, max_tolerance=ad.max_tolerance,
+                    max_samples=ad.max_samples, stats_mode=ad.stats_mode)
+                moved = jnp.any(
+                    jnp.abs(_signature(camera) - state.cam_sig) > 1e-7)
+                pa = act_pre | moved
+            rgb, a = render(scene, camera, t, key, pixel_active=pa)
+            state, display, act = accumulate(
+                state, rgb, camera, max_tolerance=ad.max_tolerance,
+                max_samples=ad.max_samples,
+                reset_on_camera_change=ad.reset_on_camera_change,
+                stats_mode=ad.stats_mode)
+            return state, display, a, act
+
+        self._step_fn = jax.jit(_step)
         self.state = AccumState.create(self.rows, self.cols)
         self._batch = 0
 
@@ -172,8 +197,8 @@ class ProgressivePathTracer:
         """One refinement batch. Returns (display_rgb, alpha, active_mask)."""
         key = jax.random.key(self._batch)
         self._batch += 1
-        rgb, a = self._render(self.scene, camera, jnp.float32(time_sec), key)
-        self.state, display, act = self._accum(self.state, rgb, camera)
+        self.state, display, a, act = self._step_fn(
+            self.state, self.scene, camera, jnp.float32(time_sec), key)
         return display, a, act
 
     @property

@@ -282,3 +282,41 @@ def test_perceptual_welford_matches_reference_math():
     np.testing.assert_allclose(np.asarray(st.m2_y), m2, atol=1e-6)
     # some pixels actually converged under the loose tolerance
     assert (~active).any()
+
+
+def test_adaptive_block_skip_identical_trajectory():
+    """ProgressivePathTracer with adaptive_skip follows the IDENTICAL
+    accumulator trajectory as the full render (skipped device blocks
+    return zeros that accumulate() never folds), while actually skipping
+    blocks once regions converge (VERDICT r4 item 4)."""
+    from ascii_renderer_tpu.scene.demo import create_demo_scene
+    from ascii_renderer_tpu.sim.accum import active_mask
+
+    cfg = Config(
+        path_tracer=PathTracerConfig(samples_per_batch=1, max_bounces=2),
+        adaptive=AdaptiveConfig(max_tolerance=0.9, max_samples=3),
+    )
+    scene = create_demo_scene().build()
+    rows, cols = 16, 96  # pc=1536 -> 2 device blocks per sample slice
+    cam = scene.camera
+    ptA = ProgressivePathTracer(cfg, scene, rows, cols, use_kernel=True,
+                                adaptive_skip=True)
+    ptB = ProgressivePathTracer(cfg, scene, rows, cols, use_kernel=True,
+                                adaptive_skip=False)
+    skipped_any = False
+    for _ in range(5):
+        act = active_mask(ptA.state, max_tolerance=0.9, max_samples=3)
+        flat = np.asarray(act).reshape(-1)
+        pad = -len(flat) % 1024
+        blocks = np.concatenate([flat, np.zeros(pad, bool)]).reshape(-1, 1024)
+        if ptA._batch >= 2 and not blocks.any(axis=1).all():
+            skipped_any = True
+        dA, aA, _ = ptA.step(cam)
+        dB, aB, _ = ptB.step(cam)
+        np.testing.assert_array_equal(np.asarray(aA), np.asarray(aB))
+        np.testing.assert_array_equal(np.asarray(dA), np.asarray(dB))
+        np.testing.assert_array_equal(np.asarray(ptA.state.count),
+                                      np.asarray(ptB.state.count))
+        np.testing.assert_array_equal(np.asarray(ptA.state.mean),
+                                      np.asarray(ptB.state.mean))
+    assert skipped_any, "no device block ever became skippable"

@@ -74,3 +74,40 @@ def test_term_mode_mouse_look_and_clean_exit():
     assert b"\x1b[?1003l" in out
     assert b"\x1b[?1049l" in out
     assert "[termblit" in stderr
+
+
+def test_measure_terminal_pixel_aspect_fake_ioctl(monkeypatch):
+    """TIOCGWINSZ-derived cell aspect (VERDICT r4 item 5): pixel sizes
+    reported -> cw/ch; zeros (common) or ioctl failure -> fallback."""
+    import struct
+    import fcntl
+    from ascii_renderer_tpu.app import cli
+
+    def fake_ioctl(packed):
+        def _ioctl(fd, req, buf):
+            import termios
+            assert req == termios.TIOCGWINSZ
+            return packed
+        return _ioctl
+
+    # 40 rows x 100 cols, 800x1000 px -> cell 8x25 -> aspect 0.32
+    monkeypatch.setattr(fcntl, "ioctl",
+                        fake_ioctl(struct.pack("HHHH", 40, 100, 800, 1000)))
+    got = cli.measure_terminal_pixel_aspect(fd=0)
+    assert abs(got - 0.32) < 1e-9
+
+    # terminal reports no pixel sizes -> fallback
+    monkeypatch.setattr(fcntl, "ioctl",
+                        fake_ioctl(struct.pack("HHHH", 40, 100, 0, 0)))
+    assert cli.measure_terminal_pixel_aspect(fd=0, fallback=0.5) == 0.5
+
+    # ioctl raises (not a tty) -> fallback
+    def raising(fd, req, buf):
+        raise OSError(25, "not a tty")
+    monkeypatch.setattr(fcntl, "ioctl", raising)
+    assert cli.measure_terminal_pixel_aspect(fd=0, fallback=0.44) == 0.44
+
+    # absurd ratios are rejected (a wrong winsize must not distort)
+    monkeypatch.setattr(fcntl, "ioctl",
+                        fake_ioctl(struct.pack("HHHH", 1, 1000, 4, 1000)))
+    assert cli.measure_terminal_pixel_aspect(fd=0, fallback=0.5) == 0.5

@@ -103,7 +103,9 @@ def test_raster_rows_sharded_matches_full_frame():
         np.testing.assert_array_equal(np.asarray(band),
                                       full[b * 8:(b + 1) * 8])
 
-    for kernel in ("subtile3", "subtile6"):
+    # subtile8 is the HEADLINE kernel — its sharded path must be CI-covered,
+    # not just driver-dryrun-covered (VERDICT r3 weak #5)
+    for kernel in ("subtile3", "subtile6", "subtile8"):
         rgb, over = R.render_soup_rows_sharded(
             p, n, c, scene, cam, rows, cols, 0.5, mesh, kernel=kernel,
             **caps)

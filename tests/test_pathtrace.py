@@ -194,3 +194,21 @@ def test_trace_stats_ray_accounting():
         light_color=jnp.asarray([16.86, 10.76, 8.2]), nee=True)
     np.testing.assert_array_equal(np.asarray(lo), np.asarray(lo2))
     np.testing.assert_array_equal(np.asarray(ov), np.asarray(ov2))
+
+
+def test_pack_padding_entries_keep_bad_always_invariant():
+    """Tail padding entries after the tri block must carry
+    C_BADS = 3e38 (the degenerate-tri sentinel) so the kernel's guarded
+    1/ndotd never sees a live infinity (advisor r3)."""
+    from ascii_renderer_tpu.backends.pathtrace import pack_scene_entries
+    from ascii_renderer_tpu.ops import pt_kernel as PK
+    from ascii_renderer_tpu.scene.demo import create_demo_scene
+
+    scene = create_demo_scene().build(min_pad=1)
+    prim_packed, _af, _w, _h, sph_rows = pack_scene_entries(scene)
+    ent = np.asarray(prim_packed).reshape(-1, PK.N_CHAN)
+    kinds = ent[:, PK.C_KIND]
+    tri_region = np.arange(len(ent)) >= sph_rows * PK.PACK
+    pad_tris = tri_region & (kinds == 0.0)
+    assert pad_tris.any(), "fixture needs a padded tri tail"
+    assert (ent[pad_tris, PK.C_BADS] >= 1e30).all()
