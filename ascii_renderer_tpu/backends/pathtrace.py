@@ -415,21 +415,57 @@ def primary_ray_grid(cam: Camera, rows: int, cols: int, pixel_aspect,
     return ro0, rd0, px, py
 
 
+def _hash_unit(uid, seed, ctr: int):
+    """jnp mirror of ops/pt_kernel._make_uniform's lowbias32 draw: U[0,1)
+    as a pure function of (ray uid, seed, draw counter). Used for the
+    kernel path's AA jitter so a pixel's jitter is placement-invariant
+    under the adaptive compaction permutation. Counters 0x40000001+ keep
+    the jitter stream disjoint from the kernel's in-path draw counters
+    (small integers)."""
+    x = uid.astype(jnp.uint32) ^ (
+        seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+        + jnp.uint32(ctr) * jnp.uint32(0x85EBCA6B))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    mant = (x >> 9) | jnp.uint32(0x3F800000)
+    return jax.lax.bitcast_convert_type(mant, jnp.float32) - 1.0
+
+
 def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
               cols: int, pixel_aspect: float, spp: int, bounces: int,
               light_color, nee: bool = True, sample_batch: int = 32,
               use_kernel: bool = False, row_lo=0,
-              n_rows: int | None = None, pixel_active=None):
+              n_rows: int | None = None, pixel_active=None, packed=None):
     """Full mainImage (pathtrace_shader.js:187-263): the sample loop with
     the center-ray/fetched-texel AA rule + glyph override short-circuit.
 
     pixel_active: optional [band, cols] bool (adaptive sampling,
-    sim/accum active mask). On the kernel path, sample batches skip any
-    1024-ray device block whose pixels are all inactive (their outputs
-    read zero — which the accumulator never folds, so converged output
-    is identical to a full render); the phase-1 center-ray probe always
-    runs in full, keeping the alpha/override plane exact. The XLA core
+    sim/accum active mask). On the kernel path the frame is rendered in
+    a COMPACTED pixel order: a cumsum permutation packs active pixels to
+    the front of the ray stream, so the inactive tail is contiguous
+    1024-ray device blocks that the megakernel's block gate skips — the
+    per-frame work scales with the ACTIVE PIXEL COUNT (near the
+    per-pixel ideal), not with how scattered convergence is (block
+    gating on the natural row order measured 0.1% skippable blocks at
+    26% active pixels, tools/exp_pt_mask_layout.py). Because the
+    kernel's RNG and the AA jitter are pure functions of (pixel uid,
+    seed) — not of stream placement — every live pixel's output is
+    bit-identical to the unmasked render; inactive pixels read zero,
+    which accumulate() never folds. The phase-1 probe is gated by the
+    same mask: frozen pixels' alpha/override is owned by the caller's
+    cache (sim/accum AccumState.alpha — deterministic per camera pose,
+    so the cached value IS the full render's value). The XLA core
     ignores the mask (no block-skip structure to exploit).
+
+    packed: optional pack_scene_entries(scene) result, precomputed ONCE
+    per scene outside the frame jit (PathtraceBackend.set_scene does).
+    Re-deriving the pack from a traced SceneData every frame makes the
+    whole-frame program ~2x slower on TPU than the same frame with the
+    pack as a ready input (the pack's scatter chain serializes ahead of
+    the megakernel) — see tools/exp_pt_scenearg.py for the measured A/B.
 
     row_lo/n_rows render only the horizontal band [row_lo, row_lo+n_rows)
     of the global grid (row-band sharding hook, parallel.mesh.
@@ -469,6 +505,33 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
     frame_seed = (jax.random.key_data(key).reshape(-1)[-1]
                   .astype(jnp.int32))
 
+    pc = band * cols
+    # GLOBAL pixel index (band offset included): the RNG uid a pixel
+    # keeps under any placement — compaction, row-band sharding
+    pix_uid = (jnp.arange(pc, dtype=jnp.int32)
+               + jnp.asarray(row_lo, jnp.int32) * cols)
+    pc_global = rows * cols
+
+    # ---- adaptive compaction (kernel path): active pixels to the front
+    # of the ray stream; `dest` is the inverse map for the final unpack
+    compacted = use_kernel and pixel_active is not None
+    dest = None
+    mask_flat = None
+    if compacted:
+        mask_flat = pixel_active.reshape(-1)
+        mi = mask_flat.astype(jnp.int32)
+        c_act = jnp.cumsum(mi)
+        n_act = c_act[-1]
+        dest = jnp.where(mask_flat, c_act - 1,
+                         n_act + jnp.cumsum(1 - mi) - 1)  # pixel -> slot
+        perm = jnp.zeros((pc,), jnp.int32).at[dest].set(
+            jnp.arange(pc, dtype=jnp.int32))              # slot -> pixel
+        px = px.reshape(-1)[perm].reshape(band, cols)
+        py = py.reshape(-1)[perm].reshape(band, cols)
+        rd0 = rd0.reshape(pc, 3)[perm].reshape(band, cols, 3)
+        pix_uid = pix_uid[perm]
+        mask_flat = mask_flat[perm]
+
     # ---- phase 1: center-ray probe (fetched flag + primary glyph hits) ----
     if use_kernel:
         # packed channel layout end-to-end (see
@@ -477,7 +540,8 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
         # the end of the frame
         lor0, log0, lob0, ov0f, fet0 = trace_eye_paths_kernel_packed(
             scene, ro0, rd0, frame_seed, light_center, light_radius,
-            bounces=bounces, light_color=lcol, nee=nee)
+            bounces=bounces, light_color=lcol, nee=nee,
+            ray_active=mask_flat, ray_uid=pix_uid, packed=packed)
         ov0 = jnp.round(ov0f).astype(jnp.int32)        # [pc]
         fetched = (fet0 > 0.5).reshape(band, cols)     # jitter mask (image)
         col0 = None
@@ -489,14 +553,30 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
     # ---- phase 2: batched samples ----
     B = max(1, min(sample_batch, spp))
     n_batches = -(-spp // B)
-    pc = band * cols
     ro_b = jnp.broadcast_to(cam.pos, (B, band, cols, 3))
+    # per-(sample, pixel) RNG uid — pure function of the pixel, not of
+    # stream placement (see _hash_unit / ops/pt_kernel._make_uniform)
+    uid_sp = (jnp.arange(B, dtype=jnp.int32)[:, None]
+              * jnp.int32(pc_global) + pix_uid[None, :])  # [B, pc]
+
+    def batch_seed_of(b):
+        # golden-ratio stride decorrelates batches under one frame key
+        return frame_seed + (b + 1) * jnp.int32(-1640531527)
 
     def batch_rays(b):
         kb = jax.random.fold_in(key, b)
         k_jit, k_path = jax.random.split(kb)
         s_idx = b * B + jnp.arange(B)
-        r2 = jax.random.uniform(k_jit, (B, band, cols, 2))
+        if use_kernel:
+            # jitter from the placement-invariant hash stream (the
+            # jax.random draw below is positional, which would tie a
+            # pixel's jitter to its compacted slot)
+            bs = batch_seed_of(b)
+            jxu = _hash_unit(uid_sp, bs, 0x40000001)
+            jyu = _hash_unit(uid_sp, bs, 0x40000002)
+            r2 = jnp.stack([jxu, jyu], axis=-1).reshape(B, band, cols, 2)
+        else:
+            r2 = jax.random.uniform(k_jit, (B, band, cols, 2))
         rpof = 2.0 * (r2 - 0.5) / jnp.float32(rows)
         rpof = rpof.at[..., 0].multiply(aspect)
         use_jit = ((s_idx > 0)[:, None, None]
@@ -512,18 +592,17 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
         ray_active = None
         if pixel_active is not None:
             # ray index = s*pc + p (batch_rays flattening order), so the
-            # per-pixel mask tiles across the sample axis
-            ray_active = jnp.tile(pixel_active.reshape(-1), B)
+            # per-pixel (compacted) mask tiles across the sample axis
+            ray_active = jnp.tile(mask_flat, B)
 
         def batch_step(carry, b):
             tr, tg, tb, override, ocr, ocg, ocb = carry
             rd, s_idx, _k = batch_rays(b)
-            # golden-ratio stride decorrelates batches under one frame key
-            batch_seed = frame_seed + (b + 1) * jnp.int32(-1640531527)
             cr, cg, cb, ovf, _pf = trace_eye_paths_kernel_packed(
-                scene, ro_b, rd, batch_seed, light_center, light_radius,
-                bounces=bounces, light_color=lcol, nee=nee,
-                ray_active=ray_active)
+                scene, ro_b, rd, batch_seed_of(b), light_center,
+                light_radius, bounces=bounces, light_color=lcol, nee=nee,
+                ray_active=ray_active, ray_uid=uid_sp.reshape(-1),
+                packed=packed)
             cr, cg, cb = (c.reshape(B, pc) for c in (cr, cg, cb))
             ov = jnp.round(ovf).astype(jnp.int32).reshape(B, pc)
             valid_s = (s_idx < spp)[:, None]
@@ -550,8 +629,17 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
 
         zc = jnp.zeros((pc,), jnp.float32)
         init = (zc, zc, zc, jnp.zeros((pc,), jnp.int32), zc, zc, zc)
-        (tr, tg, tb, override_b, ocr, ocg, ocb), _ = jax.lax.scan(
-            batch_step, init, jnp.arange(n_batches))
+        if n_batches == 1:
+            # NO scan for a single batch: XLA pessimizes the Pallas
+            # megakernel inside a closed_call scan body — measured 50.4
+            # vs 24.8 ms for the identical call at 960x540 spp8
+            # (tools/profile_trace.py --pt). Same ops, same order —
+            # bit-identical output, half the frame time.
+            (tr, tg, tb, override_b, ocr, ocg, ocb), _ = batch_step(
+                init, jnp.int32(0))
+        else:
+            (tr, tg, tb, override_b, ocr, ocg, ocb), _ = jax.lax.scan(
+                batch_step, init, jnp.arange(n_batches))
 
         # phase-1 overrides (center ray) take precedence — sample 0
         has0 = ov0 > 0
@@ -564,9 +652,12 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
         chans = [jnp.where(has_ov, jnp.clip(oc, 0.0, 1.0),
                            jnp.clip(t * inv_spp, 0.0, 1.0))
                  for oc, t in ((ocr, tr), (ocg, tg), (ocb, tb))]
+        a_flat = jnp.where(has_ov, override, 255)
+        if compacted:  # undo the compaction permutation (one gather)
+            chans = [c[dest] for c in chans]
+            a_flat = a_flat[dest]
         rgb = jnp.stack(chans, axis=-1).reshape(band, cols, 3)
-        a = jnp.where(has_ov, override, 255).astype(jnp.uint8) \
-            .reshape(band, cols)
+        a = a_flat.astype(jnp.uint8).reshape(band, cols)
         return rgb, a
 
     def batch_step(carry, b):
@@ -592,8 +683,11 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
 
     init = (jnp.zeros((band, cols, 3)), jnp.zeros((band, cols), jnp.int32),
             jnp.zeros((band, cols, 3)))
-    (tot, override_b, ovcol_b), _ = jax.lax.scan(
-        batch_step, init, jnp.arange(n_batches))
+    if n_batches == 1:  # see the kernel path: no closed_call for 1 batch
+        (tot, override_b, ovcol_b), _ = batch_step(init, jnp.int32(0))
+    else:
+        (tot, override_b, ovcol_b), _ = jax.lax.scan(
+            batch_step, init, jnp.arange(n_batches))
 
     # phase-1 overrides (center ray) take precedence — they are sample 0
     has0 = ov0 > 0
@@ -774,9 +868,9 @@ def pack_scene_entries(scene: SceneData):
 def trace_eye_paths_kernel(scene: SceneData, ro, rd, seed_base, light_center,
                            light_radius, *, bounces: int, light_color,
                            nee: bool, interpret=None):
-    """Megakernel twin of trace_eye_paths. ro/rd f32 [..., 3]; seeds derive
-    from seed_base (int) per ray block. Returns (Lo, override i32, fetched).
-    """
+    """Megakernel twin of trace_eye_paths. ro/rd f32 [..., 3]; the RNG
+    stream is hash(ray index, seed_base) per draw (ops/pt_kernel.
+    _make_uniform). Returns (Lo, override i32, fetched)."""
     from ascii_renderer_tpu.ops import pt_kernel as PK
 
     shp = rd.shape[:-1]
@@ -798,10 +892,9 @@ def trace_eye_paths_kernel(scene: SceneData, ro, rd, seed_base, light_center,
     params = jnp.concatenate([
         light_center, light_radius[None], lcol,
         jnp.asarray([EPS], jnp.float32)])
-    seeds = (jnp.arange(nblk, dtype=jnp.int32)
-             + jnp.int32(seed_base) * jnp.int32(1 + nblk))
     lo, ov, fet = PK.trace_blocks(
-        params, prim_packed, blockify(ro), blockify(rd), seeds, atlas_flat,
+        params, prim_packed, blockify(ro), blockify(rd),
+        jnp.int32(seed_base), atlas_flat,
         bounces=bounces, nee=nee, atlas_w=aw, atlas_h=ah, sph_rows=sph_rows,
         interpret=interpret)
     lo = lo.reshape(nblk * PK.BH * PK.BW, 3)[:R].reshape(shp + (3,))
@@ -813,7 +906,8 @@ def trace_eye_paths_kernel(scene: SceneData, ro, rd, seed_base, light_center,
 def trace_eye_paths_kernel_packed(scene: SceneData, ro, rd, seed_base,
                                   light_center, light_radius, *,
                                   bounces: int, light_color, nee: bool,
-                                  interpret=None, ray_active=None):
+                                  interpret=None, ray_active=None,
+                                  ray_uid=None, packed=None):
     """trace_eye_paths_kernel staying in the kernel's packed channel
     layout: returns (lor, log, lob, ov, fet), each f32 FLAT [R] in ray
     order (R = prod(rd.shape[:-1])). Converting the kernel outputs to
@@ -826,7 +920,18 @@ def trace_eye_paths_kernel_packed(scene: SceneData, ro, rd, seed_base,
     ray_active: optional flat [R] bool (adaptive sampling, sim/accum):
     a 1024-ray kernel block whose rays are ALL inactive is skipped on
     device and returns zeros — accumulate() never folds those pixels,
-    so adaptive output is identical to a full trace for live pixels."""
+    so adaptive output is identical to a full trace for live pixels.
+
+    ray_uid: optional flat [R] i32 per-ray RNG ids (default: stream
+    position 0..R-1). The kernel's noise is a pure function of
+    (uid, seed), so a caller that permutes rays (render_pt's adaptive
+    compaction) passes the canonical ids to keep every pixel's noise
+    bit-identical to the unpermuted render.
+
+    packed: optional precomputed pack_scene_entries(scene) 5-tuple
+    (prim rows / atlas arrays may be traced; aw/ah/sph_rows must be the
+    Python ints the pack produced — they are static kernel shape args).
+    See render_pt's docstring for why callers should precompute."""
     from ascii_renderer_tpu.ops import pt_kernel as PK
 
     shp = rd.shape[:-1]
@@ -843,13 +948,13 @@ def trace_eye_paths_kernel_packed(scene: SceneData, ro, rd, seed_base,
                 [flat, jnp.zeros((pad, 3), flat.dtype)], axis=0)
         return flat.reshape(nblk, PK.BH, PK.BW, 3)
 
-    prim_packed, atlas_flat, aw, ah, sph_rows = pack_scene_entries(scene)
+    if packed is None:
+        packed = pack_scene_entries(scene)
+    prim_packed, atlas_flat, aw, ah, sph_rows = packed
     lcol = jnp.asarray(light_color, jnp.float32)
     params = jnp.concatenate([
         light_center, light_radius[None], lcol,
         jnp.asarray([EPS], jnp.float32)])
-    seeds = (jnp.arange(nblk, dtype=jnp.int32)
-             + jnp.int32(seed_base) * jnp.int32(1 + nblk))
     block_active = None
     if ray_active is not None:
         flat = ray_active.reshape(-1).astype(jnp.int32)
@@ -857,9 +962,17 @@ def trace_eye_paths_kernel_packed(scene: SceneData, ro, rd, seed_base,
             flat = jnp.concatenate([flat, jnp.zeros((pad,), jnp.int32)])
         block_active = jnp.max(
             flat.reshape(nblk, PK.BH * PK.BW), axis=1)  # any() per block
+    uid = None
+    if ray_uid is not None:
+        flat_u = ray_uid.reshape(-1).astype(jnp.int32)
+        if pad:  # pad-ray uids are arbitrary (outputs discarded)
+            flat_u = jnp.concatenate([flat_u, jnp.zeros((pad,), jnp.int32)])
+        uid = flat_u.reshape(nblk, PK.BH, PK.BW)
     outs = PK.trace_blocks_raw(
-        params, prim_packed, blockify(ro), blockify(rd), seeds, atlas_flat,
+        params, prim_packed, blockify(ro), blockify(rd),
+        jnp.int32(seed_base), atlas_flat,
         bounces=bounces, nee=nee, atlas_w=aw, atlas_h=ah,
-        sph_rows=sph_rows, interpret=interpret, block_active=block_active)
+        sph_rows=sph_rows, interpret=interpret, block_active=block_active,
+        uid=uid)
     # [nblk, 8, 128] -> [nblk*1024] -> [:R]: contiguous, no relayout
     return tuple(o.reshape(-1)[:R] for o in outs)

@@ -12,7 +12,11 @@ block entirely in registers/VMEM for the whole path:
   per bounce: one eager-select primitive stream (t + hit attributes
          computed per prim, winner kept by running min), an any-hit shadow
          stream for NEE, BRDF sampling, Russian roulette;
-  RNG:   the on-core PRNG (pltpu.prng_random_bits), seeded per block —
+  RNG:   counter-based per-RAY hash (lowbias32 avalanche of
+         (ray uid, seed, draw index)) — a pure function of the ray's
+         uid, so the noise a pixel draws is invariant under ANY ray
+         placement (adaptive compaction, row-band sharding, block
+         assignment) and identical between TPU and interpret mode;
          a different (still deterministic) stream than the XLA path's
          threefry, consistent with the declared RNG non-parity;
   atlas: ASCII-texture fetches become a one-hot MXU matmul gather
@@ -79,36 +83,38 @@ def _bits_to_unit(bits):
     return pltpu.bitcast(mant, jnp.float32) - 1.0
 
 
-def _make_uniform(seed_scalar, use_prng: bool):
-    """U[0,1) sampler. On TPU: the on-core PRNG. In interpret mode (no
-    prng_seed lowering on CPU) a counter-based xorshift hash — both streams
-    are deterministic per (seed, draw index)."""
-    if use_prng:
-        def uniform(shape):
-            return _bits_to_unit(pltpu.prng_random_bits(shape))
-        return uniform
-    counter = [jnp.uint32(0x9E3779B9)]
+def _make_uniform(seed_scalar, uid_u32):
+    """U[0,1) per-ray counter-based sampler: a lowbias32 avalanche hash
+    of (ray uid, seed, draw index). The draw a ray sees depends ONLY on
+    its uid and the seed — not on its (block, lane) placement — so any
+    ray permutation (adaptive compaction, row-band sharding) leaves each
+    pixel's noise bit-identical, and TPU and interpret mode produce the
+    SAME stream (the hardware PRNG this replaces was per-block-seeded
+    and lane-positional, which made block-skip compaction change every
+    pixel's noise)."""
+    seed_u = seed_scalar.astype(jnp.uint32)
+    counter = [jnp.uint32(0)]
 
     def uniform(shape):
-        counter[0] = counter[0] + jnp.uint32(0x85EBCA6B)
-        i = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * 131071
-             + jax.lax.broadcasted_iota(jnp.uint32, shape, 1) * 8191)
-        x = i ^ (seed_scalar.astype(jnp.uint32) * jnp.uint32(2654435761)
-                 + counter[0])
-        x = x ^ (x << 13)
-        x = x ^ (x >> 17)
-        x = x ^ (x << 5)
-        x = x * jnp.uint32(2654435761)
+        assert shape == uid_u32.shape
+        counter[0] = counter[0] + jnp.uint32(1)
+        x = uid_u32 ^ (seed_u * jnp.uint32(0x9E3779B1)
+                       + counter[0] * jnp.uint32(0x85EBCA6B))
+        # lowbias32 finalizer (best-known 2-round 32-bit avalanche)
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        x = x * jnp.uint32(0x846CA68B)
         x = x ^ (x >> 16)
         return _bits_to_unit(x)
     return uniform
 
 
 def _kernel(params_ref, bact_r, prim_hbm, rox_r, roy_r, roz_r, rdx_r,
-            rdy_r, rdz_r, seed_r, atlas_r,
+            rdy_r, rdz_r, uid_r, seed_r, atlas_r,
             lor_r, log_r, lob_r, ov_r, fet_r,
             *, bounces: int, sph_rows: int, n_rows: int, nee: bool,
-            atlas_texels: int, atlas_w: int, atlas_h: int, use_prng: bool,
+            atlas_texels: int, atlas_w: int, atlas_h: int,
             vec_layout: bool):
     blk = pl.program_id(0)
 
@@ -129,26 +135,22 @@ def _kernel(params_ref, bact_r, prim_hbm, rox_r, roy_r, roz_r, rdx_r,
 
     @pl.when(bact_r[blk] != 0)
     def _run_block():
-        # seed read hoisted here: pl.program_id is not resolvable inside
-        # the interpreter's cond lowering of pl.when
-        _kernel_body(seed_r[blk], params_ref, prim_hbm, rox_r, roy_r,
-                     roz_r, rdx_r, rdy_r, rdz_r, atlas_r,
+        _kernel_body(seed_r[0], params_ref, prim_hbm, rox_r, roy_r,
+                     roz_r, rdx_r, rdy_r, rdz_r, uid_r, atlas_r,
                      lor_r, log_r, lob_r, ov_r, fet_r,
                      bounces=bounces, sph_rows=sph_rows, n_rows=n_rows,
                      nee=nee, atlas_texels=atlas_texels, atlas_w=atlas_w,
-                     atlas_h=atlas_h, use_prng=use_prng,
-                     vec_layout=vec_layout)
+                     atlas_h=atlas_h, vec_layout=vec_layout)
 
 
 def _kernel_body(seed, params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r,
-                 rdy_r, rdz_r, atlas_r,
+                 rdy_r, rdz_r, uid_r, atlas_r,
                  lor_r, log_r, lob_r, ov_r, fet_r,
                  *, bounces: int, sph_rows: int, n_rows: int, nee: bool,
                  atlas_texels: int, atlas_w: int, atlas_h: int,
-                 use_prng: bool, vec_layout: bool):
-    if use_prng:
-        pltpu.prng_seed(seed)
-    _uniform = _make_uniform(seed, use_prng)
+                 vec_layout: bool):
+    uid = pltpu.bitcast(uid_r[0], jnp.uint32)
+    _uniform = _make_uniform(seed, uid)
 
     # scalar params: light cx, cy, cz, radius, lcol r g b, eps
     lcx = params_ref[0]
@@ -561,30 +563,35 @@ def _kernel_body(seed, params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r,
     fet_r[0] = fetched.astype(jnp.float32)
 
 
-def trace_blocks(params, prim_packed, ro, rd, seeds, atlas_flat, *,
+def trace_blocks(params, prim_packed, ro, rd, seed, atlas_flat, *,
                  bounces: int, nee: bool, atlas_w: int, atlas_h: int,
                  sph_rows: int, interpret: bool | None = None,
-                 block_active=None):
+                 block_active=None, uid=None):
     """params f32 [8]; prim_packed f32 [rows, 128]; ro/rd f32 [B, 8, 128, 3]
-    (B ray blocks); seeds i32 [B]; atlas_flat f32 [2*128, ceil(texels/128)]
+    (B ray blocks); seed i32 scalar; atlas_flat f32 [2*128, ceil(texels/128)]
     transposed two-channel layout (see _kernel.atlas_fetch; packed-rgb
     sublanes then alpha-byte sublanes); if the atlas is disabled pass any
     zero block and atlas_w = atlas_h = 0. block_active: optional i32 [B]
-    adaptive gate (0 = skip the block, outputs zero).
+    adaptive gate (0 = skip the block, outputs zero). uid: optional i32
+    [B, 8, 128] per-ray RNG ids (default: the ray's stream position) —
+    the noise a ray draws is a pure function of (uid, seed), so callers
+    that permute rays (adaptive compaction) pass the canonical ids to
+    keep each pixel's noise placement-invariant.
 
     Returns (lo [B,8,128,3], override [B,8,128], fetched [B,8,128])."""
     lor, log, lob, ov, fet = trace_blocks_raw(
-        params, prim_packed, ro, rd, seeds, atlas_flat, bounces=bounces,
+        params, prim_packed, ro, rd, seed, atlas_flat, bounces=bounces,
         nee=nee, atlas_w=atlas_w, atlas_h=atlas_h, sph_rows=sph_rows,
-        interpret=interpret, block_active=block_active)
+        interpret=interpret, block_active=block_active, uid=uid)
     lo = jnp.stack([lor, log, lob], axis=-1)
     return lo, ov, fet
 
 
-def trace_blocks_raw(params, prim_packed, ro, rd, seeds, atlas_flat, *,
+def trace_blocks_raw(params, prim_packed, ro, rd, seed, atlas_flat, *,
                      bounces: int, nee: bool, atlas_w: int, atlas_h: int,
                      sph_rows: int, interpret: bool | None = None,
-                     layout: str | None = None, block_active=None):
+                     layout: str | None = None, block_active=None,
+                     uid=None):
     """trace_blocks without the [..., 3] stack: returns the kernel's
     native channel-separate outputs (lor, log, lob, ov, fet), each f32
     [B, 8, 128]. The stack to image-space [..., 3] arrays costs ~0.5 ms
@@ -619,7 +626,7 @@ def trace_blocks_raw(params, prim_packed, ro, rd, seeds, atlas_flat, *,
     kernel = functools.partial(
         _kernel, bounces=bounces, sph_rows=sph_rows, n_rows=n_rows, nee=nee,
         atlas_texels=atlas_texels, atlas_w=atlas_w, atlas_h=atlas_h,
-        use_prng=not interpret, vec_layout=(layout == "vec"))
+        vec_layout=(layout == "vec"))
 
     def comp_spec():
         return pl.BlockSpec((1, BH, BW), lambda i, *_: (i, 0, 0),
@@ -629,6 +636,9 @@ def trace_blocks_raw(params, prim_packed, ro, rd, seeds, atlas_flat, *,
         block_active = jnp.ones((B,), jnp.int32)
     else:
         block_active = block_active.astype(jnp.int32)
+    if uid is None:  # canonical stream position
+        uid = jnp.arange(B * BH * BW, dtype=jnp.int32).reshape(B, BH, BW)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(B,),
@@ -638,6 +648,7 @@ def trace_blocks_raw(params, prim_packed, ro, rd, seeds, atlas_flat, *,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             comp_spec(), comp_spec(), comp_spec(),
             comp_spec(), comp_spec(), comp_spec(),
+            comp_spec(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -649,4 +660,4 @@ def trace_blocks_raw(params, prim_packed, ro, rd, seeds, atlas_flat, *,
     )(params, block_active, prim_in,
       ro[..., 0], ro[..., 1], ro[..., 2],
       rd[..., 0], rd[..., 1], rd[..., 2],
-      seeds, atlas_flat)
+      uid, seed_arr, atlas_flat)

@@ -53,6 +53,13 @@ class AccumState:
     # state-shape change at mode switch
     mean_y: jnp.ndarray  # f32 [H, W]
     m2_y: jnp.ndarray  # f32 [H, W]
+    # cached alpha/override plane: a frozen pixel keeps the alpha byte
+    # from its last ACTIVE batch (the reference's converged pixels
+    # likewise persist their last written RGBA). The center-ray override
+    # decision is deterministic per camera pose, so the cached byte is
+    # exactly what a full render would produce — which lets render_pt
+    # gate the phase-1 probe with the same adaptive mask as the samples.
+    alpha: jnp.ndarray  # u8 [H, W]
 
     @staticmethod
     def create(rows: int, cols: int) -> "AccumState":
@@ -63,6 +70,7 @@ class AccumState:
             cam_sig=jnp.full((5,), jnp.inf, jnp.float32),
             mean_y=jnp.zeros((rows, cols), jnp.float32),
             m2_y=jnp.zeros((rows, cols), jnp.float32),
+            alpha=jnp.full((rows, cols), 255, jnp.uint8),
         )
 
 
@@ -102,10 +110,14 @@ def active_mask(state: AccumState, *, max_tolerance: float,
 def accumulate(state: AccumState, sample_rgb: jnp.ndarray, cam: Camera,
                *, max_tolerance: float, max_samples: int,
                reset_on_camera_change: bool = True,
-               stats_mode: str = "rgb"):
+               stats_mode: str = "rgb", sample_alpha=None):
     """Fold one sample batch (mean of a batch counts as ONE sample here,
     matching the reference accumulating per-frame results). Returns
-    (state', display_rgb, active_mask)."""
+    (state', display_rgb, active_mask). sample_alpha (optional u8 [H,W]):
+    folded into state.alpha for ACTIVE pixels only — frozen pixels keep
+    their cached byte (see AccumState.alpha), so a render that skipped
+    them (render_pt's gated phase-1 probe) leaves the display plane
+    exact."""
     sig = _signature(cam)
     if reset_on_camera_change:
         moved = jnp.any(jnp.abs(sig - state.cam_sig) > 1e-7)
@@ -132,6 +144,8 @@ def accumulate(state: AccumState, sample_rgb: jnp.ndarray, cam: Camera,
         m2=jnp.where(upd, m21, state.m2),
         mean_y=jnp.where(act, mean_y1, state.mean_y),
         m2_y=jnp.where(act, m2_y1, state.m2_y),
+        alpha=(state.alpha if sample_alpha is None
+               else jnp.where(act, sample_alpha, state.alpha)),
     )
     display = jnp.where(new.count[..., None] > 0, new.mean, sample_rgb)
     return new, display, act
@@ -144,12 +158,17 @@ class ProgressivePathTracer:
 
     Adaptive WORK-saving (not just display): with adaptive_skip (default,
     kernel path only) the pre-batch active mask is fed to render_pt as
-    pixel_active — device ray blocks whose pixels have all converged are
-    skipped inside the megakernel (ops/pt_kernel block gate). Because
-    accumulate() freezes exactly those pixels, the accumulator trajectory
-    is IDENTICAL to a full render (tested); only the wall-clock drops as
-    the image converges. A camera move forces a full batch so the
-    post-reset frame re-samples everything."""
+    pixel_active — render_pt COMPACTS active pixels to the front of the
+    ray stream so the megakernel's block gate skips the contiguous
+    converged tail, making per-batch work scale with the active-pixel
+    count (the near-per-pixel ideal; plain block gating on the row order
+    skipped ~0% of blocks at 26% active pixels). Because the kernel RNG
+    is a pure function of (pixel uid, seed) and accumulate() freezes
+    exactly the masked pixels, the accumulator trajectory is
+    bit-IDENTICAL to a full render (tested); only the wall-clock drops
+    as the image converges. The phase-1 probe is gated by the same mask;
+    frozen pixels' alpha persists in AccumState.alpha. A camera move
+    forces a full batch so the post-reset frame re-samples everything."""
 
     def __init__(self, cfg: Config, scene, rows: int | None = None,
                  cols: int | None = None, use_kernel: bool | None = None,
@@ -186,8 +205,10 @@ class ProgressivePathTracer:
                 state, rgb, camera, max_tolerance=ad.max_tolerance,
                 max_samples=ad.max_samples,
                 reset_on_camera_change=ad.reset_on_camera_change,
-                stats_mode=ad.stats_mode)
-            return state, display, a, act
+                stats_mode=ad.stats_mode, sample_alpha=a)
+            # display alpha: the cache — frozen pixels keep their last
+            # active byte (the skip path never recomputes them)
+            return state, display, state.alpha, act
 
         self._step_fn = jax.jit(_step)
         self.state = AccumState.create(self.rows, self.cols)

@@ -2,6 +2,8 @@
 dispatch-ahead loop, clean teardown (ref: pointer-lock mouse-look,
 js/main.js:108-118; fbA/fbB double buffer, js/main.js:364-375)."""
 
+import pytest
+
 import os
 import pty
 import select
@@ -10,6 +12,7 @@ import sys
 import time
 
 
+@pytest.mark.slow
 def test_term_mode_mouse_look_and_clean_exit():
     master, slave = pty.openpty()
     env = dict(os.environ)

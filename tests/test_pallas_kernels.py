@@ -2,12 +2,14 @@
 'kernel-vs-reference: every Pallas kernel gets an interpret-mode twin')."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from ascii_renderer_tpu.ascii.modal import modal_filter
 from ascii_renderer_tpu.ops.ascii_kernel import modal_filter_pallas
 
 
+@pytest.mark.slow
 def test_modal_pallas_twin_matches_jnp():
     rng = np.random.default_rng(0)
     for (h, w) in [(36, 96), (70, 130), (64, 128)]:
@@ -99,6 +101,7 @@ def test_pt_megakernel_big_and_padded_atlas():
         assert (np.asarray(a_f)).sum() > 0, f"{aw}x{ah}: poster never hit"
 
 
+@pytest.mark.slow
 def test_pt_megakernel_twin_statistical():
     """Multi-bounce MC estimates agree in the mean (different RNG streams)."""
     import jax
@@ -303,3 +306,55 @@ def test_pt_megakernel_layouts_bit_identical():
             PK.PRIM_LAYOUT = old
     for a, b in zip(outs["scalar"], outs["vec"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pt_megakernel_rng_placement_invariant():
+    """The kernel RNG is a pure function of (ray uid, seed): permuting
+    the rays (with their uids) must permute every output BIT-EXACTLY —
+    the property render_pt's adaptive compaction relies on for its
+    adaptive==full trajectory identity (a block/lane-positional stream,
+    like the hardware PRNG this replaced, fails this)."""
+    import jax
+    from ascii_renderer_tpu.backends import pathtrace as PT
+    from ascii_renderer_tpu.scene.demo import create_demo_scene
+    from ascii_renderer_tpu.atlas.io import demo_atlas
+    from ascii_renderer_tpu.core.camera import Camera, primary_ray_dirs
+
+    sb = create_demo_scene()
+    sb.set_atlas(demo_atlas())
+    scene = sb.build()
+    cam = Camera.create(pos=(0, 2.5, 5.2), yaw=-np.pi / 2)
+    rd = primary_ray_dirs(cam, 16, 128, 0.5).reshape(-1, 3)  # 2048 rays
+    ro = jnp.broadcast_to(jnp.asarray(cam.pos), rd.shape)
+    lc, lr = PT.get_light_sphere(scene, 0.0)
+    lcol = jnp.asarray((16.86, 10.76, 8.2)) * 1.3
+    R = rd.shape[0]
+    perm = np.random.default_rng(7).permutation(R)
+
+    base = PT.trace_eye_paths_kernel_packed(
+        scene, ro, rd, 5, lc, lr, bounces=3, light_color=lcol, nee=True,
+        interpret=True, ray_uid=jnp.arange(R, dtype=jnp.int32))
+    shuf = PT.trace_eye_paths_kernel_packed(
+        scene, ro, jnp.asarray(rd)[perm], 5, lc, lr, bounces=3,
+        light_color=lcol, nee=True, interpret=True,
+        ray_uid=jnp.asarray(perm, jnp.int32))
+    for a, b in zip(base, shuf):
+        np.testing.assert_array_equal(np.asarray(a)[perm], np.asarray(b))
+
+
+def test_hash_unit_jitter_stream_sanity():
+    """backends.pathtrace._hash_unit (the jnp mirror of the kernel's
+    lowbias32 draw, used for placement-invariant AA jitter): range,
+    determinism, seed sensitivity, neighbor decorrelation, and mean."""
+    from ascii_renderer_tpu.backends.pathtrace import _hash_unit
+
+    uid = jnp.arange(1 << 14, dtype=jnp.int32)
+    a = np.asarray(_hash_unit(uid, jnp.int32(42), 0x40000001))
+    b = np.asarray(_hash_unit(uid, jnp.int32(42), 0x40000001))
+    c = np.asarray(_hash_unit(uid, jnp.int32(43), 0x40000001))
+    d = np.asarray(_hash_unit(uid, jnp.int32(42), 0x40000002))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 0.1 and np.abs(a - d).max() > 0.1
+    assert a.min() >= 0.0 and a.max() < 1.0
+    assert abs(a.mean() - 0.5) < 0.01
+    assert abs(np.corrcoef(a[:-1], a[1:])[0, 1]) < 0.05

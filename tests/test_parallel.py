@@ -3,6 +3,7 @@
 import functools
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -13,6 +14,7 @@ from ascii_renderer_tpu.parallel.mesh import (make_mesh, orbit_cameras,
 from ascii_renderer_tpu.scene.demo import create_rt_demo_scene
 
 
+@pytest.mark.slow
 def test_render_views_sharded_matches_local_vmap():
     scene = create_rt_demo_scene().build()
     cams = orbit_cameras(8, center=(0, 1.0, 1.0), radius=6.0)
@@ -59,6 +61,7 @@ def test_render_rows_sharded_matches_local_frame():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_raster_rows_sharded_matches_full_frame():
     """Row-band sharding of the GROUPED raster pipeline (the headline
     path): 8 devices each rasterize one tile-row band of a single frame

@@ -2,6 +2,7 @@
 glyph short-circuit + alpha protocol (SURVEY §4 property tests)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -51,6 +52,7 @@ def test_direct_light_hit_is_bright_and_env_on_miss():
     assert (np.asarray(a) == 255).all()  # non-override alpha byte = 255
 
 
+@pytest.mark.slow
 def test_nee_lights_diffuse_floor():
     sb = SceneBuilder()
     sb.add_quad([-5, 0, -5], [5, 0, -5], [5, 0, 5], [-5, 0, 5], MaterialIds.WHITE)
@@ -118,6 +120,7 @@ def _render_kernel(scene, cam, seed, rows=8, cols=16, spp=2, bounces=2):
                         use_kernel=True)
 
 
+@pytest.mark.slow
 def test_kernel_path_rng_varies_per_frame_key():
     """The megakernel seeds from the frame key (ref reseeds per frame via
     its time uniform, pathtrace_shader.js:187-201): different keys must
@@ -130,6 +133,7 @@ def test_kernel_path_rng_varies_per_frame_key():
     assert np.abs(np.asarray(rgb0) - np.asarray(rgb1)).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_progressive_accum_converges_on_kernel_path():
     """ProgressivePathTracer driven through the megakernel must actually
     refine: with per-frame kernel reseeding the sample-mean variance
@@ -161,6 +165,7 @@ def test_progressive_accum_converges_on_kernel_path():
     assert ci(m2_6, k6).mean() < ci(m2_2, k2).mean() * 0.9, "CI not shrinking"
 
 
+@pytest.mark.slow
 def test_trace_stats_ray_accounting():
     """with_stats returns the true wavefront ray counts: eye segments in
     [R, R*bounces] (R alive at bounce 0; termination only shrinks), NEE

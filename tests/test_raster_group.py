@@ -8,6 +8,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ascii_renderer_tpu.backends import raster as R
 from ascii_renderer_tpu.core.camera import Camera
@@ -189,6 +190,7 @@ def test_assemble_group_image_roundtrip():
     np.testing.assert_array_equal(img, expect)
 
 
+@pytest.mark.slow
 def test_perf_variant_flags_bit_identical():
     """The perf A/B knobs must not change output: SHADE_TABLE_W pads the
     deferred-shade gather width (cols past 3A+3 are junk that is never
@@ -250,6 +252,7 @@ def _multi_entry_walk_case(kernel, seed, T):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_subtile5_bit_identical_to_subtile3():
     """The K2 walk (two entries per gather row, kernel=subtile5) must be
     bit-identical to the base grouped walk: same entry visit order per
@@ -260,6 +263,7 @@ def test_subtile5_bit_identical_to_subtile3():
         _multi_entry_walk_case("subtile5", seed, T)
 
 
+@pytest.mark.slow
 def test_subtile6_bit_identical_to_subtile3():
     """The K4 walk (four entries per gather row relaid to the K2 kernel
     format, kernel=subtile6) must also be bit-identical: the relayout is
@@ -279,6 +283,7 @@ def test_subtile7_subtile8_bit_identical_to_subtile3():
             _multi_entry_walk_case(kernel, seed, T)
 
 
+@pytest.mark.slow
 def test_setup_packed_and_srccopy_bit_identical():
     """The fused setup+pack kernel (SETUP_PACKED, ops/setup2dh
     setup_2dh_fused_packed) and the gather source copy (GATHER_SRC_COPY,
@@ -318,6 +323,7 @@ def test_setup_packed_and_srccopy_bit_identical():
         R.SETUP_PACKED, R.PACK_SPLIT16, RG.GATHER_SRC_COPY = saved
 
 
+@pytest.mark.slow
 def test_subtile6_near_plane_crossers_match_subtile3():
     s = 5.0
     floor = [(-s, 0, -s), (s, 0, -s), (s, 0, s), (-s, 0, s)]
@@ -374,6 +380,7 @@ def test_subtile5_near_plane_crossers_match_subtile3():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_morton_reorder_is_permutation_and_renders_same():
     """geom/reorder: the Morton pass must be a true triangle permutation,
     and on a mesh without exact z-tie pixels at this pose the reordered

@@ -1,6 +1,7 @@
 """UI layer + fused frame step (ref: js/renderer.js renderUI, js/main.js)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from ascii_renderer_tpu.core.config import Config
@@ -115,6 +116,7 @@ def test_frame_step_end_to_end():
     assert chars3.shape == (12, 32)
 
 
+@pytest.mark.slow
 def test_frame_step_raster_overflow_flag():
     """Fixed raster caps inside the jitted step cannot retry on overflow;
     the step must SAY a frame was inexact (FrameState.raster_overflow)

@@ -54,7 +54,7 @@ def main():
                                 max_samples=args.cap),
     )
 
-    def run(skip: bool):
+    def run(skip: bool, early_stop: bool = True):
         pt = ProgressivePathTracer(cfg, scene, args.rows, args.cols,
                                    use_kernel=True, adaptive_skip=skip)
         cam = scene.camera
@@ -73,7 +73,8 @@ def main():
         while steps < args.cap:
             pt.step(cam)
             steps += 1
-            if steps % args.check_every == 0 and pt.done:
+            if (early_stop and steps % args.check_every == 0
+                    and pt.done):
                 break
         np.asarray(pt.state.mean)  # full completion through the tunnel
         dt = time.perf_counter() - t0
@@ -83,12 +84,14 @@ def main():
     for rep in range(args.reps):
         ta, sa, ka, pa = run(True)
         tb, sb_, kb, pb = run(False)
+        tc, sc, kc, _pc = run(False, early_stop=False)
         same = np.array_equal(np.asarray(pa.state.mean),
                               np.asarray(pb.state.mean))
         print(f"rep {rep}: adaptive {ta:.3f}s ({sa} steps, mean k {ka:.1f})"
-              f" | full {tb:.3f}s ({sb_} steps, mean k {kb:.1f})"
-              f" | speedup {tb/ta:.2f}x | converged output"
-              f" {'==' if same else '!='}")
+              f" | full-to-CI {tb:.3f}s ({sb_} steps, mean k {kb:.1f})"
+              f" | fixed-spp {tc:.3f}s ({sc} steps)"
+              f" | skip win {tb/ta:.2f}x | vs fixed-spp {tc/ta:.2f}x"
+              f" | converged output {'==' if same else '!='}")
 
 
 if __name__ == "__main__":

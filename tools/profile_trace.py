@@ -132,6 +132,8 @@ def main():
                     help="profile the path-traced frame (bench config 0) "
                          "instead of the raster headline")
     ap.add_argument("--pt-spp", type=int, default=64)
+    ap.add_argument("--pt-rows", type=int, default=36)
+    ap.add_argument("--pt-cols", type=int, default=96)
     ap.add_argument("--by-category", action="store_true")
     ap.add_argument("--trace-dir", default="/tmp/xprof_headline")
     ap.add_argument("--set", action="append", default=[],
@@ -154,7 +156,7 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     if args.pt:
-        fn0, fargs = build_pt(args.pt_spp)
+        fn0, fargs = build_pt(args.pt_spp, args.pt_rows, args.pt_cols)
         fn, fargs = (lambda: fn0()), ()
         call = fn0
     else:
