@@ -513,24 +513,37 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
     pc_global = rows * cols
 
     # ---- adaptive compaction (kernel path): active pixels to the front
-    # of the ray stream; `dest` is the inverse map for the final unpack
+    # of the ray stream. Implemented as ONE key sort, not index gathers:
+    # a stable partition by the active mask is a sort on the unique key
+    # (1-active)*pc + index, and lax.sort's bitonic network moves whole
+    # vector rows — the earlier cumsum/scatter + per-array [perm] gathers
+    # lowered to element-rate kCustom ops costing ~48 ms/step at 960x540
+    # (3.4-12.7 ms per 518k-element gather, profiled r4), vs ~1 ms for
+    # the sorts. The carried pix_uid doubles as the inverse map: the
+    # final unpack is a second key sort back to pixel order.
     compacted = use_kernel and pixel_active is not None
-    dest = None
     mask_flat = None
     if compacted:
         mask_flat = pixel_active.reshape(-1)
         mi = mask_flat.astype(jnp.int32)
-        c_act = jnp.cumsum(mi)
-        n_act = c_act[-1]
-        dest = jnp.where(mask_flat, c_act - 1,
-                         n_act + jnp.cumsum(1 - mi) - 1)  # pixel -> slot
-        perm = jnp.zeros((pc,), jnp.int32).at[dest].set(
-            jnp.arange(pc, dtype=jnp.int32))              # slot -> pixel
-        px = px.reshape(-1)[perm].reshape(band, cols)
-        py = py.reshape(-1)[perm].reshape(band, cols)
-        rd0 = rd0.reshape(pc, 3)[perm].reshape(band, cols, 3)
-        pix_uid = pix_uid[perm]
-        mask_flat = mask_flat[perm]
+        n_act = jnp.sum(mi)
+        key_part = (1 - mi) * pc + jnp.arange(pc, dtype=jnp.int32)
+        (_, pix_uid) = jax.lax.sort((key_part, pix_uid), dimension=0,
+                                    is_stable=False, num_keys=1)
+        # px/py/rd0 are pure functions of the pixel index: recompute
+        # them from the sorted uid with primary_ray_grid's exact
+        # arithmetic (bit-identical; integer row/col are exact in f32)
+        # instead of carrying 5 more payload arrays through the sort
+        r_gl = (pix_uid // cols).astype(jnp.float32)
+        c_gl = (pix_uid % cols).astype(jnp.float32)
+        x_s = (c_gl + 0.5) / jnp.float32(cols)
+        y_s = (jnp.float32(rows - 1) - r_gl + 0.5) / jnp.float32(rows)
+        px = ((-1.0 + 2.0 * x_s) * aspect).reshape(band, cols)
+        py = (-1.0 + 2.0 * y_s).reshape(band, cols)
+        rd0 = (px[..., None] * uu + py[..., None] * vv + focal * ww)
+        rd0 = rd0 / jnp.linalg.norm(rd0, axis=-1, keepdims=True)
+        # actives occupy slots [0, n_act) by construction
+        mask_flat = jnp.arange(pc, dtype=jnp.int32) < n_act
 
     # ---- phase 1: center-ray probe (fetched flag + primary glyph hits) ----
     if use_kernel:
@@ -653,9 +666,14 @@ def render_pt(scene: SceneData, cam: Camera, time, key, *, rows: int,
                            jnp.clip(t * inv_spp, 0.0, 1.0))
                  for oc, t in ((ocr, tr), (ocg, tg), (ocb, tb))]
         a_flat = jnp.where(has_ov, override, 255)
-        if compacted:  # undo the compaction permutation (one gather)
-            chans = [c[dest] for c in chans]
-            a_flat = a_flat[dest]
+        if compacted:
+            # undo the compaction: one key sort back to pixel order (the
+            # carried pix_uid IS the original index, band-offset aside)
+            uid_local = pix_uid - jnp.asarray(row_lo, jnp.int32) * cols
+            (_, c0, c1, c2, a_flat) = jax.lax.sort(
+                (uid_local, chans[0], chans[1], chans[2], a_flat),
+                dimension=0, is_stable=False, num_keys=1)
+            chans = [c0, c1, c2]
         rgb = jnp.stack(chans, axis=-1).reshape(band, cols, 3)
         a = a_flat.astype(jnp.uint8).reshape(band, cols)
         return rgb, a

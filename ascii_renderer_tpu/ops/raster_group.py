@@ -62,6 +62,11 @@ DEPTH_GROUPING = "sort"  # "sort" = exact lax.sort by depth desc;
 # headline scale) is what this removes. Perf A/B knob (tools/ab_slope
 # "s8bucket"); bit-identical output either way (assembly is a
 # permutation-invariant bin gather).
+# MEASURED (r4, interleaved slope A/B at headline scale): bucket LOSES —
+# 0.807 vs 0.780 ms/frame. The rank-cumsum + scatter it adds costs more
+# than the sort it removes, and boundary groups pad extra walk rows.
+# "sort" stays the default; the knob remains for re-testing if the key
+# sort ever grows.
 COMPOSE_SLOT_GATHER = False  # trace-time flag (in-process perf A/B only)
 # measured (tools/ab_slope, slope timing, distinct traces): composing the
 # slot gather to src32[tri_s[pidx]] is +0.39 ms WORSE than materializing

@@ -213,6 +213,8 @@ class ProgressivePathTracer:
         self._step_fn = jax.jit(_step)
         self.state = AccumState.create(self.rows, self.cols)
         self._batch = 0
+        import collections
+        self._inflight = collections.deque()
 
     def step(self, camera: Camera, time_sec: float = 0.0):
         """One refinement batch. Returns (display_rgb, alpha, active_mask)."""
@@ -220,7 +222,30 @@ class ProgressivePathTracer:
         self._batch += 1
         self.state, display, a, act = self._step_fn(
             self.state, self.scene, camera, jnp.float32(time_sec), key)
+        # pipelined convergence probe: start the tiny any-active readback
+        # now; poll_done() consumes it `lag` steps later, by which time
+        # the async transfer has landed — no tunnel round trip, no
+        # dispatch-queue drain (a sync `done` check costs a full ~30 ms
+        # RTT AND a pipeline bubble every call)
+        any_act = jnp.any(act)
+        try:
+            any_act.copy_to_host_async()
+        except Exception:  # backend without async host copies
+            pass
+        self._inflight.append((self._batch, any_act))
         return display, a, act
+
+    def poll_done(self, lag: int = 2) -> bool:
+        """True once a probe ≥`lag` batches old saw zero active pixels.
+        The loop runs at most `lag` steps past convergence; those extra
+        steps are no-ops for the output (every pixel is frozen), so the
+        trajectory is unchanged — only the stop time moves. Use this in
+        throughput loops; `done` stays for exact synchronous checks."""
+        while self._inflight and self._inflight[0][0] <= self._batch - lag:
+            _, v = self._inflight.popleft()
+            if not bool(v):
+                return True
+        return False
 
     @property
     def done(self) -> bool:

@@ -286,10 +286,14 @@ def bench_config0(smoke):
             render_pt, rows=540, cols=960, pixel_aspect=0.5, spp=spp_hd,
             bounces=5, light_color=(16.86, 10.76, 8.2),
             sample_batch=spp_hd, use_kernel=use_kernel))
-        dt_hd, _rtt, _sp = _time_fn_slope(
+        # deeper queue + 3 reps: a reps=2 n=(2,8) sample once read 91 ms
+        # for a frame that measures 25 ms at every queue depth in-process
+        # (tools/exp_pt_slope.py) — record spread so noise is visible
+        dt_hd, _rtt, sp_hd = _time_fn_slope(
             lambda: fn_hd(scene, scene.camera, jnp.float32(0.0), key), (),
-            n1=2, n2=8, reps=2)
+            n1=4, n2=16, reps=3)
         out["fps_960x540_spp8"] = round(1.0 / dt_hd, 2)
+        out["spread_960x540"] = round(sp_hd, 3)
         out["mrays_s_960x540"] = round(
             (1.0 / dt_hd) * 540 * 960 * spp_hd * rays_per_path / 1e6, 2)
 

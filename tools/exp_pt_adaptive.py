@@ -73,8 +73,9 @@ def main():
         while steps < args.cap:
             pt.step(cam)
             steps += 1
-            if (early_stop and steps % args.check_every == 0
-                    and pt.done):
+            # pipelined lagged probe: no RTT, no dispatch-queue drain
+            # (a sync pt.done every N steps cost ~30 ms + a bubble each)
+            if early_stop and pt.poll_done():
                 break
         np.asarray(pt.state.mean)  # full completion through the tunnel
         dt = time.perf_counter() - t0

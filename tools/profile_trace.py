@@ -105,6 +105,42 @@ def build_pt(spp: int = 64, rows: int = 36, cols: int = 96):
     return (lambda: fn(scene, scene.camera, jnp.float32(0.0), key)), ()
 
 
+def build_step(rows: int = 540, cols: int = 960, spp: int = 8,
+               skip: bool = True, advance: int = 0):
+    """ProgressivePathTracer step program (render + Welford accumulate,
+    adaptive compaction when skip=True) on an all-active state — the
+    per-step cost the adaptive path pays before any work is saved."""
+    import jax
+    import jax.numpy as jnp
+    from ascii_renderer_tpu.atlas.io import demo_atlas
+    from ascii_renderer_tpu.core.config import (AdaptiveConfig, Config,
+                                                PathTracerConfig)
+    from ascii_renderer_tpu.scene.demo import create_demo_scene
+    from ascii_renderer_tpu.sim.accum import ProgressivePathTracer
+
+    sb = create_demo_scene()
+    sb.set_atlas(demo_atlas())
+    scene = sb.build(min_pad=1)
+    cfg = Config(path_tracer=PathTracerConfig(samples_per_batch=spp),
+                 adaptive=AdaptiveConfig(max_tolerance=0.12,
+                                         max_samples=32))
+    pt = ProgressivePathTracer(cfg, scene, rows, cols, use_kernel=True,
+                               adaptive_skip=skip)
+    import numpy as np
+    for _ in range(advance):  # partially converge before profiling
+        pt.step(scene.camera)
+    if advance:
+        from ascii_renderer_tpu.sim.accum import active_mask
+        act = np.asarray(active_mask(
+            pt.state, max_tolerance=cfg.adaptive.max_tolerance,
+            max_samples=cfg.adaptive.max_samples))
+        print(f"advanced {advance} steps, active {act.mean():.1%}",
+              file=sys.stderr)
+    key = jax.random.key(3)
+    return (lambda: pt._step_fn(pt.state, pt.scene, scene.camera,
+                                jnp.float32(0.0), key)), ()
+
+
 def parse_trace(trace_dir: str):
     """Newest vm.trace.json.gz under trace_dir -> list of device op
     events (dicts with name, dur_us, args)."""
@@ -134,6 +170,13 @@ def main():
     ap.add_argument("--pt-spp", type=int, default=64)
     ap.add_argument("--pt-rows", type=int, default=36)
     ap.add_argument("--pt-cols", type=int, default=96)
+    ap.add_argument("--step", action="store_true",
+                    help="profile the ProgressivePathTracer step "
+                         "(render + accumulate + adaptive compaction) "
+                         "at 960x540 spp8 on an all-active state")
+    ap.add_argument("--step-advance", type=int, default=0,
+                    help="run N steps first so the profiled step sees "
+                         "a partially-converged active mask")
     ap.add_argument("--by-category", action="store_true")
     ap.add_argument("--trace-dir", default="/tmp/xprof_headline")
     ap.add_argument("--set", action="append", default=[],
@@ -155,7 +198,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
-    if args.pt:
+    if args.step:
+        fn0, fargs = build_step(advance=args.step_advance)
+        call = fn0
+    elif args.pt:
         fn0, fargs = build_pt(args.pt_spp, args.pt_rows, args.pt_cols)
         fn, fargs = (lambda: fn0()), ()
         call = fn0
