@@ -424,9 +424,13 @@ def bench_config3(smoke, batch=0):
     # ~30 ms tunnel readback RTT subtracted exactly (it is a proxy
     # artifact absent in production; at iters=64 amortization it still
     # inflated a ~1.5 ms frame by ~0.5 ms)
+    # reps=5: the tunnel device drifts ~±10% across minutes (an
+    # in-process A/B read 0.78 ms for a frame this harness read 0.97 ms
+    # forty minutes later); a 5-rep median damps a one-rep excursion
     dt1, rtt, spread = _time_fn_slope(
         fn1, (*soup, scene, cam, pos9, attrs_t),
-        n1=(8, 32)[not smoke], n2=(32, 128)[not smoke])
+        n1=(8, 32)[not smoke], n2=(32, 128)[not smoke],
+        reps=(3, 5)[not smoke])
     floor = _dispatch_floor()
     out = {"fps": 1.0 / dt1, "tris": tris, "grid": f"{cols}x{rows}",
            "mtris_s": tris / dt1 / 1e6, "p50_ms": dt1 * 1e3,
