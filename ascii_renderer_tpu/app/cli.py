@@ -234,10 +234,16 @@ def run_progressive(args) -> int:
     for i in range(n_max):
         display, a, act = tracer.step(scene.camera)
         if args.debug:
+            # --debug reads the mask back each batch (a sync round trip);
+            # the quiet path below stays fully pipelined
             conv = 100.0 * (1.0 - float(np.asarray(act).mean()))
             print(f"[progressive] batch {i + 1}: {conv:.1f}% converged",
                   file=sys.stderr)
-        if tracer.done:
+            if tracer.done:
+                break
+        elif tracer.poll_done():
+            # lagged async probe: no tunnel RTT, no dispatch-queue drain
+            # per batch (costs at most `lag` extra no-op batches)
             break
     dt = time.perf_counter() - t0
     frame = Frame.from_float(display, a)

@@ -1,3 +1,4 @@
+import pytest
 """Non-square atlas fixture end-to-end (VERDICT r2 missing #3): the
 checked-in 32x16 asset — the shape class of the reference's atlas3.bin
 (js/main.js:226-232) — loads through the raw-RGBA loader and survives to
@@ -31,6 +32,7 @@ def test_wide_asset_matches_generator_and_validates():
     assert glyphs.sum() >= 19  # the fish art
 
 
+@pytest.mark.slow  # compile long pole (r4 item 6)
 def test_wide_atlas_pt_glyph_short_circuit_golden():
     """Full-atlas quad viewed 1 texel ≈ 1 cell: the override map (which
     cells carry which glyph codes) is deterministic — primary center rays

@@ -1,3 +1,4 @@
+import pytest
 """CLI coverage for the round-3 app-shell modes: --progressive (the
 revived adaptive/accumulation pipeline reachable from the shell, ref
 js/render/renderer.js:101-210) and --mode pixels (frame-rate glyph-bitmap
@@ -22,6 +23,7 @@ def test_progressive_cli_converges(tmp_path, capsys):
     assert "[progressive]" in err
 
 
+@pytest.mark.slow  # compile long pole (r4 item 6)
 def test_progressive_accumulates_across_frames(tmp_path):
     """More batches must actually change the estimate (accumulation is
     live, not a re-render): 1-batch and 3-batch runs differ, and both are

@@ -1,3 +1,4 @@
+import pytest
 """Golden pins for the HEADLINE-scale fast paths (VERDICT r2 weak #6):
 a silent semantics drift in the 960x540 subtile3 pipeline or the PT
 deterministic planes would previously only be caught relative to in-repo
@@ -65,6 +66,7 @@ def test_bunny_960x540_glyphs_golden():
     assert ds == golden
 
 
+@pytest.mark.slow  # compile long pole (r4 item 6)
 def test_pt_demo_override_plane_golden():
     from ascii_renderer_tpu.atlas.io import demo_atlas
     from ascii_renderer_tpu.backends import pathtrace as PT

@@ -37,6 +37,7 @@ def test_modal_pallas_edge_clamping():
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow  # compile long pole (r4 item 6)
 def test_pt_megakernel_twin_deterministic_parts():
     """Kernel vs XLA tracer: miss/env, light hits, glyph overrides and the
     fetched flag are RNG-free at bounces=1/nee=False — must match exactly."""

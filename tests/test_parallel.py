@@ -230,6 +230,7 @@ def test_orbit_cameras_look_at_center():
         np.testing.assert_allclose(look, to_c, atol=1e-5)
 
 
+@pytest.mark.slow  # compile long pole (r4 item 6)
 def test_scanned_train_steps_match_repeated_single_steps():
     """make_train_steps (N optimizer steps per dispatch via lax.scan) must
     produce the same trajectory as N single make_train_step calls."""

@@ -28,6 +28,7 @@ def test_energy_sanity_no_nan_no_negative():
     assert np.asarray(a).dtype == np.uint8
 
 
+@pytest.mark.slow  # compile long pole (r4 item 6)
 def test_deterministic_under_fixed_key():
     scene = create_demo_scene().build()
     r1, a1 = _render(scene, scene.camera, seed=7)
@@ -38,6 +39,7 @@ def test_deterministic_under_fixed_key():
     assert np.abs(np.asarray(r1) - np.asarray(r3)).max() > 0
 
 
+@pytest.mark.slow  # compile long pole (r4 item 6)
 def test_direct_light_hit_is_bright_and_env_on_miss():
     sb = SceneBuilder()
     sb.set_area_light([0, 0, 0], 1.0, auto=False)  # light dead ahead
@@ -97,6 +99,7 @@ def test_solid_texel_becomes_albedo_not_override():
     assert np.asarray(a)[4, 4] == 255  # no override for solid texels
 
 
+@pytest.mark.slow  # compile long pole (r4 item 6)
 def test_demo_scene_with_atlas_renders_poster_glyphs():
     sb = create_demo_scene()
     sb.set_atlas(demo_atlas())

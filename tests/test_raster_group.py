@@ -272,6 +272,7 @@ def test_subtile6_bit_identical_to_subtile3():
         _multi_entry_walk_case("subtile6", seed, T)
 
 
+@pytest.mark.slow  # compile long pole (r4 item 6)
 def test_subtile7_subtile8_bit_identical_to_subtile3():
     """The K-gather generations (K4/K8 slot gather relaid to the base
     single-entry layout, walked by the skip-window base kernel) must be

@@ -1,3 +1,4 @@
+import pytest
 """Raytrace backend semantics (ref: raytrace_shader.js) + golden."""
 
 import os
@@ -20,6 +21,7 @@ def _look_down_z():
     return Camera.create(pos=(0, 0, 5), yaw=-np.pi / 2, pitch=0.0)
 
 
+@pytest.mark.slow  # compile long pole (r4 item 6)
 def test_miss_gives_env_color():
     sb = SceneBuilder().set_env_light([0.2, 0.4, 0.6], 1.0)
     scene = sb.build()
@@ -54,6 +56,7 @@ def test_directional_light_lambert_and_shadow():
     np.testing.assert_allclose(edge, [0.7295, 0.7355, 0.7290], atol=1e-3)
 
 
+@pytest.mark.slow  # compile long pole (r4 item 6)
 def test_point_light_attenuation_formula():
     sb = SceneBuilder()
     sb.add_plane([0, 1, 0], 0.0, MaterialIds.WHITE)
