@@ -1,5 +1,5 @@
 #!/bin/bash
-# Unattended TPU measurement agenda (round 4). Run whenever the axon
+# Unattended TPU measurement agenda (round 5). Run whenever the axon
 # tunnel is reachable; every step tees its output under /tmp/tpu_r4/ so a
 # short tunnel window still yields durable measurements.
 #
@@ -17,9 +17,17 @@
 # - NEVER run two TPU jobs at once (A/Bs go to garbage).
 # - tools/hlo_cycles.py (static cycle model) is DEPRECATED for decisions
 #   — it mispriced the fused setup kernel 30x and the glyph select 16x.
+# - Naive single-readback timings carry the FULL ~30 ms RTT per rep;
+#   shallow slopes (reps=2, depths 2/8) can read 4x. Use depths >=(4,16),
+#   >=3 reps, record spread (see PARITY 'Measurement gotchas').
+# - The tunnel device drifts ~±10% across minutes: cross-process numbers
+#   are not comparable; only same-process interleaved arms are evidence.
+# - 1-D gathers/scatters at 100k+ elements are element-rate kCustom ops;
+#   permutations must be lax.sort on a unique composite key (PARITY
+#   'Optimization doctrine').
 set -u
 cd "$(dirname "$0")/.."
-OUT=/tmp/tpu_r4
+OUT=/tmp/tpu_r5
 mkdir -p "$OUT"
 
 probe() {
@@ -48,9 +56,12 @@ run() {
   timeout 600 python tools/check_exact_tpu.py 2>&1 | tee "$OUT/exact.txt"
   echo "=== 4/5 full bench (all configs) ==="
   timeout 3600 python bench.py 2>&1 | tee "$OUT/bench_full.txt"
-  echo "=== 5/5 end-to-end identity + slope of the landed defaults ==="
+  echo "=== 5/6 end-to-end identity + slope of the landed defaults ==="
   timeout 1500 python tools/ab_slope.py s8 s8mxuhi s8packhi --reps 5 \
     2>&1 | tee "$OUT/ab_identity.txt"
+  echo "=== 6/6 adaptive-PT throughput win (r4 feature; expect ~2x) ==="
+  timeout 1200 python tools/exp_pt_adaptive.py --rows 540 --cols 960 \
+    --spp 8 --cap 32 --tol 0.12 --reps 2 2>&1 | tee "$OUT/adaptive.txt"
   echo "agenda done; outputs in $OUT"
 }
 
