@@ -81,6 +81,33 @@ def test_progressive_pt_reduces_variance():
     assert np.isfinite(np.asarray(d)).all()
 
 
+def test_progressive_poll_done_lags_then_stops():
+    """poll_done is the pipelined convergence probe: it must never fire
+    while pixels are active, must fire within `lag` batches once every
+    pixel froze, and must not consume probes newer than the lag window
+    (the async transfer may not have landed)."""
+    cfg = Config(path_tracer=PathTracerConfig(samples_per_batch=4,
+                                              max_bounces=2),
+                 adaptive=AdaptiveConfig(max_tolerance=1e9, max_samples=4))
+    # tolerance 1e9: every pixel converges as soon as k >= 2 samples, so
+    # convergence lands at a known, early step
+    scene = create_demo_scene().build()
+    p = ProgressivePathTracer(cfg, scene, rows=8, cols=12)
+    fired_at = None
+    for i in range(1, 10):
+        p.step(scene.camera)
+        if p.poll_done() and fired_at is None:
+            fired_at = i
+            break
+    assert fired_at is not None, "poll never fired after convergence"
+    # sync ground truth: by the time poll fired, the state really is done
+    assert p.done
+    # and it fired within lag(2) of the true convergence step (the CI
+    # test passes once Welford has a variance, k>=2 -> converged by
+    # step 3 -> that probe is consumable at step 5)
+    assert fired_at <= 5
+
+
 def test_checkpoint_roundtrip_framestate(tmp_path):
     from ascii_renderer_tpu.sim.framestep import FrameState
     cam = Camera.create(pos=(1, 2, 3), yaw=0.5)
