@@ -57,10 +57,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "(the reference's dormant adaptive pipeline, "
                         "js/render/renderer.js:101-210, revived)")
     p.add_argument("--out", default=None, help="output file (text or png)")
-    p.add_argument("--pixel-aspect", type=float, default=None,
-                   help="character cell width/height ratio; default: "
+    p.add_argument("--pixel-aspect", type=_positive_float, default=None,
+                   help="character cell width/height ratio (> 0); default: "
                         "measured from the terminal in --mode term "
                         "(TIOCGWINSZ), else the config default (0.5)")
+    p.add_argument("--cell", default=None, metavar="WxH",
+                   help="--mode image/pixels: glyph cell size in device "
+                        "pixels, e.g. 16x32 — bakes a fresh glyph atlas at "
+                        "that size (the reference bakes at the live page's "
+                        "device-pixel cell size, js/ascii_pass.js:20-86,"
+                        "304-326); default: the cached 8x16 asset")
+    p.add_argument("--font", default=None, metavar="PATH",
+                   help="--mode image/pixels: TTF font file for --cell "
+                        "baking (default: DejaVuSansMono)")
     p.add_argument("--fps", type=float, default=None, help="target fps cap")
     p.add_argument("--scene", default=None,
                    help="unified-schema scene JSON to render instead of the "
@@ -72,6 +81,32 @@ def build_parser() -> argparse.ArgumentParser:
 
 _ALIASES = {"pt": "pathtrace", "rt": "raytrace", "r": "raster",
             "path": "pathtrace", "ray": "raytrace", "rasterizer": "raster"}
+
+
+def _positive_float(s: str) -> float:
+    """argparse type: a strictly positive float. Rejects 0 (which a
+    truthiness gate would silently ignore) and negatives (which would
+    mirror-flip the image via a negative NDC aspect)."""
+    v = float(s)
+    if not v > 0:
+        raise argparse.ArgumentTypeError(f"must be > 0, got {s}")
+    return v
+
+
+def _glyph_atlas_from_args(args):
+    """--cell WxH [--font PATH] -> freshly baked glyph atlas (None = the
+    cached 8x16 asset). The reference bakes its atlas from the live page
+    font at device-pixel cell size every session (js/ascii_pass.js:20-86)."""
+    if not getattr(args, "cell", None):
+        return None
+    try:
+        w, h = (int(v) for v in args.cell.lower().split("x"))
+        if w <= 0 or h <= 0:
+            raise ValueError
+    except ValueError:
+        raise SystemExit(f'error: --cell expects WxH, got "{args.cell}"')
+    from ascii_renderer_tpu.ascii.glyphs import bake_glyph_atlas
+    return bake_glyph_atlas(w, h, font_path=getattr(args, "font", None))
 
 
 def config_from_args(args) -> Config:
@@ -93,8 +128,9 @@ def config_from_args(args) -> Config:
         kw["default_backend"] = _ALIASES.get(args.backend, args.backend)
     if args.spp:
         kw["path_tracer"] = PathTracerConfig(samples_per_batch=args.spp)
-    if getattr(args, "pixel_aspect", None):
-        kw["pixel_aspect"] = args.pixel_aspect
+    pa = getattr(args, "pixel_aspect", None)
+    if pa is not None:  # `is not None`, not truthiness: 0 must error via
+        kw["pixel_aspect"] = pa  # the argparse type, never be ignored
     return cfg.replace(**kw) if kw else cfg
 
 
@@ -278,7 +314,7 @@ def run_pixels(args) -> int:
                                          builder=_builder_from_args(args))
     from ascii_renderer_tpu.ascii.ascii_pass import AsciiPass
 
-    p = AsciiPass(cfg)
+    p = AsciiPass(cfg, glyph_atlas=_glyph_atlas_from_args(args))
     ins = CameraInputs.from_keys(())
     fps_val = float(cfg.target_fps)
     out_path = args.out or "frames.rgb"
@@ -319,7 +355,7 @@ def run_image(args) -> int:
     state, chars, tint, _frame = step(scene, state, ins, 1.0 / 60.0,
                                       float(cfg.target_fps))
     from ascii_renderer_tpu.ascii.ascii_pass import AsciiPass
-    p = AsciiPass(cfg)
+    p = AsciiPass(cfg, glyph_atlas=_glyph_atlas_from_args(args))
     img = np.asarray(p._expand(chars, tint, p.atlas))
     out = args.out or "frame.png"
     from PIL import Image
@@ -391,12 +427,20 @@ _KNOWN_BACKENDS = ("pathtrace", "raytrace", "raster")
 
 def run_term(args) -> int:
     """Raw-ANSI 24-bit color loop via the native termblit encoder: WASD
-    move, arrows look, q quits. Uses the alternate screen buffer."""
+    move, arrows look, p pauses for text selection, q quits. Uses the
+    alternate screen buffer.
+
+    Selection pause (the reference's leave-pointer-lock-to-copy UX,
+    js/text_overlay.js:188-238): press ``p`` — the frame freezes and
+    mouse reporting turns OFF, so the terminal's native click-drag
+    selection and copy work on the frozen glyphs; press any key to
+    resume (the keypress is consumed)."""
     import select
     import termios
     import tty
 
     from ascii_renderer_tpu.app.termblit import TermBlitter
+    from ascii_renderer_tpu.app.terminput import TermInput
     from ascii_renderer_tpu.utils.profiling import FrameStats
 
     if not sys.stdin.isatty() or not sys.stdout.isatty():
@@ -427,11 +471,8 @@ def run_term(args) -> int:
         # with SGR coordinates (1006) -> pointer-look, js/main.js:108-118
         out.write(b"\x1b[?1049h\x1b[?25l\x1b[2J\x1b[?1003h\x1b[?1006h")
         out.flush()
-        keymap = {"w": "w", "a": "a", "s": "s", "d": "d", " ": " ",
-                  "A": "arrowup", "B": "arrowdown", "C": "arrowright",
-                  "D": "arrowleft"}
+        ti = TermInput(mouse_scale=MOUSE_SCALE)
         last = time.perf_counter()
-        mouse_at = None  # last SGR mouse cell (x, y)
         pending = None  # frame in flight (dispatch-ahead double buffer)
         while True:
             now = time.perf_counter()
@@ -440,39 +481,24 @@ def run_term(args) -> int:
                 time.sleep(frame_interval - dt)
                 continue
             last = now
-            keys = set()
-            mdx = mdy = 0.0
+            ti.reset_frame()
             while select.select([fd], [], [], 0)[0]:
-                ch = os.read(fd, 1).decode(errors="ignore")
-                if ch == "q" or ch == "\x03":
-                    return 0
-                if ch == "\x1b":  # CSI sequence (arrow key or SGR mouse)
-                    seq = ""
-                    while select.select([fd], [], [], 0)[0] and len(seq) < 16:
-                        seq += os.read(fd, 1).decode(errors="ignore")
-                        if seq[-1].isalpha() or seq[-1] == "~":
-                            break
-                    if len(seq) == 2 and seq[0] == "[" and seq[1] in "ABCD":
-                        keys.add(keymap[seq[1]])
-                    elif (seq.startswith("[<")
-                          and seq[-1] in "Mm"):  # SGR mouse event
-                        try:
-                            b, mx, my = (int(v) for v in
-                                         seq[2:-1].split(";"))
-                        except ValueError:
-                            continue
-                        if b & 3 == 0 and seq[-1] == "M" and not b & 32:
-                            # left click -> ripple at the cell
-                            state = state.add_ripple(mx - 1, my - 1)
-                        if mouse_at is not None:
-                            mdx += (mx - mouse_at[0]) * MOUSE_SCALE
-                            mdy += (my - mouse_at[1]) * MOUSE_SCALE
-                        mouse_at = (mx, my)
-                    continue
-                k = keymap.get(ch)
-                if k:
-                    keys.add(k)
-            ins = CameraInputs.from_keys(keys, mouse_dx=mdx, mouse_dy=mdy)
+                ti.feed(os.read(fd, 64))
+            if ti.quit:
+                return 0
+            for cx, cy in ti.clicks:
+                state = state.add_ripple(cx, cy)
+            for tr in ti.transitions:
+                if tr == "pause":  # free the terminal's native selection
+                    out.write(b"\x1b[?1006l\x1b[?1003l")
+                else:  # resume: restore mouse-look reporting
+                    out.write(b"\x1b[?1003h\x1b[?1006h")
+                out.flush()
+            if ti.paused:  # frozen frame; nothing to render or draw
+                time.sleep(0.05)
+                continue
+            ins = CameraInputs.from_keys(ti.keys, mouse_dx=ti.mdx,
+                                         mouse_dy=ti.mdy)
             # dispatch-ahead pipelining (fbA/fbB, js/main.js:364-375):
             # kick frame N, then materialize + display frame N-1 while N
             # renders — loop FPS tracks device FPS, not device + readback

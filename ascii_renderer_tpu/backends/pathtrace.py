@@ -727,11 +727,18 @@ class PathtraceBackend:
         from ascii_renderer_tpu.core.config import Config
         self.cfg = cfg or Config()
         self._scene: SceneData | None = None
+        self._packed = None
         self._fns = {}
         self._frame_idx = 0
 
     def set_scene(self, scene: SceneData):
         self._scene = scene
+        # Precompute the kernel entry pack ONCE per scene: re-deriving it
+        # from the traced SceneData inside the frame jit makes the whole
+        # frame ~2x slower on TPU (tools/exp_pt_scenearg.py). The arrays
+        # are passed as jit ARGUMENTS each frame (candidate fix B), so a
+        # same-shape scene swap reuses the compiled program.
+        self._packed = pack_scene_entries(scene)
 
     def render(self, time_sec, camera: Camera, rows: int, cols: int,
                pixel_aspect: float = 1.0) -> Frame:
@@ -744,22 +751,30 @@ class PathtraceBackend:
         ah, aw = self._scene.atlas_a.shape
         atlas_ok = not (ah > 1 and aw > 1) or ah * aw <= MAX_ATLAS_TEXELS
         use_kernel = jax.default_backend() == "tpu" and atlas_ok
-        k = (rows, cols, float(pixel_aspect), use_kernel)
+        pp, af, p_aw, p_ah, p_sr = self._packed
+        # the pack's static shape params key the compiled program (they
+        # are kernel shape args); the pack arrays themselves are traced
+        k = (rows, cols, float(pixel_aspect), use_kernel, p_aw, p_ah, p_sr)
         fn = self._fns.get(k)
         if fn is None:
-            fn = jax.jit(functools.partial(
-                render_pt, rows=rows, cols=cols, pixel_aspect=pixel_aspect,
-                spp=pt.samples_per_batch, bounces=pt.max_bounces,
-                light_color=pt.light_color, nee=pt.direct_light_sampling,
-                use_kernel=use_kernel))
+            def fn(scene, cam, t, key, pp, af, _aw=p_aw, _ah=p_ah,
+                   _sr=p_sr):
+                return render_pt(
+                    scene, cam, t, key, rows=rows, cols=cols,
+                    pixel_aspect=pixel_aspect, spp=pt.samples_per_batch,
+                    bounces=pt.max_bounces, light_color=pt.light_color,
+                    nee=pt.direct_light_sampling, use_kernel=use_kernel,
+                    packed=(pp, af, _aw, _ah, _sr) if use_kernel else None)
+            fn = jax.jit(fn)
             self._fns[k] = fn
         key = jax.random.key(self._frame_idx)
         self._frame_idx += 1
-        rgb, a = fn(self._scene, camera, jnp.float32(time_sec), key)
+        rgb, a = fn(self._scene, camera, jnp.float32(time_sec), key, pp, af)
         return Frame.from_float(rgb, a)
 
     def dispose(self):
         self._scene = None
+        self._packed = None
         self._fns = {}
 
 

@@ -174,7 +174,8 @@ class ProgressivePathTracer:
                  cols: int | None = None, use_kernel: bool | None = None,
                  adaptive_skip: bool = True):
         import functools
-        from ascii_renderer_tpu.backends.pathtrace import render_pt
+        from ascii_renderer_tpu.backends.pathtrace import (
+            render_pt, pack_scene_entries)
 
         self.cfg = cfg
         self.rows = rows or cfg.grid_height
@@ -184,6 +185,17 @@ class ProgressivePathTracer:
         ad = cfg.adaptive
         if use_kernel is None:  # megakernel on real TPU, channel core else
             use_kernel = jax.default_backend() == "tpu"
+        # Kernel scene pack precomputed ONCE (deriving it from the traced
+        # SceneData inside the step jit costs ~2x the frame on TPU,
+        # tools/exp_pt_scenearg.py); the arrays ride as jit args so a
+        # same-shape scene swap would not retrace. aw/ah/sph_rows are
+        # static kernel shape params, closed over.
+        self._pack_args = ()
+        pk_static = None
+        if use_kernel:
+            pp, af, aw, ah, sr = pack_scene_entries(scene)
+            self._pack_args = (pp, af)
+            pk_static = (aw, ah, sr)
         render = functools.partial(
             render_pt, rows=self.rows, cols=self.cols,
             pixel_aspect=cfg.pixel_aspect, spp=pt.samples_per_batch,
@@ -191,7 +203,7 @@ class ProgressivePathTracer:
             nee=pt.direct_light_sampling, use_kernel=use_kernel)
         skip = adaptive_skip and ad.enabled and use_kernel
 
-        def _step(state, scene, camera, t, key):
+        def _step(state, scene, camera, t, key, *pack):
             pa = None
             if skip:
                 act_pre = active_mask(
@@ -200,7 +212,9 @@ class ProgressivePathTracer:
                 moved = jnp.any(
                     jnp.abs(_signature(camera) - state.cam_sig) > 1e-7)
                 pa = act_pre | moved
-            rgb, a = render(scene, camera, t, key, pixel_active=pa)
+            packed = (pack + pk_static) if pack else None
+            rgb, a = render(scene, camera, t, key, pixel_active=pa,
+                            packed=packed)
             state, display, act = accumulate(
                 state, rgb, camera, max_tolerance=ad.max_tolerance,
                 max_samples=ad.max_samples,
@@ -214,14 +228,21 @@ class ProgressivePathTracer:
         self.state = AccumState.create(self.rows, self.cols)
         self._batch = 0
         import collections
-        self._inflight = collections.deque()
+        # bounded: a caller that steps without ever polling (debug paths,
+        # long interactive loops) must not grow the probe queue and its
+        # retained device scalars without bound. Dropping the OLDEST
+        # probe is safe for poll_done's contract — convergence is
+        # monotone between camera moves, so any later probe reads the
+        # same-or-fewer active pixels.
+        self._inflight = collections.deque(maxlen=64)
 
     def step(self, camera: Camera, time_sec: float = 0.0):
         """One refinement batch. Returns (display_rgb, alpha, active_mask)."""
         key = jax.random.key(self._batch)
         self._batch += 1
         self.state, display, a, act = self._step_fn(
-            self.state, self.scene, camera, jnp.float32(time_sec), key)
+            self.state, self.scene, camera, jnp.float32(time_sec), key,
+            *self._pack_args)
         # pipelined convergence probe: start the tiny any-active readback
         # now; poll_done() consumes it `lag` steps later, by which time
         # the async transfer has landed — no tunnel round trip, no

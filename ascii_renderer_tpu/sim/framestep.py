@@ -67,7 +67,7 @@ class FrameState:
 
 def _render_rgb_a(backend: str, scene: SceneData, cam: Camera, time_s,
                   key, cfg: Config, rows: int, cols: int, soup=None,
-                  raster_caps=None):
+                  raster_caps=None, pt_packed=None):
     """Dispatch to a backend's pure render function (static choice — swapping
     backends selects a different compiled program, gpu_renderer.js:68-80)."""
     if backend == "raytrace":
@@ -118,12 +118,24 @@ def _render_rgb_a(backend: str, scene: SceneData, cam: Camera, time_s,
         return rgb, None, jnp.int32(0)
     if backend == "pathtrace":
         from ascii_renderer_tpu.backends.pathtrace import render_pt
+        from ascii_renderer_tpu.ops.pt_kernel import MAX_ATLAS_TEXELS
         pt = cfg.path_tracer
+        # Pallas megakernel on TPU (same gate as PathtraceBackend.render);
+        # the XLA core on CPU / oversized atlases. pt_packed — the scene
+        # pack precomputed OUTSIDE the frame jit (demo_setup does) — is
+        # what keeps the kernel-path frame at full speed: deriving the
+        # pack from the traced SceneData every frame costs ~2x the frame
+        # (tools/exp_pt_scenearg.py).
+        ah, aw = scene.atlas_a.shape
+        atlas_ok = not (ah > 1 and aw > 1) or ah * aw <= MAX_ATLAS_TEXELS
+        use_kernel = jax.default_backend() == "tpu" and atlas_ok
         rgb, a = render_pt(scene, cam, time_s, key, rows=rows, cols=cols,
                            pixel_aspect=cfg.pixel_aspect,
                            spp=pt.samples_per_batch, bounces=pt.max_bounces,
                            light_color=pt.light_color,
-                           nee=pt.direct_light_sampling)
+                           nee=pt.direct_light_sampling,
+                           use_kernel=use_kernel,
+                           packed=pt_packed if use_kernel else None)
         return rgb, a, jnp.int32(0)
     raise ValueError(f"unknown backend {backend!r}")
 
@@ -131,7 +143,7 @@ def _render_rgb_a(backend: str, scene: SceneData, cam: Camera, time_s,
 
 
 def _step_body(cfg: Config, backend: str, rows: int, cols: int, soup,
-               raster_caps, scene: SceneData, state: FrameState,
+               raster_caps, pt_packed, scene: SceneData, state: FrameState,
                inputs: CameraInputs, dt_s, fps):
     """One frame, unjitted: update_camera -> backend render -> UI char
     plane -> alpha-protocol composite -> glyph decision."""
@@ -142,7 +154,8 @@ def _step_body(cfg: Config, backend: str, rows: int, cols: int, soup,
 
     rgb, a, overflow = _render_rgb_a(backend, scene, cam, time_ms / 1000.0,
                                      key, cfg, rows, cols, soup=soup,
-                                     raster_caps=raster_caps)
+                                     raster_caps=raster_caps,
+                                     pt_packed=pt_packed)
     frame = Frame.from_float(rgb, a)
 
     ui_chars, ui_mask = ui_mod.ui_char_plane(
@@ -162,7 +175,7 @@ def _step_body(cfg: Config, backend: str, rows: int, cols: int, soup,
 
 def make_frame_step(cfg: Config, backend: str | None = None,
                     rows: int | None = None, cols: int | None = None,
-                    soup=None, raster_caps=None) -> Callable:
+                    soup=None, raster_caps=None, pt_packed=None) -> Callable:
     """Build the jitted frame step:
 
       step(scene, state, inputs, dt_s, fps) ->
@@ -181,17 +194,24 @@ def make_frame_step(cfg: Config, backend: str | None = None,
     regrown caps. A 2-tuple (v_cap, big_cap) selects the mid-scale channel
     pipeline with the same overflow reporting. With raster_caps=None the
     uncapped exact path runs and raster_overflow is always 0.
+
+    pt_packed (backend='pathtrace', TPU kernel path only): the
+    pack_scene_entries(scene) 5-tuple, precomputed once per scene and
+    closed over — it must describe the SAME scene passed at call time
+    (exactly as `soup` must for raster). demo_setup wires it; without it
+    the step re-derives the pack inside the jit at ~2x frame cost.
     """
     backend = backend or cfg.default_backend
     rows = rows or cfg.grid_height
     cols = cols or cfg.grid_width
     return jax.jit(functools.partial(_step_body, cfg, backend, rows, cols,
-                                     soup, raster_caps))
+                                     soup, raster_caps, pt_packed))
 
 
 def make_batched_frame_step(cfg: Config, backend: str | None = None,
                             rows: int | None = None, cols: int | None = None,
-                            soup=None, raster_caps=None) -> Callable:
+                            soup=None, raster_caps=None,
+                            pt_packed=None) -> Callable:
     """Multi-frame batched dispatch (SURVEY §7: "render N frames per host
     callback"): lax.scan the fused frame step over a frame sequence so
     per-dispatch host overhead amortizes across N frames.
@@ -208,7 +228,7 @@ def make_batched_frame_step(cfg: Config, backend: str | None = None,
     rows = rows or cfg.grid_height
     cols = cols or cfg.grid_width
     body = functools.partial(_step_body, cfg, backend, rows, cols, soup,
-                             raster_caps)
+                             raster_caps, pt_packed)
 
     def step_n(scene: SceneData, state: FrameState, inputs_seq, dt_seq, fps):
         def scan_body(st, xs):
@@ -252,13 +272,18 @@ def demo_setup(cfg: Config | None = None, backend: str | None = None,
     # the default min_pad=8)
     scene = sb.build(min_pad=1)
     soup = None
+    pt_packed = None
     if backend == "raster":
         from ascii_renderer_tpu.geom.tessellate import tessellate_scene
         p, n, c = tessellate_scene(scene)
         soup = (jnp.asarray(p), jnp.asarray(n), jnp.asarray(c))
+    elif backend == "pathtrace":
+        from ascii_renderer_tpu.backends.pathtrace import pack_scene_entries
+        pt_packed = pack_scene_entries(scene)
     state = FrameState.create(scene.camera)
     if batch > 0:
-        step = make_batched_frame_step(cfg, backend, soup=soup)
+        step = make_batched_frame_step(cfg, backend, soup=soup,
+                                       pt_packed=pt_packed)
     else:
-        step = make_frame_step(cfg, backend, soup=soup)
+        step = make_frame_step(cfg, backend, soup=soup, pt_packed=pt_packed)
     return cfg, scene, state, step

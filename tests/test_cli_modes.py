@@ -58,3 +58,39 @@ def test_pixels_mode_streams_frames(tmp_path, capsys):
     assert (frames == 255).any()
     # raytrace demo fixture renders content -> non-white pixels exist too
     assert (frames < 250).any()
+
+
+def test_image_mode_custom_cell_size(tmp_path):
+    """--cell WxH bakes a fresh glyph atlas at that device-pixel cell size
+    (the reference bakes from the live page font at device-pixel size,
+    js/ascii_pass.js:20-86,304-326): output PNG dims = grid x cell."""
+    out = tmp_path / "frame.png"
+    rc = main(["--mode", "image", "--backend", "raytrace", "--rows", "6",
+               "--cols", "12", "--no-modal", "--cell", "16x32",
+               "--out", str(out)])
+    assert rc == 0
+    from PIL import Image
+    img = Image.open(out)
+    assert img.size == (12 * 16, 6 * 32)
+
+
+def test_cell_flag_rejects_garbage():
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["--mode", "image", "--cell", "16by32"])
+
+
+def test_pixel_aspect_flag_validation(capsys):
+    """--pixel-aspect 0 / negative must error (a truthiness gate silently
+    ignored 0 and a negative value mirror-flipped the image)."""
+    import pytest
+    for bad in ("0", "-0.5"):
+        with pytest.raises(SystemExit):
+            main(["--pixel-aspect", bad, "--frames", "1"])
+        assert "must be > 0" in capsys.readouterr().err
+
+
+def test_pixel_aspect_flag_applies():
+    from ascii_renderer_tpu.app.cli import build_parser, config_from_args
+    args = build_parser().parse_args(["--pixel-aspect", "0.7"])
+    assert config_from_args(args).pixel_aspect == 0.7

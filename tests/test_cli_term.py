@@ -114,3 +114,73 @@ def test_measure_terminal_pixel_aspect_fake_ioctl(monkeypatch):
     monkeypatch.setattr(fcntl, "ioctl",
                         fake_ioctl(struct.pack("HHHH", 1, 1000, 4, 1000)))
     assert cli.measure_terminal_pixel_aspect(fd=0, fallback=0.5) == 0.5
+
+
+# ---------------------------------------------------------------------------
+# TermInput state machine (no TTY needed): parsing + the selection pause
+# (the reference's leave-pointer-lock-to-copy UX, js/text_overlay.js:188-238)
+# ---------------------------------------------------------------------------
+from ascii_renderer_tpu.app.terminput import TermInput  # noqa: E402
+
+
+def test_terminput_keys_and_arrows():
+    ti = TermInput()
+    ti.feed(b"w d")
+    ti.feed(b"\x1b[A\x1b[D")
+    assert ti.keys == {"w", "d", " ", "arrowup", "arrowleft"}
+    assert not ti.quit and not ti.paused
+    ti.reset_frame()
+    assert ti.keys == set() and ti.mdx == 0.0
+
+
+def test_terminput_mouse_look_and_click():
+    ti = TermInput(mouse_scale=8.0)
+    ti.feed(b"\x1b[<35;10;5M")   # motion -> anchor
+    ti.feed(b"\x1b[<35;14;6M")   # motion -> delta (4, 1) cells
+    assert ti.mdx == 4 * 8.0 and ti.mdy == 1 * 8.0
+    ti.feed(b"\x1b[<0;3;2M")     # left press -> click at 0-based (2, 1)
+    assert (2, 1) in ti.clicks
+
+
+def test_terminput_quit():
+    ti = TermInput()
+    ti.feed(b"q")
+    assert ti.quit
+    ti2 = TermInput()
+    ti2.feed(b"\x03")
+    assert ti2.quit
+
+
+def test_terminput_selection_pause_cycle():
+    """p pauses (transition emitted once), mouse reports while paused are
+    ignored, any key resumes and is CONSUMED (no quit, no movement), and
+    the mouse anchor resets so resume doesn't jerk the camera."""
+    ti = TermInput(mouse_scale=8.0)
+    ti.feed(b"\x1b[<35;10;5M")  # set an anchor pre-pause
+    ti.feed(b"p")
+    assert ti.paused and ti.transitions == ["pause"]
+    ti.feed(b"\x1b[<35;20;9M")  # late mouse report: ignored
+    assert ti.mdx == 0.0 and ti.mdy == 0.0
+    ti.feed(b"q")  # wake key: resumes, does NOT quit
+    assert not ti.paused and not ti.quit
+    assert ti.transitions == ["pause", "resume"]
+    ti.feed(b"\x1b[<35;30;9M")  # first post-resume report only re-anchors
+    assert ti.mdx == 0.0 and ti.mdy == 0.0
+    ti.feed(b"\x1b[<35;31;9M")
+    assert ti.mdx == 8.0
+    # the consumed wake key left no movement behind
+    assert ti.keys == set()
+
+
+def test_terminput_pause_resume_within_one_frame():
+    ti = TermInput()
+    ti.feed(b"p" + b"x")
+    assert not ti.paused
+    assert ti.transitions == ["pause", "resume"]
+
+
+def test_terminput_malformed_csi_resyncs():
+    ti = TermInput()
+    ti.feed(b"\x1b[<garbage-that-never-terminates-000")
+    ti.feed(b"w")
+    assert "w" in ti.keys

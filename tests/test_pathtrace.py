@@ -220,3 +220,43 @@ def test_pack_padding_entries_keep_bad_always_invariant():
     pad_tris = tri_region & (kinds == 0.0)
     assert pad_tris.any(), "fixture needs a padded tri tail"
     assert (ent[pad_tris, PK.C_BADS] >= 1e30).all()
+
+
+def test_precomputed_pack_bit_identical():
+    """render_pt with the scene pack precomputed and passed as arrays
+    (the production form: PathtraceBackend.set_scene / Progressive-
+    PathTracer precompute once, tools/exp_pt_scenearg.py fix B) must be
+    bit-identical to deriving the pack inside the jit."""
+    sb = create_demo_scene()
+    sb.set_atlas(demo_atlas())
+    scene = sb.build(min_pad=1)
+    cam = Camera.create(pos=(0, 2.5, 6), yaw=-np.pi / 2)
+    kw = dict(rows=8, cols=16, pixel_aspect=0.5, spp=2, bounces=2,
+              light_color=(16.86, 10.76, 8.2), use_kernel=True)
+    key = jax.random.key(11)
+
+    rgb_a, a_a = jax.jit(lambda s, c: PT.render_pt(
+        s, c, jnp.float32(0.0), key, **kw))(scene, cam)
+    pp, af, aw, ah, sr = PT.pack_scene_entries(scene)
+    rgb_b, a_b = jax.jit(lambda s, c, pp, af: PT.render_pt(
+        s, c, jnp.float32(0.0), key, packed=(pp, af, aw, ah, sr),
+        **kw))(scene, cam, pp, af)
+    np.testing.assert_array_equal(np.asarray(rgb_a), np.asarray(rgb_b))
+    np.testing.assert_array_equal(np.asarray(a_a), np.asarray(a_b))
+
+
+def test_backend_uses_precomputed_pack():
+    """PathtraceBackend.set_scene precomputes the kernel entry pack and
+    render() consumes it (the ~2x frame-cost fix must be LANDED in the
+    production caller, not only available)."""
+    from ascii_renderer_tpu.backends.pathtrace import PathtraceBackend
+    from ascii_renderer_tpu.core.config import Config
+
+    b = PathtraceBackend(Config(pixel_aspect=1.0))
+    scene = create_demo_scene().build(min_pad=1)
+    b.set_scene(scene)
+    assert b._packed is not None and len(b._packed) == 5
+    f = b.render(0.0, scene.camera, 6, 12)
+    assert np.asarray(f.rgb).shape == (6, 12, 3)
+    b.dispose()
+    assert b._packed is None
