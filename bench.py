@@ -68,7 +68,55 @@ def _time_fn_stats(fn, args, warmup=2, iters=8, reps=3):
     return med, (ts[-1] - ts[0]) / med
 
 
-def _time_fn_slope(fn, args, n1=32, n2=128, reps=3):
+_CANARY = {"fn": None, "times": []}
+# Drift-gate policy (PARITY.md "Measurement gotchas": the tunnel device
+# drifts ~±10% across minutes; only same-process interleaved arms are
+# evidence). A rep is accepted only if the fixed-canary arms bracketing
+# it sit within CANARY_TOL of the session-wide canary median.
+CANARY_TOL = 0.10       # max relative deviation of a rep's canary arms
+SPREAD_TARGET = 0.10    # resample until accepted-rep spread <= this
+SPREAD_IMPOSSIBLE = 0.25  # beyond this the fit is untrustworthy outright
+
+
+def _canary_arm():
+    """One timed arm of the fixed drift canary: 32 back-to-back dispatches
+    of a jitted 8x chained 1024^3 bf16 matmul (~137 GFLOP — compute-bound,
+    scene-independent). Every arm lands in a session-wide list; the median
+    over ALL arms is the session's device-speed reference. A slope rep is
+    trusted only if the arms bracketing it agree with that median — this
+    is PARITY.md's same-process-canary doctrine applied to the bench of
+    record itself (VERDICT r4 item 1)."""
+    import jax
+    import jax.numpy as jnp
+    if _CANARY["fn"] is None:
+        x = jnp.ones((1024, 1024), jnp.bfloat16)
+
+        def chain(x):
+            for _ in range(8):
+                x = (x @ x) * jnp.bfloat16(1.0 / 1024.0)
+            return x
+
+        f = jax.jit(chain)
+        _materialize(f(x))
+        _CANARY["fn"] = (f, x)
+    f, x = _CANARY["fn"]
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(32):
+        out = f(x)
+    _materialize(out)
+    dt = (time.perf_counter() - t0) / 32
+    _CANARY["times"].append(dt)
+    return dt
+
+
+def _median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
+
+
+def _time_fn_slope(fn, args, n1=32, n2=128, reps=3, gate=None,
+                   max_extra=4, clock=None, canary=None):
     """True streaming per-call cost: the SLOPE of total time between two
     async-dispatch queue depths, one trailing host readback each.
 
@@ -76,29 +124,112 @@ def _time_fn_slope(fn, args, n1=32, n2=128, reps=3):
     RTT through the axon proxy) over `iters`, which still inflates a
     ~1.5 ms frame by ~0.5 ms at iters=64. The slope subtracts every
     fixed cost exactly, leaving device compute + per-dispatch enqueue —
-    what a streaming consumer actually pays per frame. Returns
-    (per_call, rtt_estimate, spread) with per-rep interleaving so
-    process-level tunnel drift cancels within each rep."""
+    what a streaming consumer actually pays per frame.
+
+    DRIFT-GATED (VERDICT r4 item 1): each rep is bracketed by fixed
+    matmul-canary arms; a rep whose arms deviate >CANARY_TOL from the
+    session-wide canary median is REJECTED and re-sampled (at most
+    `max_extra` extra reps). From the accepted reps the tightest
+    `reps`-sized window (by relative spread) is the record — re-sampling
+    continues while that window's spread exceeds SPREAD_TARGET. Returns
+    (per_call, rtt_estimate, spread, meta); meta carries the audit trail:
+
+      samples_total / samples_used — reps taken vs in the record window
+      canary_ms / canary_dev — session canary median, worst used-arm dev
+      low_confidence + lc_reasons — set when the record is untrustworthy:
+        drift-rejected below `reps` clean samples, window spread above
+        SPREAD_TARGET, spread beyond SPREAD_IMPOSSIBLE, or a NEGATIVE
+        fitted RTT (an impossible intercept = the fit is noise,
+        the BENCH_r04 config-1 rtt_ms=-13.58 class; VERDICT r4 item 6).
+
+    `gate` defaults to on for the TPU backend (the canary is sized for
+    it) and off on CPU; `clock`/`canary` are injectable for unit tests
+    (tests/test_bench_gate.py feeds a synthetic drifting timer)."""
+    import jax
+    if gate is None:
+        gate = jax.default_backend() == "tpu"
+    if clock is None:
+        clock = time.perf_counter
+    if canary is None:
+        canary = _canary_arm
+
     for _ in range(2):
         _materialize(fn(*args))
-    slopes, rtts = [], []
-    for _ in range(reps):
+
+    def one_rep():
+        c0 = canary() if gate else None
         totals = []
         for n in (n1, n2):
-            t0 = time.perf_counter()
+            t0 = clock()
             out = None
             for _ in range(n):
                 out = fn(*args)
             _materialize(out)
-            totals.append(time.perf_counter() - t0)
+            totals.append(clock() - t0)
+        c1 = canary() if gate else None
         s = (totals[1] - totals[0]) / (n2 - n1)
-        slopes.append(s)
-        rtts.append(totals[0] - n1 * s)
-    slopes.sort()
-    med = slopes[len(slopes) // 2]
-    spread = (slopes[-1] - slopes[0]) / med if med > 0 else 0.0
-    rtts.sort()
-    return med, rtts[len(rtts) // 2], spread
+        return {"slope": s, "rtt": totals[0] - n1 * s, "arms": (c0, c1)}
+
+    def arm_dev(sample, med_c):
+        return max(abs(a / med_c - 1.0) for a in sample["arms"])
+
+    def accepted_of(samples):
+        if not gate:
+            return list(samples), 1.0
+        med_c = _median(_CANARY["times"]) if canary is _canary_arm else \
+            _median([a for s in samples for a in s["arms"]])
+        return ([s for s in samples
+                 if arm_dev(s, med_c) <= CANARY_TOL], med_c)
+
+    def best_window(acc):
+        """Tightest `reps`-sized window of accepted slopes (documented
+        subset choice: the record is the reps cleanest mutually-agreeing
+        samples, everything else is counted in samples_total)."""
+        acc = sorted(acc, key=lambda s: s["slope"])
+        k = min(reps, len(acc))
+        best, best_sp = acc[:k], float("inf")
+        for i in range(len(acc) - k + 1):
+            w = acc[i:i + k]
+            med = _median([s["slope"] for s in w])
+            sp = (w[-1]["slope"] - w[0]["slope"]) / med if med > 0 else 0.0
+            if sp < best_sp:
+                best, best_sp = w, sp
+        return best, best_sp
+
+    samples = [one_rep() for _ in range(reps)]
+    while True:
+        acc, _med_c = accepted_of(samples)
+        _win, sp = best_window(acc) if acc else ([], float("inf"))
+        good = len(acc) >= reps and sp <= SPREAD_TARGET
+        if good or len(samples) >= reps + max_extra:
+            break
+        samples.append(one_rep())
+
+    acc, med_c = accepted_of(samples)
+    reasons = []
+    if not acc:  # every rep drift-rejected: fall back to raw, say so
+        acc = list(samples)
+        reasons.append("all reps drift-rejected")
+    win, spread = best_window(acc)
+    if len(acc) < reps:
+        reasons.append(f"only {len(acc)}/{reps} reps passed canary gate")
+    if spread > SPREAD_IMPOSSIBLE:
+        reasons.append(f"spread {spread:.3f} > {SPREAD_IMPOSSIBLE}")
+    elif spread > SPREAD_TARGET:
+        reasons.append(f"spread {spread:.3f} > {SPREAD_TARGET} target")
+    med = _median([s["slope"] for s in win])
+    rtt = _median([s["rtt"] for s in win])
+    if rtt < 0:
+        reasons.append(f"negative fitted RTT ({rtt * 1e3:.2f} ms)")
+    meta = {"samples_total": len(samples), "samples_used": len(win)}
+    if gate:
+        meta["canary_ms"] = round(med_c * 1e3, 3)
+        meta["canary_dev"] = round(
+            max(arm_dev(s, med_c) for s in win), 3)
+    if reasons:
+        meta["low_confidence"] = True
+        meta["lc_reasons"] = reasons
+    return med, rtt, spread, meta
 
 
 _FLOOR_CACHE = {}
@@ -224,10 +355,11 @@ def _mesh_scene(mesh_fn, color, cam_pos, cam_pitch=-0.35):
     return (jnp.asarray(p), jnp.asarray(n), jnp.asarray(c)), scene, cam
 
 
-def bench_config0(smoke):
+def bench_config0(smoke, extras=False):
     """The reference's own headline workload: the default path tracer at
     96x36 cells, 64 spp, 5 bounces, demo scene with ASCII-texture atlas
-    (the browser app caps this at 60 FPS)."""
+    (the browser app caps this at 60 FPS). `extras` (--pt-extras) adds
+    the two compile-heavy atlas64 arms (weekly-agenda tier)."""
     import functools
     import jax
     import jax.numpy as jnp
@@ -250,12 +382,14 @@ def bench_config0(smoke):
     # queue-depth slope like configs 1-3: amortized iters=N still carried
     # RTT/N (~1 ms/frame at N=32 on a ~6 ms frame, i.e. the recorded
     # round-3a "125 FPS" was really ~167)
-    dt, _rtt, spread = _time_fn_slope(
+    t_arm = time.time()
+    dt, _rtt, spread, meta = _time_fn_slope(
         lambda: fn(scene, scene.camera, jnp.float32(0.0), key), (),
         n1=(4, 16)[not smoke], n2=(16, 64)[not smoke])
+    _log(f"  arm 96x36_spp{spp}: {time.time()-t_arm:.1f}s")
     out = {"fps": 1.0 / dt, "spp": spp, "grid": "96x36",
            "spread": round(spread, 3),
-           "vs_ref_60fps": round(1.0 / dt / 60.0, 3)}
+           "vs_ref_60fps": round(1.0 / dt / 60.0, 3), **meta}
 
     # ---- honest Mrays/s: measure the TRUE per-path ray count once (eye
     # segments + NEE shadow rays, RR/absorption included) on this scene,
@@ -281,6 +415,10 @@ def bench_config0(smoke):
 
     if not smoke:
         # ---- PT at headline grid: 960x540 cells, kernel path ----
+        # Stays in the DEFAULT run: this is the number whose r4 record
+        # (17.35 FPS) contradicted the docs (~40) — the official record
+        # must carry it, drift-gated (VERDICT r4 items 1+4).
+        t_arm = time.time()
         spp_hd = 8
         fn_hd = jax.jit(functools.partial(
             render_pt, rows=540, cols=960, pixel_aspect=0.5, spp=spp_hd,
@@ -289,19 +427,25 @@ def bench_config0(smoke):
         # deeper queue + 3 reps: a reps=2 n=(2,8) sample once read 91 ms
         # for a frame that measures 25 ms at every queue depth in-process
         # (tools/exp_pt_slope.py) — record spread so noise is visible
-        dt_hd, _rtt, sp_hd = _time_fn_slope(
+        dt_hd, _rtt, sp_hd, meta_hd = _time_fn_slope(
             lambda: fn_hd(scene, scene.camera, jnp.float32(0.0), key), (),
             n1=4, n2=16, reps=3)
         out["fps_960x540_spp8"] = round(1.0 / dt_hd, 2)
         out["spread_960x540"] = round(sp_hd, 3)
         out["mrays_s_960x540"] = round(
             (1.0 / dt_hd) * 540 * 960 * spp_hd * rays_per_path / 1e6, 2)
-
-        # ---- big-atlas behavior: same workload, 64x64 atlas (4096
-        # texels). Under the old 1024-texel one-hot budget this fell off
-        # a cliff to the XLA core; the two-level gather handles it
-        # in-kernel. Report both: the in-kernel point (the cliff is
-        # gone) and the would-be XLA fallback (the cliff that was).
+        if meta_hd.get("low_confidence"):
+            out["low_confidence_960x540"] = meta_hd["lc_reasons"]
+        _log(f"  arm 960x540_spp8: {time.time()-t_arm:.1f}s {meta_hd}")
+    if not smoke and extras:
+        # ---- big-atlas behavior (--pt-extras: two extra compiles that
+        # dominated config 0's 1506 s r4 wall time — weekly-agenda tier,
+        # VERDICT r4 item 4): same workload, 64x64 atlas (4096 texels).
+        # Under the old 1024-texel one-hot budget this fell off a cliff
+        # to the XLA core; the two-level gather handles it in-kernel.
+        # Report both: the in-kernel point (the cliff is gone) and the
+        # would-be XLA fallback (the cliff that was).
+        t_arm = time.time()
         from ascii_renderer_tpu.atlas.io import demo_atlas
         sb2 = create_demo_scene()
         sb2.set_atlas(demo_atlas(64, 64))
@@ -310,7 +454,7 @@ def bench_config0(smoke):
             render_pt, rows=36, cols=96, pixel_aspect=0.5, spp=spp,
             bounces=5, light_color=(16.86, 10.76, 8.2),
             sample_batch=min(64, spp), use_kernel=use_kernel))
-        dt_bigk, _rtt, _sp = _time_fn_slope(
+        dt_bigk, _rtt, _sp, _m = _time_fn_slope(
             lambda: fn_bigk(scene2, scene2.camera, jnp.float32(0.0), key),
             (), n1=4, n2=16, reps=2)
         out["fps_atlas64_kernel"] = round(1.0 / dt_bigk, 2)
@@ -319,15 +463,16 @@ def bench_config0(smoke):
             render_pt, rows=36, cols=96, pixel_aspect=0.5, spp=spp,
             bounces=5, light_color=(16.86, 10.76, 8.2),
             sample_batch=min(64, spp), use_kernel=False))
-        dt_big, _rtt, _sp = _time_fn_slope(
+        dt_big, _rtt, _sp, _m = _time_fn_slope(
             lambda: fn_big(scene2, scene2.camera, jnp.float32(0.0), key),
             (), n1=4, n2=16, reps=2)
         out["fps_atlas64_fallback"] = round(1.0 / dt_big, 2)
         out["atlas_fallback_ratio"] = round(dt_big / dt, 2)
+        _log(f"  arm atlas64 x2: {time.time()-t_arm:.1f}s")
     return out
 
 
-def _rate_fields(dt, floor, tris, grid, spread, rtt):
+def _rate_fields(dt, floor, tris, grid, spread, rtt, meta=None):
     """Per-config throughput record, honest about the dispatch floor.
 
     When the fitted per-frame slope is at or below the measured
@@ -335,11 +480,14 @@ def _rate_fields(dt, floor, tris, grid, spread, rtt):
     a device-compute measurement: report dispatch_bound=true with the
     floor as the honest bound and demote the raw extrapolated numbers
     to a sub-key a reader cannot mistake for a measurement (VERDICT r3
-    item 7)."""
+    item 7). `meta` (from the drift-gated _time_fn_slope) merges in the
+    canary audit trail and any low_confidence verdict."""
     out = {"tris": tris, "grid": grid, "spread": round(spread, 3),
            "floor_ms": round(floor * 1e3, 4),
            "floor_frac": round(floor / dt, 3) if dt > 0 else None,
            "rtt_ms": round(rtt * 1e3, 2)}
+    if meta:
+        out.update(meta)
     if dt <= floor:
         out["dispatch_bound"] = True
         out["fps_bound"] = f"<= {1.0 / floor:.0f} (dispatch floor)"
@@ -362,11 +510,12 @@ def bench_config1(smoke):
     fn = _raster_ascii_fn(cfg, rows, cols)
     # slope timing like config 3: the fixed end-of-loop tunnel readback
     # cancels exactly, so a ~0.2 ms frame is measurable with <10% spread
-    dt, rtt, spread = _time_fn_slope(fn, (*soup, scene, cam),
-                                     n1=256, n2=1024)
+    dt, rtt, spread, meta = _time_fn_slope(fn, (*soup, scene, cam),
+                                           n1=256, n2=1024)
     floor = _dispatch_floor()
     tris = soup[0].shape[0] // 3
-    return _rate_fields(dt, floor, tris, f"{cols}x{rows}", spread, rtt)
+    return _rate_fields(dt, floor, tris, f"{cols}x{rows}", spread, rtt,
+                        meta)
 
 
 def bench_config2(smoke):
@@ -380,11 +529,12 @@ def bench_config2(smoke):
     caps = _probe_caps(soup, scene, cam, rows, cols, cfg.pixel_aspect)
     fn = _raster_ascii_fn(cfg, rows, cols, caps)
     # slope timing like config 3 (see bench_config1)
-    dt, rtt, spread = _time_fn_slope(fn, (*soup, scene, cam),
-                                     n1=192, n2=768)
+    dt, rtt, spread, meta = _time_fn_slope(fn, (*soup, scene, cam),
+                                           n1=192, n2=768)
     floor = _dispatch_floor()
     tris = soup[0].shape[0] // 3
-    return _rate_fields(dt, floor, tris, f"{cols}x{rows}", spread, rtt)
+    return _rate_fields(dt, floor, tris, f"{cols}x{rows}", spread, rtt,
+                        meta)
 
 
 def bench_config3(smoke, batch=0):
@@ -424,10 +574,11 @@ def bench_config3(smoke, batch=0):
     # ~30 ms tunnel readback RTT subtracted exactly (it is a proxy
     # artifact absent in production; at iters=64 amortization it still
     # inflated a ~1.5 ms frame by ~0.5 ms)
-    # reps=5: the tunnel device drifts ~±10% across minutes (an
-    # in-process A/B read 0.78 ms for a frame this harness read 0.97 ms
-    # forty minutes later); a 5-rep median damps a one-rep excursion
-    dt1, rtt, spread = _time_fn_slope(
+    # reps=5 + drift gate: the tunnel device drifts ~±10% across minutes
+    # (an in-process A/B read 0.78 ms for a frame this harness read
+    # 0.97 ms forty minutes later); each rep is canary-bracketed and
+    # drift-rejected reps are re-sampled (VERDICT r4 item 1)
+    dt1, rtt, spread, meta = _time_fn_slope(
         fn1, (*soup, scene, cam, pos9, attrs_t),
         n1=(8, 32)[not smoke], n2=(32, 128)[not smoke],
         reps=(3, 5)[not smoke])
@@ -435,7 +586,7 @@ def bench_config3(smoke, batch=0):
     out = {"fps": 1.0 / dt1, "tris": tris, "grid": f"{cols}x{rows}",
            "mtris_s": tris / dt1 / 1e6, "p50_ms": dt1 * 1e3,
            "spread": round(spread, 3), "floor_ms": round(floor * 1e3, 4),
-           "rtt_ms": round(rtt * 1e3, 2)}
+           "rtt_ms": round(rtt * 1e3, 2), **meta}
     if batch <= 1 or caps is None or len(caps) != 5:
         return out
 
@@ -566,13 +717,18 @@ def _exactness_verdict():
     return verdict(run_checks())
 
 
-def _headline_record(value, metric, exactness):
+def _headline_record(value, metric, exactness, head=None):
     """Assemble the JSON headline line; a failed exactness canary zeroes
     the record so BENCH_r*.json can never report a number produced by a
-    numerically wrong program (VERDICT r3 item 3)."""
+    numerically wrong program (VERDICT r3 item 3). A low_confidence
+    verdict from the drift gate rides into the headline line itself so
+    the one number the project is judged by carries its own health."""
     rec = {"metric": metric, "value": round(value, 3),
            "unit": "frames/sec", "vs_baseline": round(value / 1000.0, 4),
            "exactness": exactness}
+    if head and head.get("low_confidence"):
+        rec["low_confidence"] = True
+        rec["lc_reasons"] = head.get("lc_reasons")
     if exactness.startswith("FAIL"):
         rec["value"] = 0.0
         rec["vs_baseline"] = 0.0
@@ -587,6 +743,10 @@ def main(argv=None):
     ap.add_argument("--config", type=int, default=None, choices=[0, 1, 2, 3, 4, 5])
     ap.add_argument("--batch", type=int, default=0,
                     help="config 3: render N frames per dispatch (lax.scan)")
+    ap.add_argument("--pt-extras", action="store_true",
+                    help="config 0: also run the compile-heavy atlas64 "
+                         "kernel + XLA-fallback arms (weekly-agenda tier; "
+                         "they dominated the r4 driver wall time)")
     args = ap.parse_args(argv)
 
     # Backend-reachability watchdog: when the TPU tunnel is down, backend
@@ -629,6 +789,8 @@ def main(argv=None):
             t0 = time.time()
             if i == 3 and args.batch > 1:
                 results[i] = configs[i](args.smoke, batch=args.batch)
+            elif i == 0:
+                results[i] = configs[i](args.smoke, extras=args.pt_extras)
             else:
                 results[i] = configs[i](args.smoke)
             _log(f"config {i}: {results[i]} ({time.time()-t0:.1f}s)")
@@ -651,7 +813,7 @@ def main(argv=None):
         value,
         "fps_960x540_bunny69k_raster_to_glyphs"
         if not args.smoke else "fps_smoke_raster_to_glyphs",
-        exactness)
+        exactness, head)
     print(json.dumps(rec))
     return 1 if exactness.startswith("FAIL") else 0
 
