@@ -93,13 +93,18 @@ def _make_uniform(seed_scalar, uid_u32):
     and lane-positional, which made block-skip compaction change every
     pixel's noise)."""
     seed_u = seed_scalar.astype(jnp.uint32)
-    counter = [jnp.uint32(0)]
+    # draw index as a STATIC Python int, folded into a u32 constant per
+    # call site: a traced u32 counter cell would leak tracers across the
+    # per-bounce skip cond's region boundary (pallas then rejects the
+    # kernel for capturing constants). (k * 0x85EBCA6B) mod 2^32 equals
+    # the old u32 multiply bit-for-bit, so every draw is unchanged.
+    counter = [0]
 
     def uniform(shape):
         assert shape == uid_u32.shape
-        counter[0] = counter[0] + jnp.uint32(1)
-        x = uid_u32 ^ (seed_u * jnp.uint32(0x9E3779B1)
-                       + counter[0] * jnp.uint32(0x85EBCA6B))
+        counter[0] += 1
+        kc = jnp.uint32((counter[0] * 0x85EBCA6B) & 0xFFFFFFFF)
+        x = uid_u32 ^ (seed_u * jnp.uint32(0x9E3779B1) + kc)
         # lowbias32 finalizer (best-known 2-round 32-bit avalanche)
         x = x ^ (x >> 16)
         x = x * jnp.uint32(0x7FEB352D)
@@ -175,10 +180,8 @@ def _kernel_body(seed, params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r,
     Tr = jnp.ones((BH, BW), jnp.float32)
     Tg = jnp.ones((BH, BW), jnp.float32)
     Tb = jnp.ones((BH, BW), jnp.float32)
-    alive = jnp.ones((BH, BW), jnp.bool_)
     spec_f = jnp.ones((BH, BW), jnp.float32)  # 0/1 (Mosaic can't select i1)
     override = jnp.zeros((BH, BW), jnp.float32)
-    fetched = jnp.zeros((BH, BW), jnp.bool_)
 
     def prim_stream(ox, oy, oz, dx, dy, dz, want_attrs: bool):
         """Stream primitives in two specialized passes (sphere rows then
@@ -346,7 +349,13 @@ def _kernel_body(seed, params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r,
         inv255 = 1.0 / 255.0
         return r_ * inv255, g_ * inv255, b_ * inv255, ab, inb
 
-    for j in range(bounces):
+    def _bounce(j, rox, roy, roz, rdx, rdy, rdz, Lr, Lg, Lb, Tr, Tg, Tb,
+                alive_f, spec_f, override, fetched_f):
+        """One bounce (specialized per static j). Flags cross the
+        per-bounce skip cond as f32 0/1 (Mosaic rejects i1 vectors
+        through control-flow region boundaries)."""
+        alive = alive_f > 0.5
+        fetched = fetched_f > 0.5
         (t, nx, ny, nz, shr, shg, shb, is_light_f, is_spec_f,
          texturable_f, uvx, uvy) = prim_stream(rox, roy, roz, rdx, rdy, rdz,
                                                True)
@@ -505,38 +514,52 @@ def _kernel_body(seed, params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r,
 
         # ---- NEE (pathtrace_shader.js:159-169) ----
         if nee and j < bounces - 1:
-            h1 = _uniform((BH, BW)) * 2.0 - 1.0
-            h2 = _uniform((BH, BW)) * 6.2831853
-            sl = jnp.sqrt(jnp.maximum(1.0 - h1 * h1, 0.0))
-            lpx = lcx + lrad * sl * jnp.sin(h2)
-            lpy = lcy + lrad * sl * jnp.cos(h2)
-            lpz = lcz + lrad * h1
-            ldx = lpx - hx
-            ldy = lpy - hy
-            ldz = lpz - hz
-            dist = jnp.sqrt(jnp.maximum(ldx * ldx + ldy * ldy + ldz * ldz,
-                                        1e-24))
-            ldx = ldx / dist
-            ldy = ldy / dist
-            ldz = ldz / dist
-            sox = hx + nx * eps
-            soy = hy + ny * eps
-            soz = hz + nz * eps
-            (t_sh,) = prim_stream(sox, soy, soz, ldx, ldy, ldz, False)
-            shadowed = t_sh < dist
-            dlx = lcx - hx
-            dly = lcy - hy
-            dlz = lcz - hz
-            dd2 = jnp.maximum(dlx * dlx + dly * dly + dlz * dlz, 1e-12)
-            cam = jnp.sqrt(1.0 - jnp.clip(lrad * lrad / dd2, 0.0, 1.0))
-            wgt = 2.0 * (1.0 - cam)
-            ndl = jnp.maximum(ldx * nx + ldy * ny + ldz * nz, 0.0)
-            contrib = alive & jnp.logical_not(spec_now) & \
-                jnp.logical_not(shadowed)
-            wnd = wgt * ndl
-            Lr = jnp.where(contrib, Lr + Tr * lcr * wnd, Lr)
-            Lg = jnp.where(contrib, Lg + Tg * lcg * wnd, Lg)
-            Lb = jnp.where(contrib, Lb + Tb * lcb * wnd, Lb)
+            # Shadow-stream gate: NEE contributes only to alive diffuse
+            # lanes, so a block that is all-dead-or-specular this bounce
+            # skips the whole t-only entry stream. Bit-identical: the
+            # skip fires only when `contrib` would be all-false (every L
+            # update below is contrib-gated), and the h1/h2 draws are
+            # pure functions of (uid, seed, trace position), unchanged
+            # by the runtime branch.
+            def _nee(L3):
+                Lr, Lg, Lb = L3
+                h1 = _uniform((BH, BW)) * 2.0 - 1.0
+                h2 = _uniform((BH, BW)) * 6.2831853
+                sl = jnp.sqrt(jnp.maximum(1.0 - h1 * h1, 0.0))
+                lpx = lcx + lrad * sl * jnp.sin(h2)
+                lpy = lcy + lrad * sl * jnp.cos(h2)
+                lpz = lcz + lrad * h1
+                ldx = lpx - hx
+                ldy = lpy - hy
+                ldz = lpz - hz
+                dist = jnp.sqrt(jnp.maximum(
+                    ldx * ldx + ldy * ldy + ldz * ldz, 1e-24))
+                ldx = ldx / dist
+                ldy = ldy / dist
+                ldz = ldz / dist
+                sox = hx + nx * eps
+                soy = hy + ny * eps
+                soz = hz + nz * eps
+                (t_sh,) = prim_stream(sox, soy, soz, ldx, ldy, ldz, False)
+                shadowed = t_sh < dist
+                dlx = lcx - hx
+                dly = lcy - hy
+                dlz = lcz - hz
+                dd2 = jnp.maximum(dlx * dlx + dly * dly + dlz * dlz, 1e-12)
+                cam = jnp.sqrt(1.0 - jnp.clip(lrad * lrad / dd2, 0.0, 1.0))
+                wgt = 2.0 * (1.0 - cam)
+                ndl = jnp.maximum(ldx * nx + ldy * ny + ldz * nz, 0.0)
+                contrib = alive & jnp.logical_not(spec_now) & \
+                    jnp.logical_not(shadowed)
+                wnd = wgt * ndl
+                Lr = jnp.where(contrib, Lr + Tr * lcr * wnd, Lr)
+                Lg = jnp.where(contrib, Lg + Tg * lcg * wnd, Lg)
+                Lb = jnp.where(contrib, Lb + Tb * lcb * wnd, Lb)
+                return Lr, Lg, Lb
+
+            need_nee = jnp.any(alive & jnp.logical_not(spec_now))
+            Lr, Lg, Lb = jax.lax.cond(need_nee, _nee, lambda L3: L3,
+                                      (Lr, Lg, Lb))
 
         side = jnp.where(ndn > 0.0, eps, -eps)
         rox = jnp.where(alive, hx + nx * side, rox)
@@ -556,11 +579,38 @@ def _kernel_body(seed, params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r,
             Tg = jnp.where(alive, Tg * ipm, Tg)
             Tb = jnp.where(alive, Tb * ipm, Tb)
 
+        return (rox, roy, roz, rdx, rdy, rdz, Lr, Lg, Lb, Tr, Tg, Tb,
+                alive.astype(jnp.float32), spec_f, override,
+                fetched.astype(jnp.float32))
+
+    state = (rox, roy, roz, rdx, rdy, rdz, Lr, Lg, Lb, Tr, Tg, Tb,
+             jnp.ones((BH, BW), jnp.float32), spec_f, override,
+             jnp.zeros((BH, BW), jnp.float32))
+    ALIVE_F = 12  # state index of the alive flag plane
+    for j in range(bounces):
+        if j == 0:
+            state = _bounce(0, *state)  # every lane starts alive
+        else:
+            # Dead-block bounce skip: rays die at misses (env), light
+            # hits, glyph overrides, and RR — once a whole (8, 128)
+            # block is dead, every later entry-stream pass over it is
+            # waste. Bit-identical: dead lanes never change state in
+            # the body (every update is alive-gated), and each lane's
+            # RNG draws are pure functions of (uid, seed, trace
+            # position), so skipping a block cannot perturb any other
+            # block or any later frame.
+            state = jax.lax.cond(
+                jnp.any(state[ALIVE_F] > 0.5),
+                lambda s, j=j: _bounce(j, *s), lambda s: s, state)
+
+    (_rox, _roy, _roz, _rdx, _rdy, _rdz, Lr, Lg, Lb, _Tr, _Tg, _Tb,
+     _alive_f, _spec_f, override, fetched_f) = state
+
     lor_r[0] = Lr
     log_r[0] = Lg
     lob_r[0] = Lb
     ov_r[0] = override
-    fet_r[0] = fetched.astype(jnp.float32)
+    fet_r[0] = fetched_f
 
 
 def trace_blocks(params, prim_packed, ro, rd, seed, atlas_flat, *,

@@ -79,33 +79,56 @@ SPREAD_IMPOSSIBLE = 0.25  # beyond this the fit is untrustworthy outright
 
 
 def _canary_arm():
-    """One timed arm of the fixed drift canary: 32 back-to-back dispatches
-    of a jitted 8x chained 1024^3 bf16 matmul (~137 GFLOP — compute-bound,
-    scene-independent). Every arm lands in a session-wide list; the median
-    over ALL arms is the session's device-speed reference. A slope rep is
-    trusted only if the arms bracketing it agree with that median — this
-    is PARITY.md's same-process-canary doctrine applied to the bench of
-    record itself (VERDICT r4 item 1)."""
+    """One drift-canary reading: the queue-depth SLOPE (4 -> 24
+    dispatches) of a jitted 4x-chained 4096^3 bf16 matmul (~0.55
+    TFLOP/call — compute-bound, scene-independent). Every arm lands in a
+    session-wide list; the median over ALL arms is the session's
+    device-speed reference. A slope rep is trusted only if the arms
+    bracketing it agree with that median — PARITY.md's same-process-
+    canary doctrine applied to the bench of record itself (VERDICT r4
+    item 1).
+
+    Slope form, NOT an amortized loop: a single trailing readback
+    carries the tunnel's ~30-55 ms RTT, which at 32 amortized iters of a
+    ~0.2 ms chain made the arm 80-90% network time — the first r5 run
+    gated on RTT jitter and rejected nearly every rep. The slope
+    subtracts the RTT exactly; the 20-call delta (~60-120 ms of device
+    compute) keeps per-arm noise well under CANARY_TOL."""
     import jax
     import jax.numpy as jnp
     if _CANARY["fn"] is None:
-        x = jnp.ones((1024, 1024), jnp.bfloat16)
+        x = jnp.ones((4096, 4096), jnp.bfloat16)
 
         def chain(x):
-            for _ in range(8):
-                x = (x @ x) * jnp.bfloat16(1.0 / 1024.0)
-            return x
+            for _ in range(4):
+                x = (x @ x) * jnp.bfloat16(1.0 / 4096.0)
+            # SCALAR out: a [4096,4096] output is a 32 MB tunnel
+            # transfer per materialize, whose tens-of-ms variance
+            # swamps the ~20 ms compute delta (first r5 canary read
+            # NEGATIVE slopes through it)
+            return x.astype(jnp.float32).sum()
 
         f = jax.jit(chain)
         _materialize(f(x))
         _CANARY["fn"] = (f, x)
     f, x = _CANARY["fn"]
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(32):
-        out = f(x)
-    _materialize(out)
-    dt = (time.perf_counter() - t0) / 32
+    # min of two sub-slopes: a one-off tunnel stall (flow-control hiccup,
+    # GC) can only ADD time to a sub-slope; a genuine device-speed state
+    # persists across both. The r5 first runs showed single arms reading
+    # 4-5x on a device whose frame slopes were tight — those were stalls,
+    # not drift, and they must not reject clean reps.
+    subs = []
+    for _ in range(2):
+        totals = []
+        for n in (4, 16):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n):
+                out = f(x)
+            _materialize(out)
+            totals.append(time.perf_counter() - t0)
+        subs.append((totals[1] - totals[0]) / 12)
+    dt = min(subs)
     _CANARY["times"].append(dt)
     return dt
 
@@ -171,7 +194,11 @@ def _time_fn_slope(fn, args, n1=32, n2=128, reps=3, gate=None,
         return {"slope": s, "rtt": totals[0] - n1 * s, "arms": (c0, c1)}
 
     def arm_dev(sample, med_c):
-        return max(abs(a / med_c - 1.0) for a in sample["arms"])
+        # min of the bracket pair: a transient stall inflates ONE arm
+        # (stalls only add time); a real device-speed state shows in both
+        # adjacent arms. A stall during the rep itself is handled by the
+        # spread-target resampling, not the canary.
+        return abs(min(sample["arms"]) / med_c - 1.0)
 
     def accepted_of(samples):
         if not gate:

@@ -79,6 +79,18 @@ def test_drifted_rep_rejected_and_resampled():
     assert meta["canary_dev"] <= bench.CANARY_TOL
 
 
+def test_single_stalled_arm_does_not_reject():
+    """A transient tunnel stall inflates ONE canary arm (stalls only add
+    time); the rep's reading is the min of its bracket pair, so a clean
+    rep between a clean arm and a stalled arm stays accepted."""
+    reps = [(1.0, 5.0)] * 3
+    arms = [1.0, 1.0, 1.0, 5.0, 1.0, 1.0]  # rep 1's trailing arm stalled
+    dt, rtt, spread, meta = run(reps, canary_vals=arms)
+    assert abs(dt - 1.0) < 1e-9
+    assert not meta.get("low_confidence")
+    assert meta["samples_total"] == meta["samples_used"] == 3
+
+
 def test_persistent_drift_flags_low_confidence():
     """When the canary never settles (every extra rep also drifts), the
     record must say so rather than pretend: low_confidence with the

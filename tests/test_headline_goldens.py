@@ -66,7 +66,8 @@ def test_bunny_960x540_glyphs_golden():
     assert ds == golden
 
 
-@pytest.mark.slow  # compile long pole (r4 item 6)
+# NOT slow-marked: the golden pins are the cheap early-warning layer —
+# a PT semantics regression must fail the DEFAULT suite (ADVICE r4)
 def test_pt_demo_override_plane_golden():
     from ascii_renderer_tpu.atlas.io import demo_atlas
     from ascii_renderer_tpu.backends import pathtrace as PT

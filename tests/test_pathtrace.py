@@ -28,7 +28,8 @@ def test_energy_sanity_no_nan_no_negative():
     assert np.asarray(a).dtype == np.uint8
 
 
-@pytest.mark.slow  # compile long pole (r4 item 6)
+# NOT slow-marked: determinism is the cheap drift-detection layer — a
+# semantics regression must fail the DEFAULT suite (ADVICE r4)
 def test_deterministic_under_fixed_key():
     scene = create_demo_scene().build()
     r1, a1 = _render(scene, scene.camera, seed=7)
