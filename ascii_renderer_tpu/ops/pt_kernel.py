@@ -37,6 +37,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BH, BW = 8, 128  # ray block
+BOUNCE_SKIP = False  # per-bounce dead-block skip: wrap each bounce j>=1
+# in a scalar any(alive) cond, and the NEE shadow stream in an
+# any(alive & ~specular) cond. Bit-identical either way (dead lanes
+# never change state; RNG draws are pure functions of uid/seed/draw
+# index). MEASURED (r5, canary-gated, config 0 demo room): skip LOSES
+# ~9% (321 vs 352 FPS; hd 16.5 vs 17.9) — the reference workload is a
+# CLOSED ROOM, rays die only via light-hit/RR, so whole-block death is
+# rare while the cond's region boundaries cost real spills (16 (8,128)
+# carries per bounce). Kept as a knob for open scenes where most rays
+# escape to the env after bounce 1.
 N_CHAN = 32
 PACK = 4  # entries per 128-lane row
 # Entry-stream layout. "vec": entries are lane-replicated [E, N_CHAN, 128]
@@ -557,9 +567,12 @@ def _kernel_body(seed, params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r,
                 Lb = jnp.where(contrib, Lb + Tb * lcb * wnd, Lb)
                 return Lr, Lg, Lb
 
-            need_nee = jnp.any(alive & jnp.logical_not(spec_now))
-            Lr, Lg, Lb = jax.lax.cond(need_nee, _nee, lambda L3: L3,
-                                      (Lr, Lg, Lb))
+            if BOUNCE_SKIP:
+                need_nee = jnp.any(alive & jnp.logical_not(spec_now))
+                Lr, Lg, Lb = jax.lax.cond(need_nee, _nee, lambda L3: L3,
+                                          (Lr, Lg, Lb))
+            else:
+                Lr, Lg, Lb = _nee((Lr, Lg, Lb))
 
         side = jnp.where(ndn > 0.0, eps, -eps)
         rox = jnp.where(alive, hx + nx * side, rox)
@@ -588,17 +601,17 @@ def _kernel_body(seed, params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r,
              jnp.zeros((BH, BW), jnp.float32))
     ALIVE_F = 12  # state index of the alive flag plane
     for j in range(bounces):
-        if j == 0:
-            state = _bounce(0, *state)  # every lane starts alive
+        if j == 0 or not BOUNCE_SKIP:
+            state = _bounce(j, *state)  # every lane starts alive at j=0
         else:
-            # Dead-block bounce skip: rays die at misses (env), light
-            # hits, glyph overrides, and RR — once a whole (8, 128)
-            # block is dead, every later entry-stream pass over it is
-            # waste. Bit-identical: dead lanes never change state in
-            # the body (every update is alive-gated), and each lane's
-            # RNG draws are pure functions of (uid, seed, trace
-            # position), so skipping a block cannot perturb any other
-            # block or any later frame.
+            # Dead-block bounce skip (BOUNCE_SKIP knob — measured ~9%
+            # WORSE on the closed-room reference workload, see the flag
+            # comment): once a whole (8, 128) block is dead, every later
+            # entry-stream pass over it is waste. Bit-identical: dead
+            # lanes never change state in the body (every update is
+            # alive-gated), and each lane's RNG draws are pure functions
+            # of (uid, seed, trace position), so skipping a block cannot
+            # perturb any other block or any later frame.
             state = jax.lax.cond(
                 jnp.any(state[ALIVE_F] > 0.5),
                 lambda s, j=j: _bounce(j, *s), lambda s: s, state)

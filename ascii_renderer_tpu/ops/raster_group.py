@@ -86,6 +86,12 @@ GATHER_INPUT_BARRIER = False  # barrier on the gather INDEX operands
 # whether index-producer fusion into the gather forces a slow lowering.
 # Perf A/B knob (tools/ab_slope "s8ibar"); bit-identical.
 # MEASURED: no effect either (1.36 vs 1.40 ms) — not index fusion.
+GATHER_FULL_ROWS = False  # hypothesis 5 for the pair gather's cost: the
+# [:, :N_CHAN] half-row slice may fuse INTO the gather and demote it
+# from full-row DMA to a strided 16-of-32-lane form. This knob gathers
+# FULL 32-lane rows, barriers the result, then slices — 2x the bytes
+# but possibly the fast row path. Perf A/B knob (tools/ab_slope
+# "s8full32"); bit-identical.
 GATHER_SRC_COPY = False  # force a physical copy (x + 0.0) of the pair
 # gather's SOURCE before gathering: the same random gather is 24 us
 # standalone from a plain parameter but ~340 us in context from the
@@ -502,7 +508,11 @@ def build_packed_rows_grouped_kgather(src32: jnp.ndarray,
             tri_idx = jax.lax.optimization_barrier(tri_idx)
         src_g = src32[:, :N_CHAN] + 0.0 if GATHER_SRC_COPY \
             else src32
-        src_pair = src_g[tri_idx][:, :N_CHAN]         # [p_eff, 16]
+        if GATHER_FULL_ROWS:  # full-row gather, slice AFTER the barrier
+            g32 = jax.lax.optimization_barrier(src_g[tri_idx])
+            src_pair = g32[:, :N_CHAN]
+        else:
+            src_pair = src_g[tri_idx][:, :N_CHAN]     # [p_eff, 16]
     if GATHER_BARRIER:
         src_pair = jax.lax.optimization_barrier(src_pair)
     pek = _round_up_i_static(p_eff, k)

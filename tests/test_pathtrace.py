@@ -223,6 +223,29 @@ def test_pack_padding_entries_keep_bad_always_invariant():
     assert (ent[pad_tris, PK.C_BADS] >= 1e30).all()
 
 
+def test_bounce_skip_knob_bit_identical(monkeypatch):
+    """BOUNCE_SKIP (per-bounce dead-block cond, default off — measured
+    slower on the closed-room workload) must be bit-identical to the
+    plain unrolled loop: dead lanes never change state and RNG draws are
+    pure functions of (uid, seed, draw index)."""
+    from ascii_renderer_tpu.ops import pt_kernel as K
+
+    scene = create_demo_scene().build(min_pad=1)
+    cam = Camera.create(pos=(0, 2.5, 6), yaw=-np.pi / 2)
+    kw = dict(rows=8, cols=16, pixel_aspect=0.5, spp=2, bounces=4,
+              light_color=(16.86, 10.76, 8.2), use_kernel=True)
+    key = jax.random.key(3)
+
+    outs = []
+    for flag in (False, True):
+        monkeypatch.setattr(K, "BOUNCE_SKIP", flag)
+        rgb, a = jax.jit(lambda s, c: PT.render_pt(
+            s, c, jnp.float32(0.0), key, **kw))(scene, cam)
+        outs.append((np.asarray(rgb), np.asarray(a)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
 def test_precomputed_pack_bit_identical():
     """render_pt with the scene pack precomputed and passed as arrays
     (the production form: PathtraceBackend.set_scene / Progressive-

@@ -69,6 +69,8 @@ VARIANTS = {
                 "GATHER_INPUT_BARRIER", True)],
     "s8srccopy": [("ascii_renderer_tpu.ops.raster_group",
                    "GATHER_SRC_COPY", True)],
+    "s8full32": [("ascii_renderer_tpu.ops.raster_group",
+                  "GATHER_FULL_ROWS", True)],
     "s8oldsetup": [("ascii_renderer_tpu.backends.raster",
                     "SETUP_PACKED", False)],
     "s8oldsrccopy": [("ascii_renderer_tpu.backends.raster",

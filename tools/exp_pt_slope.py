@@ -27,7 +27,16 @@ def main():
     from ascii_renderer_tpu.backends.pathtrace import render_pt
     from ascii_renderer_tpu.scene.demo import create_demo_scene
 
-    scene = create_demo_scene().build(min_pad=1)
+    sb = create_demo_scene()
+    if "--atlas" in sys.argv:
+        # WITH the ASCII-texture atlas — the bench config-0 hd point's
+        # actual workload. The original atlas-less form is what PARITY
+        # r4 quoted as "~40 FPS / 25 ms": the one-hot texel fetch the
+        # atlas adds is the kernel's most expensive block, so the two
+        # workloads differ ~2x and the docs compared apples to oranges.
+        from ascii_renderer_tpu.atlas.io import demo_atlas
+        sb.set_atlas(demo_atlas())
+    scene = sb.build(min_pad=1)
     key = jax.random.key(3)
     fn = jax.jit(functools.partial(
         render_pt, rows=540, cols=960, pixel_aspect=0.5, spp=8,
