@@ -878,22 +878,38 @@ def pack_scene_entries(scene: SceneData):
 
     ah, aw = scene.atlas_a.shape
     if ah > 1 and aw > 1 and ah * aw <= PK.MAX_ATLAS_TEXELS:
-        rgb = scene.atlas_rgb.reshape(-1, 3).astype(jnp.float32)
-        packed = rgb[:, 0] * 65536.0 + rgb[:, 1] * 256.0 + rgb[:, 2]
-        abv = scene.atlas_a.reshape(-1).astype(jnp.float32)
         texels = ah * aw
         rows_t = -(-texels // 128)
         pad = rows_t * 128 - texels
-        if pad:
-            packed = jnp.concatenate([packed,
-                                      jnp.zeros((pad,), jnp.float32)])
-            abv = jnp.concatenate([abv, jnp.zeros((pad,), jnp.float32)])
-        # transposed two-channel layout for the kernel's two-level gather
-        # (ops/pt_kernel.atlas_fetch): atlas_flat[l, r] = packed texel
-        # r*128 + l, atlas_flat[128 + l, r] = its alpha byte
-        atlas_flat = jnp.concatenate(
-            [packed.reshape(rows_t, 128).T, abv.reshape(rows_t, 128).T],
-            axis=0)
+        if PK.use_gather_layout(texels):
+            # slab-major bit-packed rgba layout for the kernel's hardware
+            # dynamic-gather fast path (ops/pt_kernel.atlas_fetch):
+            # atlas_flat[r, l] = i32 bitcast of rgba bytes of texel
+            # r*128 + l ((r<<24)|(g<<16)|(b<<8)|a)
+            rgb = scene.atlas_rgb.reshape(-1, 3).astype(jnp.uint32)
+            au = scene.atlas_a.reshape(-1).astype(jnp.uint32)
+            rgba = ((rgb[:, 0] << 24) | (rgb[:, 1] << 16)
+                    | (rgb[:, 2] << 8) | au)
+            if pad:
+                rgba = jnp.concatenate([rgba,
+                                        jnp.zeros((pad,), jnp.uint32)])
+            atlas_flat = jax.lax.bitcast_convert_type(
+                rgba.reshape(rows_t, 128), jnp.int32)
+        else:
+            # transposed two-channel layout for the one-hot two-level
+            # gather: atlas_flat[l, r] = packed f32 texel r*128 + l
+            # (r*65536 + g*256 + b), atlas_flat[128 + l, r] = its alpha
+            rgb = scene.atlas_rgb.reshape(-1, 3).astype(jnp.float32)
+            packed = rgb[:, 0] * 65536.0 + rgb[:, 1] * 256.0 + rgb[:, 2]
+            abv = scene.atlas_a.reshape(-1).astype(jnp.float32)
+            if pad:
+                packed = jnp.concatenate(
+                    [packed, jnp.zeros((pad,), jnp.float32)])
+                abv = jnp.concatenate([abv,
+                                       jnp.zeros((pad,), jnp.float32)])
+            atlas_flat = jnp.concatenate(
+                [packed.reshape(rows_t, 128).T,
+                 abv.reshape(rows_t, 128).T], axis=0)
         return prim_packed, atlas_flat, aw, ah, sph_rows
     return prim_packed, jnp.zeros((256, 8), jnp.float32), 0, 0, sph_rows
 

@@ -37,6 +37,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BH, BW = 8, 128  # ray block
+ATLAS_PROBE = None  # wrong-output perf probes for the atlas block
+# (tools/exp_pt_slope.py --probe=...):
+#   "skip"   — atlas present but the fetch block is replaced by zeros
+#              (no cond, no fetch): its total in-context cost
+#   "nocond" — fetch runs UNCONDITIONALLY (no any(texturable) gate):
+#              isolates the lax.cond region cost from the fetch compute
 BOUNCE_SKIP = False  # per-bounce dead-block skip: wrap each bounce j>=1
 # in a scalar any(alive) cond, and the NEE shadow stream in an
 # any(alive & ~specular) cond. Bit-identical either way (dead lanes
@@ -62,6 +68,25 @@ MAX_VEC_ENTRIES = 256
 # (8 bytes/texel) and the per-ray cost is O(texels/128 + 128), so the cap
 # is VMEM-bound at a 256x256 atlas rather than compute-bound at 32x32.
 MAX_ATLAS_TEXELS = 65536
+# Hardware dynamic-gather fast path (tpu.dynamic_gather via
+# jnp.take_along_axis along lanes): per fetch, each 128-texel slab row is
+# sublane-broadcast to the (8, 128) ray block and ONE lane-gather picks
+# every ray's texel; a hi where-chain then selects among slabs. Cost is
+# O(slabs) vreg-ops per fetch vs the one-hot form's ~2k (the one-hot
+# slab-select dot VPU-expands to a [256, 1024] K=4 MAC — measured r5 at
+# ~2 us/fetch = 57% of the 960x540 frame, invariant across dot shapes
+# because the expansion, not the MXU, binds). Gather moves bits verbatim,
+# so values are exact like the one-hot form. Beyond this many slab rows
+# the transposed one-hot layout + MXU slab select takes over.
+GATHER_MAX_ROWS = 32
+
+
+def use_gather_layout(atlas_texels: int) -> bool:
+    """Static predicate shared by the host packer and the kernel: the
+    slab-major [2*rows_t, 128] dynamic-gather layout is used iff the
+    atlas fits GATHER_MAX_ROWS slab rows (else the transposed one-hot
+    [2*128, rows_t] layout)."""
+    return 0 < atlas_texels <= GATHER_MAX_ROWS * 128
 
 # entry channels (shared by spheres and tris; unused fields zero)
 # kind: 0 = inert, 1 = sphere, 2 = triangle
@@ -312,21 +337,30 @@ def _kernel_body(seed, params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r,
         return carry
 
     def atlas_fetch(uvx, uvy):
-        """Nearest-texel atlas gather, two-level one-hot:
-          lin = hi*128 + lo;  slab select (MXU) then lane select (VPU).
-        atlas_r is [2*128, rows_t] with sublanes 0..127 = packed rgb
-        (r*65536 + g*256 + b, exact integers < 2^24) transposed so that
-        atlas_r[l, r] = value of texel r*128 + l, and sublanes 128..255
-        the alpha byte. Per sublane of the ray block: one [rows_t, 128]
-        row one-hot -> one [256, rows_t] @ [rows_t, 128] dot selects each
-        ray's 128-texel slab (both channels at once), then a [128, 128]
-        lane one-hot masks the texel within the slab and a sublane
-        reduction yields the value. O(rows_t + 128) per ray instead of
-        the old O(texels) flat reduction — and exact: every one-hot
-        column has a single 1, so the HIGHEST-precision dot conveys the
-        f32 atlas value unchanged (same contract the raster walk kernels
-        rely on). Returns (tr, tg, tb in 0..1, abyte f32, inbounds)."""
-        rows_t = atlas_r.shape[1]
+        """Nearest-texel atlas gather. Two layouts, one static predicate
+        (use_gather_layout, shared with the host packer):
+
+        FAST PATH (atlases <= GATHER_MAX_ROWS slab rows): atlas_r is
+        slab-major int32 [rows_t, 128] — sublane r holds texels
+        r*128..r*128+127 as bit-packed rgba bytes ((r<<24)|(g<<16)|
+        (b<<8)|a, bitcast to i32). Per slab: sublane-broadcast the row
+        to (8, 128) and ONE hardware lane-gather (tpu.dynamic_gather via
+        take_along_axis axis=1) picks every ray's texel-within-slab; an
+        (hi == r) where-chain selects among slabs, then integer shifts
+        unpack the four bytes. Gathers and wheres move the 32 bits
+        verbatim, so values are exact. O(rows_t) vreg-ops per fetch.
+
+        FALLBACK (larger atlases): atlas_r is transposed [2*128, rows_t]
+        (atlas_r[l, r] = texel r*128 + l; sublanes 128.. its alpha) and
+        the fetch is the two-level one-hot: per ray-sublane, a
+        [rows_t, 128] row one-hot -> [256, rows_t] @ [rows_t, 128] MXU
+        dot selects each ray's slab, then a [128, 128] lane one-hot +
+        sublane reduction picks the texel. Exact: every one-hot column
+        has a single 1, so the HIGHEST-precision dot conveys the f32
+        value unchanged. MEASURED (r5): this form VPU-expands to a
+        K=rows_t MAC over a [256, 1024] output, ~2 us/fetch regardless
+        of dot shape — kept only beyond the gather path's VMEM-cheap
+        range. Returns (tr, tg, tb in 0..1, abyte f32, inbounds)."""
         tx = jnp.floor(uvx + 0.5)
         ty = jnp.floor(uvy + 0.5)
         inb = (tx >= 0) & (tx < atlas_w) & (ty >= 0) & (ty < atlas_h)
@@ -334,24 +368,48 @@ def _kernel_body(seed, params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r,
             jnp.int32)
         hi = lin >> 7   # [8, 128] slab (row-of-128-texels) index
         lo = lin & 127  # [8, 128] texel within slab
-        l_iota = jax.lax.broadcasted_iota(jnp.int32, (BW, BW), 0)
-        a2 = atlas_r[...]  # [256, rows_t]
-        packed_rows = []
-        ab_rows = []
-        for s in range(BH):  # static unroll over ray-block sublanes
-            ohh = (jax.lax.broadcasted_iota(jnp.int32, (rows_t, BW), 0)
-                   == hi[s:s + 1, :]).astype(jnp.float32)
-            slab = jax.lax.dot_general(
-                a2, ohh, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)  # [256, 128]
-            ohl = (l_iota == lo[s:s + 1, :]).astype(jnp.float32)
-            packed_rows.append(jnp.sum(slab[0:BW] * ohl, axis=0,
+
+        if use_gather_layout(atlas_texels):
+            rows_t = atlas_r.shape[0]
+            xi = None
+            for r in range(rows_t):  # static unroll over slab rows
+                row = jnp.broadcast_to(atlas_r[r:r + 1, :], (BH, BW))
+                g = jnp.take_along_axis(row, lo, axis=1)
+                xi = g if xi is None else jnp.where(hi == r, g, xi)
+            xu = pltpu.bitcast(xi, jnp.uint32)
+
+            def byte_f32(shift):
+                # mask to a byte (< 256) then bitcast to i32 for the f32
+                # convert (Mosaic has no u32 -> f32 cast)
+                b = (xu >> shift) & jnp.uint32(255) if shift else \
+                    xu & jnp.uint32(255)
+                return pltpu.bitcast(b, jnp.int32).astype(jnp.float32)
+
+            ab = byte_f32(0)
+            inv255 = 1.0 / 255.0
+            return (byte_f32(24) * inv255, byte_f32(16) * inv255,
+                    byte_f32(8) * inv255, ab, inb)
+        else:
+            rows_t = atlas_r.shape[1]
+            a2 = atlas_r[...]  # [256, rows_t]
+            l_iota = jax.lax.broadcasted_iota(jnp.int32, (BW, BW), 0)
+            packed_rows = []
+            ab_rows = []
+            for s in range(BH):  # static unroll over ray-block sublanes
+                ohh = (jax.lax.broadcasted_iota(
+                    jnp.int32, (rows_t, BW), 0)
+                    == hi[s:s + 1, :]).astype(jnp.float32)
+                slab = jax.lax.dot_general(
+                    a2, ohh, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)  # [256, 128]
+                ohl = (l_iota == lo[s:s + 1, :]).astype(jnp.float32)
+                packed_rows.append(jnp.sum(slab[0:BW] * ohl, axis=0,
+                                           keepdims=True))
+                ab_rows.append(jnp.sum(slab[BW:2 * BW] * ohl, axis=0,
                                        keepdims=True))
-            ab_rows.append(jnp.sum(slab[BW:2 * BW] * ohl, axis=0,
-                                   keepdims=True))
-        packed = jnp.concatenate(packed_rows, axis=0)  # [8, 128]
-        ab = jnp.concatenate(ab_rows, axis=0)
+            packed = jnp.concatenate(packed_rows, axis=0)  # [8, 128]
+            ab = jnp.concatenate(ab_rows, axis=0)
         r_ = jnp.floor(packed / 65536.0)
         rem = packed - r_ * 65536.0
         g_ = jnp.floor(rem / 256.0)
@@ -413,14 +471,6 @@ def _kernel_body(seed, params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r,
         hz = roz + t * rdz
 
         if atlas_texels > 0:
-            # The one-hot texel reduction is the most expensive block in
-            # the kernel (~atlas_texels vector MACs x2 channels). Most ray
-            # blocks never touch a texturable surface on a given bounce, so
-            # gate the whole fetch on a scalar any() — skipped blocks return
-            # zeros, which downstream masks (`sampled` requires texturable)
-            # never read. Semantics are bit-identical.
-            need = jnp.any(alive & texturable)
-
             def _fetch(_):
                 fr, fg, fb, fab, finb = atlas_fetch(uvx, uvy)
                 # f32 0/1 flag, not i1: Mosaic rejects bool vectors through
@@ -431,7 +481,34 @@ def _kernel_body(seed, params_ref, prim_hbm, rox_r, roy_r, roz_r, rdx_r,
                 zz = jnp.zeros((BH, BW), jnp.float32)
                 return zz, zz, zz, zz, zz
 
-            txr, txg, txb, ab, inb_f = jax.lax.cond(need, _fetch, _skip, 0)
+            # Gate policy (r5, measured at 960x540 spp8): the dynamic-
+            # gather fetch is ~30 vreg-ops, and wrapping it in an
+            # any(alive & texturable) lax.cond costs ~4.5 ms/frame MORE
+            # than the skips save (30.7 gated vs 26.2 unconditional vs
+            # 24.9 fetch-free) — the cond region's spill/refill around a
+            # live branch dwarfs its tiny body. So the gather path runs
+            # unconditionally. The one-hot fallback's fetch is ~2 us
+            # (~32 ms/frame here), where the same gate saved ~8 ms —
+            # it keeps the cond. Semantics are identical either way:
+            # skipped blocks return zeros, which downstream masks
+            # (`sampled` requires texturable) never read.
+            gated = not use_gather_layout(atlas_texels)
+            if ATLAS_PROBE == "skip":      # wrong-output probe
+                txr, txg, txb, ab, inb_f = _skip(0)
+            elif ATLAS_PROBE == "nocond":  # wrong-output-free probe
+                txr, txg, txb, ab, inb_f = _fetch(0)
+            elif ATLAS_PROBE == "dummy":   # wrong-output probe: keep the
+                # cond region, make the taken branch trivial — isolates
+                # the cond/register-pressure structure from fetch compute
+                need = jnp.any(alive & texturable)
+                txr, txg, txb, ab, inb_f = jax.lax.cond(need, _skip,
+                                                        _skip, 0)
+            elif not gated:
+                txr, txg, txb, ab, inb_f = _fetch(0)
+            else:
+                need = jnp.any(alive & texturable)
+                txr, txg, txb, ab, inb_f = jax.lax.cond(need, _fetch,
+                                                        _skip, 0)
             sampled = alive & texturable & (inb_f > 0.5) & (ab >= 0.5)
             glyph = sampled & (ab >= 31.5) & (ab <= 126.5)
             if j == 0:
@@ -631,10 +708,11 @@ def trace_blocks(params, prim_packed, ro, rd, seed, atlas_flat, *,
                  sph_rows: int, interpret: bool | None = None,
                  block_active=None, uid=None):
     """params f32 [8]; prim_packed f32 [rows, 128]; ro/rd f32 [B, 8, 128, 3]
-    (B ray blocks); seed i32 scalar; atlas_flat f32 [2*128, ceil(texels/128)]
-    transposed two-channel layout (see _kernel.atlas_fetch; packed-rgb
-    sublanes then alpha-byte sublanes); if the atlas is disabled pass any
-    zero block and atlas_w = atlas_h = 0. block_active: optional i32 [B]
+    (B ray blocks); seed i32 scalar; atlas_flat in the layout
+    use_gather_layout(texels) selects — slab-major i32 rgba [rows_t, 128]
+    for the dynamic-gather fast path, transposed f32 [2*128, rows_t]
+    beyond it (see _kernel.atlas_fetch); if the atlas is disabled pass
+    any zero f32 block and atlas_w = atlas_h = 0. block_active: optional i32 [B]
     adaptive gate (0 = skip the block, outputs zero). uid: optional i32
     [B, 8, 128] per-ray RNG ids (default: the ray's stream position) —
     the noise a ray draws is a pure function of (uid, seed), so callers
@@ -685,7 +763,11 @@ def trace_blocks_raw(params, prim_packed, ro, rd, seed, atlas_flat, *,
     else:
         prim_in = prim_packed
     atlas_texels = atlas_w * atlas_h if atlas_w > 0 else 0
-    assert atlas_texels <= atlas_flat.shape[1] * 128
+    if use_gather_layout(atlas_texels):
+        assert atlas_texels <= atlas_flat.shape[0] * 128
+        assert atlas_flat.dtype == jnp.int32
+    else:
+        assert atlas_texels <= atlas_flat.shape[1] * 128
     kernel = functools.partial(
         _kernel, bounces=bounces, sph_rows=sph_rows, n_rows=n_rows, nee=nee,
         atlas_texels=atlas_texels, atlas_w=atlas_w, atlas_h=atlas_h,

@@ -102,6 +102,86 @@ def test_pt_megakernel_big_and_padded_atlas():
         assert (np.asarray(a_f)).sum() > 0, f"{aw}x{ah}: poster never hit"
 
 
+def _pt_atlas_render(scene, layout_rows=None):
+    """One deterministic megakernel render of `scene` (interpret mode),
+    optionally forcing the atlas layout by monkeying GATHER_MAX_ROWS
+    (0 = always the transposed one-hot fallback)."""
+    import jax
+    from ascii_renderer_tpu.backends import pathtrace as PT
+    from ascii_renderer_tpu.ops import pt_kernel as PK
+    from ascii_renderer_tpu.core.camera import Camera, primary_ray_dirs
+
+    cam = Camera.create(pos=(0, 2.5, 5.2), yaw=-np.pi / 2)
+    rd = primary_ray_dirs(cam, 16, 32, 0.5)
+    ro = jnp.broadcast_to(jnp.asarray(cam.pos), rd.shape)
+    lc, lr = PT.get_light_sphere(scene, 0.0)
+    lcol = jnp.asarray((16.86, 10.76, 8.2)) * 1.3
+    old = PK.GATHER_MAX_ROWS
+    if layout_rows is not None:
+        PK.GATHER_MAX_ROWS = layout_rows
+    try:
+        return PT.trace_eye_paths_kernel(
+            scene, ro, rd, 0, lc, lr, bounces=1, light_color=lcol,
+            nee=False, interpret=True)
+    finally:
+        PK.GATHER_MAX_ROWS = old
+
+
+def test_pt_atlas_gather_vs_onehot_layouts_bit_identical():
+    """The slab-major dynamic-gather atlas layout (small atlases) and the
+    transposed one-hot fallback (big atlases) must produce bit-identical
+    renders for the same atlas content: both move the texel bytes
+    verbatim (gather/where vs exact one-hot dot), so only speed may
+    differ. Forcing GATHER_MAX_ROWS=0 routes the SAME 32x32 atlas through
+    the fallback — packer and kernel both key off use_gather_layout, so
+    one knob flips layout + fetch together."""
+    from ascii_renderer_tpu.scene.demo import create_demo_scene
+    from ascii_renderer_tpu.atlas.io import demo_atlas
+
+    sb = create_demo_scene()
+    sb.set_atlas(demo_atlas())
+    scene = sb.build()
+    fast = _pt_atlas_render(scene)            # 8 slab rows -> gather
+    slow = _pt_atlas_render(scene, layout_rows=0)  # forced one-hot
+    for a, b in zip(fast, slow):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.asarray(fast[2]).sum() > 0, "poster never hit"
+
+
+def test_pt_megakernel_onehot_fallback_big_atlas():
+    """An atlas beyond GATHER_MAX_ROWS slab rows (128x64 = 8192 texels =
+    64 rows) naturally takes the one-hot fallback; it must stay exact vs
+    the XLA-core twin (the coverage the gather fast path would otherwise
+    have stolen from test_pt_megakernel_big_and_padded_atlas)."""
+    import jax
+    from ascii_renderer_tpu.backends import pathtrace as PT
+    from ascii_renderer_tpu.ops import pt_kernel as PK
+    from ascii_renderer_tpu.scene.demo import create_demo_scene
+    from ascii_renderer_tpu.atlas.io import demo_atlas
+    from ascii_renderer_tpu.core.camera import Camera, primary_ray_dirs
+
+    sb = create_demo_scene()
+    sb.set_atlas(demo_atlas(128, 64))
+    scene = sb.build()
+    assert not PK.use_gather_layout(128 * 64)
+    cam = Camera.create(pos=(0, 2.5, 5.2), yaw=-np.pi / 2)
+    rd = primary_ray_dirs(cam, 16, 32, 0.5)
+    ro = jnp.broadcast_to(jnp.asarray(cam.pos), rd.shape)
+    lc, lr = PT.get_light_sphere(scene, 0.0)
+    lcol = jnp.asarray((16.86, 10.76, 8.2)) * 1.3
+    a_lo, a_ov, a_f = PT.trace_eye_paths(
+        scene, ro, rd, jax.random.key(0), lc, lr, bounces=1,
+        light_color=lcol, nee=False)
+    k_lo, k_ov, k_f = PT.trace_eye_paths_kernel(
+        scene, ro, rd, 0, lc, lr, bounces=1, light_color=lcol,
+        nee=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a_ov), np.asarray(k_ov))
+    np.testing.assert_array_equal(np.asarray(a_f), np.asarray(k_f))
+    np.testing.assert_allclose(np.asarray(a_lo), np.asarray(k_lo),
+                               atol=1e-5)
+    assert np.asarray(a_f).sum() > 0, "poster never hit"
+
+
 @pytest.mark.slow
 def test_pt_megakernel_twin_statistical():
     """Multi-bounce MC estimates agree in the mean (different RNG streams)."""

@@ -27,6 +27,10 @@ def main():
     from ascii_renderer_tpu.backends.pathtrace import render_pt
     from ascii_renderer_tpu.scene.demo import create_demo_scene
 
+    from ascii_renderer_tpu.ops import pt_kernel as K
+    for a in sys.argv:
+        if a.startswith("--probe="):  # "skip" | "nocond" (see pt_kernel)
+            K.ATLAS_PROBE = a.split("=", 1)[1]
     sb = create_demo_scene()
     if "--atlas" in sys.argv:
         # WITH the ASCII-texture atlas — the bench config-0 hd point's
