@@ -401,18 +401,29 @@ def bench_config0(smoke, extras=False):
     scene = sb.build(min_pad=1)
     spp = 8 if smoke else 64
     use_kernel = jax.default_backend() == "tpu"
+    # precomputed scene pack, like every production caller since the
+    # PathtraceBackend/ProgressivePathTracer wiring: packing inside the
+    # frame jit re-derives the entry streams every frame (~2x frame cost
+    # at this grid, tools/exp_pt_scenearg.py)
+    from ascii_renderer_tpu.backends.pathtrace import pack_scene_entries
+    packed = pack_scene_entries(scene)
     fn = jax.jit(functools.partial(
         render_pt, rows=36, cols=96, pixel_aspect=0.5, spp=spp, bounces=5,
         light_color=(16.86, 10.76, 8.2), sample_batch=min(64, spp),
-        use_kernel=use_kernel))
+        use_kernel=use_kernel, packed=packed))
     key = jax.random.key(0)
     # queue-depth slope like configs 1-3: amortized iters=N still carried
     # RTT/N (~1 ms/frame at N=32 on a ~6 ms frame, i.e. the recorded
-    # round-3a "125 FPS" was really ~167)
+    # round-3a "125 FPS" was really ~167). Depths sized so the between-
+    # depth compute delta (~2.2 ms x (n2-n1)) is ~10x the tunnel's
+    # +-20 ms readback jitter: at (16, 64) the delta was ~105 ms and the
+    # first r5 run recorded spread 0.736 on a frame whose hd sibling
+    # (312 ms delta) read 0.065 — per-rep slope noise IS readback jitter
+    # over the delta, so buy delta, not reps.
     t_arm = time.time()
     dt, _rtt, spread, meta = _time_fn_slope(
         lambda: fn(scene, scene.camera, jnp.float32(0.0), key), (),
-        n1=(4, 16)[not smoke], n2=(16, 64)[not smoke])
+        n1=(4, 32)[not smoke], n2=(16, 256)[not smoke])
     _log(f"  arm 96x36_spp{spp}: {time.time()-t_arm:.1f}s")
     out = {"fps": 1.0 / dt, "spp": spp, "grid": "96x36",
            "spread": round(spread, 3),
@@ -450,7 +461,7 @@ def bench_config0(smoke, extras=False):
         fn_hd = jax.jit(functools.partial(
             render_pt, rows=540, cols=960, pixel_aspect=0.5, spp=spp_hd,
             bounces=5, light_color=(16.86, 10.76, 8.2),
-            sample_batch=spp_hd, use_kernel=use_kernel))
+            sample_batch=spp_hd, use_kernel=use_kernel, packed=packed))
         # deeper queue + 3 reps: a reps=2 n=(2,8) sample once read 91 ms
         # for a frame that measures 25 ms at every queue depth in-process
         # (tools/exp_pt_slope.py) — record spread so noise is visible
@@ -477,10 +488,12 @@ def bench_config0(smoke, extras=False):
         sb2 = create_demo_scene()
         sb2.set_atlas(demo_atlas(64, 64))
         scene2 = sb2.build(min_pad=1)
+        packed2 = pack_scene_entries(scene2)
         fn_bigk = jax.jit(functools.partial(
             render_pt, rows=36, cols=96, pixel_aspect=0.5, spp=spp,
             bounces=5, light_color=(16.86, 10.76, 8.2),
-            sample_batch=min(64, spp), use_kernel=use_kernel))
+            sample_batch=min(64, spp), use_kernel=use_kernel,
+            packed=packed2))
         dt_bigk, _rtt, _sp, _m = _time_fn_slope(
             lambda: fn_bigk(scene2, scene2.camera, jnp.float32(0.0), key),
             (), n1=4, n2=16, reps=2)
@@ -605,9 +618,12 @@ def bench_config3(smoke, batch=0):
     # (an in-process A/B read 0.78 ms for a frame this harness read
     # 0.97 ms forty minutes later); each rep is canary-bracketed and
     # drift-rejected reps are re-sampled (VERDICT r4 item 1)
+    # depths sized like config 0's: a (32, 128) window left only ~88 ms
+    # of compute delta against the tunnel's +-20 ms readback jitter; at
+    # (32, 384) the delta is ~320 ms and per-rep slope noise drops ~4x
     dt1, rtt, spread, meta = _time_fn_slope(
         fn1, (*soup, scene, cam, pos9, attrs_t),
-        n1=(8, 32)[not smoke], n2=(32, 128)[not smoke],
+        n1=(8, 32)[not smoke], n2=(32, 384)[not smoke],
         reps=(3, 5)[not smoke])
     floor = _dispatch_floor()
     out = {"fps": 1.0 / dt1, "tris": tris, "grid": f"{cols}x{rows}",

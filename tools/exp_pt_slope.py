@@ -42,10 +42,17 @@ def main():
         sb.set_atlas(demo_atlas())
     scene = sb.build(min_pad=1)
     key = jax.random.key(3)
+    # precomputed scene pack = the production caller shape ("--inpack"
+    # keeps the old pack-inside-jit arm for measuring that overhead)
+    packed = None
+    if "--inpack" not in sys.argv:
+        from ascii_renderer_tpu.backends.pathtrace import \
+            pack_scene_entries
+        packed = pack_scene_entries(scene)
     fn = jax.jit(functools.partial(
         render_pt, rows=540, cols=960, pixel_aspect=0.5, spp=8,
         bounces=5, light_color=(16.86, 10.76, 8.2), sample_batch=8,
-        use_kernel=True))
+        use_kernel=True, packed=packed))
 
     def call():
         return fn(scene, scene.camera, jnp.float32(0.0), key)

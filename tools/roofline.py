@@ -67,9 +67,22 @@ SLOTS_BOUNCE_MISC = 380
 
 def _slope(fn, n1, n2, reps=3):
     """bench._time_fn_slope without the gate (the canary would recurse
-    through this module's own ceilings); returns median slope."""
+    through this module's own ceilings); returns median slope. The
+    trailing materialize must be a SCALAR-sized transfer — a 256 MB
+    array readback's tens-of-ms tunnel jitter once read the HBM ceiling
+    NEGATIVE — so ceiling fns below all return scalars, and completion
+    is forced by a host copy of every output leaf (bench._materialize:
+    the axon platform's block_until_ready returns BEFORE execution
+    finishes — a block_until_ready variant of this harness read the MXU
+    at 94x spec because it timed Python dispatch only)."""
+    import jax
+
+    def drain(out):
+        for leaf in jax.tree.leaves(out):
+            np.asarray(leaf)
+
     for _ in range(2):
-        np.asarray(fn())
+        drain(fn())
     slopes = []
     for _ in range(reps):
         tot = []
@@ -78,7 +91,7 @@ def _slope(fn, n1, n2, reps=3):
             out = None
             for _ in range(n):
                 out = fn()
-            np.asarray(out)
+            drain(out)
             tot.append(time.perf_counter() - t0)
         slopes.append((tot[1] - tot[0]) / (n2 - n1))
     slopes.sort()
@@ -86,43 +99,87 @@ def _slope(fn, n1, n2, reps=3):
 
 
 def measure_ceilings():
+    """Empirical device ceilings. Each arm must be THROUGHPUT-bound:
+    the first cut chained dependent ops (each matmul/FMA waiting on the
+    last) and read the VPU at ~8% of issue rate — that measured
+    pipeline LATENCY. MXU runs two independent matmul chains, VPU eight
+    independent FMA chains; HBM separates passes with optimization
+    barriers (a fused chain of adds is one pass over memory no matter
+    how long) and returns a scalar."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     out = {}
-    # --- MXU bf16 ---
+    # --- MXU bf16: two independent chains fill the pipeline ---
     k = 8
     x = jnp.ones((2048, 2048), jnp.bfloat16)
 
     def mxu_chain(x):
+        a = x
+        b = x * jnp.bfloat16(0.5)
         for _ in range(k):
-            x = (x @ x) * jnp.bfloat16(1.0 / 2048.0)
-        return x
+            a = (a @ a) * jnp.bfloat16(1.0 / 2048.0)
+            b = (b @ b) * jnp.bfloat16(2.0 / 2048.0)
+        return (a.astype(jnp.float32).sum()
+                + b.astype(jnp.float32).sum())
 
     f = jax.jit(mxu_chain)
     dt = _slope(lambda: f(x), 4, 24)
-    out["mxu_tflops"] = k * 2 * 2048**3 / dt / 1e12
+    out["mxu_tflops"] = 2 * k * 2 * 2048**3 / dt / 1e12
 
-    # --- VPU f32 FMA slots ---
-    K = 256
-    y0 = jnp.ones((512, 1024), jnp.float32)
-    cs = [1.0 + 1e-6 * i for i in range(K)]  # distinct: not foldable
+    # --- VPU f32 FMA slots: Pallas kernel, 4 independent register
+    # streams of static-unrolled FMAs on (8, 128) vregs. An XLA-level
+    # chain measured 167 Gslot/s (17% of single-issue) — XLA stages each
+    # elementwise op through VMEM, so it reads memory throughput, not
+    # issue rate. The megakernel's yardstick is what a Pallas kernel can
+    # ISSUE on register-resident vregs; this measures exactly that. ---
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    NSTEP = 512
+    NBLK = 256
 
-    def vpu_chain(y):
-        acc = y
-        for c in cs:
-            acc = acc * np.float32(c) + y
-        return acc
+    NSTREAM = 8  # 4 streams measured 1365 Gslot/s vs 8's higher — the
+    # FMA pipeline needs >4-deep independence to fill
 
-    fv = jax.jit(vpu_chain)
-    dtv = _slope(lambda: fv(y0), 8, 48)
-    out["vpu_gslots"] = K * 512 * 1024 / dtv / 1e9
+    def vpu_kernel(x_ref, o_ref):
+        x = x_ref[...]
+        accs = [x * np.float32(1.0 + 0.125 * i) for i in range(NSTREAM)]
+        for j in range(NSTEP):
+            k1 = np.float32(1.0 + 1e-6 * j)  # distinct: not foldable
+            accs = [accs[i] * k1 + accs[(i + 1) % NSTREAM]
+                    for i in range(NSTREAM)]
+        s = accs[0]
+        for a in accs[1:]:
+            s = s + a
+        o_ref[...] = s
 
-    # --- HBM stream ---
+    fvp = jax.jit(lambda x: pl.pallas_call(
+        vpu_kernel,
+        grid=(NBLK,),
+        in_specs=[pl.BlockSpec((8, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NBLK * 8, 128), jnp.float32),
+    )(x).sum())
+    xv = jnp.ones((NBLK * 8, 128), jnp.float32)
+    dtv = _slope(lambda: fvp(xv), 8, 48)
+    out["vpu_gslots"] = NBLK * NSTEP * NSTREAM * 8 * 128 / dtv / 1e9
+
+    # --- HBM stream: P barriered read+write passes, scalar out ---
     big = jnp.ones((8192, 8192), jnp.float32)  # 256 MB
-    fh = jax.jit(lambda b: b + 1.0)
+    P = 8
+
+    def hbm_chain(b):
+        for _ in range(P):
+            b = lax.optimization_barrier(b + 1.0)
+        return b.sum()
+
+    fh = jax.jit(hbm_chain)
     dth = _slope(lambda: fh(big), 4, 16)
-    out["hbm_gbs"] = 2 * big.size * 4 / dth / 1e9
+    # P read+write passes + the final reduce's read
+    out["hbm_gbs"] = (2 * P + 1) * big.size * 4 / dth / 1e9
     return out
 
 
