@@ -86,12 +86,17 @@ GATHER_INPUT_BARRIER = False  # barrier on the gather INDEX operands
 # whether index-producer fusion into the gather forces a slow lowering.
 # Perf A/B knob (tools/ab_slope "s8ibar"); bit-identical.
 # MEASURED: no effect either (1.36 vs 1.40 ms) — not index fusion.
-GATHER_FULL_ROWS = False  # hypothesis 5 for the pair gather's cost: the
-# [:, :N_CHAN] half-row slice may fuse INTO the gather and demote it
-# from full-row DMA to a strided 16-of-32-lane form. This knob gathers
+GATHER_FULL_ROWS = True  # hypothesis 5 for the pair gather's cost: the
+# [:, :N_CHAN] half-row slice fuses INTO the gather and demotes it
+# from full-row DMA to a strided 16-of-32-lane form. This flag gathers
 # FULL 32-lane rows, barriers the result, then slices — 2x the bytes
-# but possibly the fast row path. Perf A/B knob (tools/ab_slope
-# "s8full32"); bit-identical.
+# but the fast row path. Perf A/B knob (tools/ab_slope "s8full32");
+# bit-identical (verified in-harness: s8full32 output == s8).
+# MEASURED (r5, interleaved slope A/B at headline scale, 3 reps):
+# full32 0.617 ms/frame vs base 0.812 vs srccopy 0.965 — after four
+# refuted hypotheses (consumer fusion, index fusion, source stride,
+# index locality), the slice-into-gather demotion was the real cause.
+# Default ON; the old form stays behind the knob for re-testing.
 GATHER_SRC_COPY = False  # force a physical copy (x + 0.0) of the pair
 # gather's SOURCE before gathering: the same random gather is 24 us
 # standalone from a plain parameter but ~340 us in context from the

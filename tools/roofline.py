@@ -95,7 +95,9 @@ def _slope(fn, n1, n2, reps=3):
             tot.append(time.perf_counter() - t0)
         slopes.append((tot[1] - tot[0]) / (n2 - n1))
     slopes.sort()
-    return slopes[len(slopes) // 2]
+    med = slopes[len(slopes) // 2]
+    _slope.last_spread = ((slopes[-1] - slopes[0]) / med) if med else 0.0
+    return med
 
 
 def measure_ceilings():
@@ -209,8 +211,15 @@ def pt_roofline(ceil, spp=64, rows=36, cols=96, bounces=5):
         sample_batch=min(64, spp), use_kernel=True,
         packed=(pp, af, aw, ah, sr)))
     key = jax.random.key(0)
-    dt = _slope(lambda: fn(scene, scene.camera, jnp.float32(0.0), key),
-                4, 16)
+    run = lambda: fn(scene, scene.camera, jnp.float32(0.0), key)
+    # shallow probe only to SIZE the real window: the between-depth
+    # compute delta must be ~10x the tunnel's +-20 ms readback jitter
+    # (a (4,16) window on a ~1.3 ms frame left a 15 ms delta and read
+    # the frame 2x off; bench.py doctrine, commit 87cd065)
+    est = max(_slope(run, 4, 16, reps=2), 1e-4)
+    depth = max(24, int(0.25 / est))  # n2-n1 frames for >=250 ms delta
+    dt = _slope(run, 8, 8 + depth, reps=5)
+    spread = _slope.last_spread
 
     # padded ray-block grid: kernel pads rays to BH*BW blocks
     n_rays = rows * cols
@@ -225,12 +234,22 @@ def pt_roofline(ceil, spp=64, rows=36, cols=96, bounces=5):
     total += pad * (attrs + SLOTS_BOUNCE_MISC)
     gslots = total / dt / 1e9
     pct = gslots / ceil["vpu_gslots"] * 100
-    return {"frame_ms": dt * 1e3, "entries_sph": e_sph,
+    # v5e theoretical VPU issue: 8 sublanes x 128 lanes x 4 ALUs at
+    # ~0.94 GHz — the FMA microkernel reaches ~60% of this; a mixed
+    # select/cmp/arith stream can legitimately issue above the FMA
+    # ceiling, so both bounds are reported and pct_of_vpu is quoted
+    # against the MEASURED one (conservative for "are we done" calls,
+    # but can exceed 100 when the mix beats pure FMA issue).
+    theo = 8 * 128 * 4 * 0.94  # Gslot/s
+    return {"frame_ms": round(dt * 1e3, 3), "spread": round(spread, 3),
+            "entries_sph": e_sph,
             "entries_tri": e_tri, "rays_padded": pad, "spp": spp,
             "slots_per_sample": slots_per_sample,
             "achieved_gslots": round(gslots, 1),
             "vpu_ceiling_gslots": round(ceil["vpu_gslots"], 1),
-            "pct_of_vpu": round(pct, 1)}
+            "vpu_theoretical_gslots": round(theo, 1),
+            "pct_of_vpu": round(pct, 1),
+            "pct_of_theoretical": round(gslots / theo * 100, 1)}
 
 
 def raster_roofline(ceil, iters=30, top=12):
