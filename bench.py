@@ -423,7 +423,7 @@ def bench_config0(smoke, extras=False):
     t_arm = time.time()
     dt, _rtt, spread, meta = _time_fn_slope(
         lambda: fn(scene, scene.camera, jnp.float32(0.0), key), (),
-        n1=(4, 32)[not smoke], n2=(16, 256)[not smoke])
+        n1=(4, 32)[not smoke], n2=(16, 512)[not smoke])
     _log(f"  arm 96x36_spp{spp}: {time.time()-t_arm:.1f}s")
     out = {"fps": 1.0 / dt, "spp": spp, "grid": "96x36",
            "spread": round(spread, 3),
@@ -431,19 +431,26 @@ def bench_config0(smoke, extras=False):
 
     # ---- honest Mrays/s: measure the TRUE per-path ray count once (eye
     # segments + NEE shadow rays, RR/absorption included) on this scene,
-    # then scale the amortized frame rate by it.
+    # then scale the amortized frame rate by it. Runs on the LOCAL CPU
+    # backend: it is a counting render, not a timing one, and its XLA
+    # compile through the axon tunnel cost ~164 s of the r5 driver run
+    # (the single largest bench wall-time item) vs seconds locally.
     import numpy as np_
     from ascii_renderer_tpu.backends import pathtrace as PTm
     cam = scene.camera
     rows_, cols_ = 36, 96
     # the same primary rays render_pt traces (shared implementation —
     # ray accounting cannot desynchronize from the timed render)
-    ro, rd, _px, _py = PTm.primary_ray_grid(cam, rows_, cols_, 0.5)
-    lc, lr = PTm.get_light_sphere(scene, jnp.float32(0.0))
-    _l, _o, _f, stats = PTm.trace_eye_paths(
-        scene, ro, rd, jax.random.key(7), lc, lr, bounces=5,
-        light_color=jnp.asarray([16.86, 10.76, 8.2]) * 1.3, nee=True,
-        with_stats=True)
+    cpu0 = jax.devices("cpu")[0]
+    with jax.default_device(cpu0):
+        scene_c = jax.device_put(scene, cpu0)
+        cam_c = jax.device_put(cam, cpu0)
+        ro, rd, _px, _py = PTm.primary_ray_grid(cam_c, rows_, cols_, 0.5)
+        lc, lr = PTm.get_light_sphere(scene_c, jnp.float32(0.0))
+        _l, _o, _f, stats = PTm.trace_eye_paths(
+            scene_c, ro, rd, jax.random.key(7), lc, lr, bounces=5,
+            light_color=jnp.asarray([16.86, 10.76, 8.2]) * 1.3, nee=True,
+            with_stats=True)
     paths = rows_ * cols_
     rays_per_path = float(np_.asarray(stats["segments"])
                           + np_.asarray(stats["shadow_rays"])) / paths
@@ -465,9 +472,11 @@ def bench_config0(smoke, extras=False):
         # deeper queue + 3 reps: a reps=2 n=(2,8) sample once read 91 ms
         # for a frame that measures 25 ms at every queue depth in-process
         # (tools/exp_pt_slope.py) — record spread so noise is visible
+        # (4, 16) left ~320 ms of delta at the ~27 ms frame; (4, 40)
+        # buys ~1 s (r5 recorded spread 0.283 at the shallower window)
         dt_hd, _rtt, sp_hd, meta_hd = _time_fn_slope(
             lambda: fn_hd(scene, scene.camera, jnp.float32(0.0), key), (),
-            n1=4, n2=16, reps=3)
+            n1=4, n2=40, reps=3)
         out["fps_960x540_spp8"] = round(1.0 / dt_hd, 2)
         out["spread_960x540"] = round(sp_hd, 3)
         out["mrays_s_960x540"] = round(
@@ -551,7 +560,7 @@ def bench_config1(smoke):
     # slope timing like config 3: the fixed end-of-loop tunnel readback
     # cancels exactly, so a ~0.2 ms frame is measurable with <10% spread
     dt, rtt, spread, meta = _time_fn_slope(fn, (*soup, scene, cam),
-                                           n1=256, n2=1024)
+                                           n1=256, n2=2048)
     floor = _dispatch_floor()
     tris = soup[0].shape[0] // 3
     return _rate_fields(dt, floor, tris, f"{cols}x{rows}", spread, rtt,
@@ -569,8 +578,10 @@ def bench_config2(smoke):
     caps = _probe_caps(soup, scene, cam, rows, cols, cfg.pixel_aspect)
     fn = _raster_ascii_fn(cfg, rows, cols, caps)
     # slope timing like config 3 (see bench_config1)
+    # (192, 768) left ~0.3 s of delta — not enough against +-25 ms
+    # per-arm jitter (r5 recorded spread 0.431 + negative RTT there)
     dt, rtt, spread, meta = _time_fn_slope(fn, (*soup, scene, cam),
-                                           n1=192, n2=768)
+                                           n1=256, n2=2048)
     floor = _dispatch_floor()
     tris = soup[0].shape[0] // 3
     return _rate_fields(dt, floor, tris, f"{cols}x{rows}", spread, rtt,
@@ -621,9 +632,13 @@ def bench_config3(smoke, batch=0):
     # depths sized like config 0's: a (32, 128) window left only ~88 ms
     # of compute delta against the tunnel's +-20 ms readback jitter; at
     # (32, 384) the delta is ~320 ms and per-rep slope noise drops ~4x
+    # (32, 384) left ~320 ms of delta, but the tunnel's per-arm jitter
+    # reaches +-25-30 ms on bad days (r5: dispatch-floor spread 40%,
+    # recorded spread 0.164 at that window) — (64, 1024) buys ~0.95 s
+    # of delta at ~1 s/rep extra cost, and slope noise scales 1/delta
     dt1, rtt, spread, meta = _time_fn_slope(
         fn1, (*soup, scene, cam, pos9, attrs_t),
-        n1=(8, 32)[not smoke], n2=(32, 384)[not smoke],
+        n1=(8, 64)[not smoke], n2=(32, 1024)[not smoke],
         reps=(3, 5)[not smoke])
     floor = _dispatch_floor()
     out = {"fps": 1.0 / dt1, "tris": tris, "grid": f"{cols}x{rows}",
