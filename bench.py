@@ -382,6 +382,52 @@ def _mesh_scene(mesh_fn, color, cam_pos, cam_pitch=-0.35):
     return (jnp.asarray(p), jnp.asarray(n), jnp.asarray(c)), scene, cam
 
 
+def _count_rays_per_path():
+    """The counting render behind honest Mrays/s: trace the demo-scene
+    eye paths (same shared implementation render_pt uses, so ray
+    accounting cannot desynchronize from the timed render) and return
+    (eye segments + NEE shadow rays) / paths. Pure function of the
+    fixed demo scene + key(7) — device-independent."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np_
+    from ascii_renderer_tpu.backends import pathtrace as PTm
+    from ascii_renderer_tpu.scene.demo import create_demo_scene
+    from ascii_renderer_tpu.atlas.io import demo_atlas
+
+    sb = create_demo_scene()
+    sb.set_atlas(demo_atlas())
+    scene = sb.build(min_pad=1)
+    rows_, cols_ = 36, 96
+    ro, rd, _px, _py = PTm.primary_ray_grid(scene.camera, rows_, cols_, 0.5)
+    lc, lr = PTm.get_light_sphere(scene, jnp.float32(0.0))
+    _l, _o, _f, stats = PTm.trace_eye_paths(
+        scene, ro, rd, jax.random.key(7), lc, lr, bounces=5,
+        light_color=jnp.asarray([16.86, 10.76, 8.2]) * 1.3, nee=True,
+        with_stats=True)
+    return float(np_.asarray(stats["segments"])
+                 + np_.asarray(stats["shadow_rays"])) / (rows_ * cols_)
+
+
+def _rays_per_path(_scene_unused):
+    """Run _count_rays_per_path in a JAX_PLATFORMS=cpu subprocess (fast
+    local compile; the axon in-process backend list has no cpu entry).
+    Falls back to the in-process default device on any failure."""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--rays-per-path"],
+            capture_output=True, text=True, env=env, timeout=600)
+        return float(r.stdout.strip().splitlines()[-1])
+    except Exception as e:  # tunnel-device fallback: ~164 s compile
+        _log(f"  rays-per-path subprocess failed ({e}); in-process")
+        return _count_rays_per_path()
+
+
 def bench_config0(smoke, extras=False):
     """The reference's own headline workload: the default path tracer at
     96x36 cells, 64 spp, 5 bounces, demo scene with ASCII-texture atlas
@@ -431,31 +477,16 @@ def bench_config0(smoke, extras=False):
 
     # ---- honest Mrays/s: measure the TRUE per-path ray count once (eye
     # segments + NEE shadow rays, RR/absorption included) on this scene,
-    # then scale the amortized frame rate by it. Runs on the LOCAL CPU
-    # backend: it is a counting render, not a timing one, and its XLA
-    # compile through the axon tunnel cost ~164 s of the r5 driver run
-    # (the single largest bench wall-time item) vs seconds locally.
-    import numpy as np_
-    from ascii_renderer_tpu.backends import pathtrace as PTm
-    cam = scene.camera
-    rows_, cols_ = 36, 96
-    # the same primary rays render_pt traces (shared implementation —
-    # ray accounting cannot desynchronize from the timed render)
-    cpu0 = jax.devices("cpu")[0]
-    with jax.default_device(cpu0):
-        scene_c = jax.device_put(scene, cpu0)
-        cam_c = jax.device_put(cam, cpu0)
-        ro, rd, _px, _py = PTm.primary_ray_grid(cam_c, rows_, cols_, 0.5)
-        lc, lr = PTm.get_light_sphere(scene_c, jnp.float32(0.0))
-        _l, _o, _f, stats = PTm.trace_eye_paths(
-            scene_c, ro, rd, jax.random.key(7), lc, lr, bounces=5,
-            light_color=jnp.asarray([16.86, 10.76, 8.2]) * 1.3, nee=True,
-            with_stats=True)
-    paths = rows_ * cols_
-    rays_per_path = float(np_.asarray(stats["segments"])
-                          + np_.asarray(stats["shadow_rays"])) / paths
+    # then scale the amortized frame rate by it. Runs in a
+    # JAX_PLATFORMS=cpu SUBPROCESS (--rays-per-path mode below): it is
+    # a counting render, not a timing one, and its XLA compile through
+    # the axon tunnel cost ~164 s of the r5 driver run — the single
+    # largest bench wall-time item — vs seconds locally. (In-process
+    # jax.devices("cpu") is not an option: the axon plugin registers
+    # itself as the only backend.) Falls back in-process on any failure.
+    rays_per_path = _rays_per_path(scene)
     out["rays_per_path"] = round(rays_per_path, 3)
-    out["mrays_s"] = round((1.0 / dt) * paths * spp * rays_per_path / 1e6,
+    out["mrays_s"] = round((1.0 / dt) * 36 * 96 * spp * rays_per_path / 1e6,
                            2)
 
     if not smoke:
@@ -805,7 +836,17 @@ def main(argv=None):
                     help="config 0: also run the compile-heavy atlas64 "
                          "kernel + XLA-fallback arms (weekly-agenda tier; "
                          "they dominated the r4 driver wall time)")
+    ap.add_argument("--rays-per-path", action="store_true",
+                    help="print the demo-scene rays-per-path count and "
+                         "exit (config 0 runs this in a cpu subprocess)")
     args = ap.parse_args(argv)
+
+    if args.rays_per_path:
+        import jax
+        if os.environ.get("JAX_PLATFORMS"):
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        print(_count_rays_per_path())
+        return 0
 
     # Backend-reachability watchdog: when the TPU tunnel is down, backend
     # init hangs FOREVER inside a C call (no Python-level interrupt), so

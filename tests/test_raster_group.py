@@ -324,6 +324,39 @@ def test_setup_packed_and_srccopy_bit_identical():
         R.SETUP_PACKED, R.PACK_SPLIT16, RG.GATHER_SRC_COPY = saved
 
 
+def test_gather_full_rows_bit_identical():
+    """GATHER_FULL_ROWS (r5 default: the full-row pair gather that
+    restored the fast row-DMA path — see raster_group.py:89) is a
+    layout-only knob: gathering full 32-lane rows then slicing must be
+    bitwise equal to the sliced-source gather it replaced."""
+    from ascii_renderer_tpu.ops import raster_group as RG
+
+    pos, nrm, col = _rand_soup(900, seed=17)
+    scene = _rand_scene()
+    cam = Camera.create(pos=(2.4, 1.6, 2.9), yaw=-2.25, pitch=-0.32)
+    T = pos.shape[0] // 3
+    args = (jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(col), scene,
+            cam)
+    kw = dict(rows=48, cols=96, pixel_aspect=0.5, method="subtile8",
+              v_cap=4096, big_cap=1024, r_cap=32 * 512,
+              pair_cap=8 * T + 1024 * 48 * 8 + 4096,
+              tile_cap=(-(-48 // 8)) * (-(-96 // 128) or 1) * 8)
+
+    def render():
+        return np.asarray(jax.jit(
+            lambda *a: R.render_soup(*a, **kw))(*args))
+
+    saved = RG.GATHER_FULL_ROWS
+    try:
+        RG.GATHER_FULL_ROWS = True
+        on = render()
+        RG.GATHER_FULL_ROWS = False
+        off = render()
+    finally:
+        RG.GATHER_FULL_ROWS = saved
+    np.testing.assert_array_equal(on, off)
+
+
 @pytest.mark.slow
 def test_subtile6_near_plane_crossers_match_subtile3():
     s = 5.0
